@@ -1,0 +1,48 @@
+"""duckdb_behavioral_spark — PySpark-native behavioral analytics engine.
+
+A from-scratch Spark implementation of the behavioral-analytics
+function set of the ``tomtom215/duckdb-behavioral`` DuckDB extension
+(sessionize, retention, window_funnel, sequence_match /
+sequence_count / sequence_match_events, sequence_next_node), plus
+large-scale training-data pipeline operators (deduplication,
+similarity search, text analysis, multimodal column handling).
+
+Design: DataFrame/SQL-first. Sessionize and retention are pure
+built-in expressions; funnels and common sequence patterns run as SQL
+higher-order functions folded over per-group sorted event arrays
+(JVM-side, whole-stage codegen); only the general NFA patterns and
+sequence_next_node drop to Arrow-batched Python kernels via a
+streaming mapInPandas group engine.
+"""
+
+from duckdb_behavioral_spark.intervals import to_micros
+from duckdb_behavioral_spark.operators import (
+    condition_bitmask,
+    grouped_scan,
+    retention,
+    retention_col,
+    sequence_count,
+    sequence_match,
+    sequence_match_events,
+    sequence_next_node,
+    sessionize,
+    sessionize_col,
+    window_funnel,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "to_micros",
+    "condition_bitmask",
+    "grouped_scan",
+    "retention",
+    "retention_col",
+    "sequence_count",
+    "sequence_match",
+    "sequence_match_events",
+    "sequence_next_node",
+    "sessionize",
+    "sessionize_col",
+    "window_funnel",
+]

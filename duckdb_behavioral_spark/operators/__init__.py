@@ -1,0 +1,24 @@
+from duckdb_behavioral_spark.operators.grouped import condition_bitmask, grouped_scan
+from duckdb_behavioral_spark.operators.retention import retention, retention_col
+from duckdb_behavioral_spark.operators.sequence import (
+    sequence_count,
+    sequence_match,
+    sequence_match_events,
+)
+from duckdb_behavioral_spark.operators.sequence_next_node import sequence_next_node
+from duckdb_behavioral_spark.operators.sessionize import sessionize, sessionize_col
+from duckdb_behavioral_spark.operators.window_funnel import window_funnel
+
+__all__ = [
+    "condition_bitmask",
+    "grouped_scan",
+    "retention",
+    "retention_col",
+    "sequence_count",
+    "sequence_match",
+    "sequence_match_events",
+    "sequence_next_node",
+    "sessionize",
+    "sessionize_col",
+    "window_funnel",
+]

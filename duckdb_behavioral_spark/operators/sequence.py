@@ -1,0 +1,226 @@
+"""sequence_match / sequence_count / sequence_match_events.
+
+Reference semantics: the pattern mini-language is matched against the
+group's time-sorted event stream with events matching *no* condition
+dropped first (reference: src/sequence.rs:72-76); ``sequence_match``
+reports any match, ``sequence_count`` counts non-overlapping matches
+left-to-right, ``sequence_match_events`` returns the matched ``(?N)``
+step timestamps of the first match (empty array when none —
+reference: src/ffi/sequence_match_events.rs:131-141).
+
+Physical strategies, mirroring the reference's own fast-path
+classification (reference: src/pattern/executor.rs:60-124):
+
+- *adjacent* patterns (``(?1)(?2)…``) and *wildcard-separated*
+  patterns (``(?1).*(?2)…``) run as SQL higher-order functions over the
+  per-group sorted event array — pure JVM, no Python in the hot path.
+- everything else (time constraints, ``.``) runs the exact Python NFA
+  port (kernels/pattern.py) via the grouped mapInPandas engine.
+
+Invalid patterns raise ``PatternError`` at plan time. (The reference
+returns NULL results for groups with an invalid pattern string —
+src/ffi/sequence.rs:108-111 — but its pattern argument is a query-time
+constant, so failing fast at plan time is the Spark-idiomatic
+equivalent; all reference test queries use valid patterns.)
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from duckdb_behavioral_spark.kernels import pattern as P
+from duckdb_behavioral_spark.operators.grouped import condition_bitmask, grouped_scan
+
+
+def _as_cols(conds: Sequence) -> list[Column]:
+    return [F.expr(c) if isinstance(c, str) else c for c in conds]
+
+
+def _check(pattern_str: str, conds):
+    cols = _as_cols(conds)
+    if not 2 <= len(cols) <= 32:
+        raise ValueError(f"sequence functions take 2..32 conditions, got {len(cols)}")
+    steps = P.parse_pattern(pattern_str)
+    hi = P.max_condition_index(steps)
+    if hi >= len(cols):
+        raise ValueError(
+            f"pattern references condition {hi + 1} but only {len(cols)} conditions given"
+        )
+    return steps, cols
+
+
+def sequence_match(df, pattern_str, ts, conds, group_by, out="matched", use_kernel=None):
+    return _sequence(df, pattern_str, ts, conds, group_by, out, count_all=False,
+                     use_kernel=use_kernel)
+
+
+def sequence_count(df, pattern_str, ts, conds, group_by, out="c", use_kernel=None):
+    return _sequence(df, pattern_str, ts, conds, group_by, out, count_all=True,
+                     use_kernel=use_kernel)
+
+
+def _sequence(df, pattern_str, ts, conds, group_by, out, count_all, use_kernel):
+    steps, cols = _check(pattern_str, conds)
+    group_by = list(group_by)
+    shape, cidx = P.classify(steps)
+    if use_kernel is None:
+        use_kernel = shape == P.SHAPE_COMPLEX
+    if not use_kernel and shape != P.SHAPE_COMPLEX:
+        return _hof_path(df, ts, cols, group_by, shape, cidx, count_all, out)
+    return _kernel_path(df, steps, ts, cols, group_by, count_all, out)
+
+
+# ---------------------------------------------------------------------------
+# JVM fast paths
+# ---------------------------------------------------------------------------
+
+def _event_array(df, ts, cols, group_by):
+    """Per-group sorted array of struct(t, b) with all-false events dropped.
+
+    NULLing non-qualifying rows (instead of filtering) keeps every
+    group present in the output even when its array is empty.
+    """
+    ts_col = F.col(ts)
+    bools = F.array(*[F.coalesce(c, F.lit(False)) for c in cols])
+    keep = ts_col.isNotNull() & F.exists(bools, lambda b: b)
+    ev = df.select(
+        *group_by,
+        F.when(keep, F.struct(F.unix_micros(ts_col).alias("t"), bools.alias("b"))).alias("e"),
+    )
+    return ev, F.sort_array(F.collect_list("e"))
+
+
+def _hof_path(df, ts, cols, group_by, shape, cidx, count_all, out):
+    ev, arr = _event_array(df, ts, cols, group_by)
+    k = len(cidx)
+    if shape == P.SHAPE_ADJACENT:
+        result = _adjacent_count(arr, cidx, k) if count_all else _adjacent_match(arr, cidx, k)
+    else:
+        result = _wildcard_count(arr, cidx, k) if count_all else _wildcard_match(arr, cidx, k)
+    if not count_all:
+        result = result.cast("boolean").alias(out)
+    else:
+        result = result.cast("long").alias(out)
+    return ev.groupBy(*group_by).agg(result)
+
+
+def _adjacent_match(arr, cidx, k):
+    n = F.size(arr)
+    # exists window of k consecutive events matching cidx[0..k-1]
+    def window_ok(x, i):
+        cond = F.lit(True)
+        for j, c in enumerate(cidx):
+            cond = cond & F.coalesce(F.get(arr, i + j)["b"][c], F.lit(False))
+        return (i <= n - k) & cond
+    return F.exists(arr, lambda x: F.lit(False)) if k == 0 else F.exists(
+        F.transform(arr, window_ok), lambda v: v
+    )
+
+
+def _adjacent_count(arr, cidx, k):
+    # Non-overlapping left-to-right: on a match at i, skip to i+k
+    # (reference: src/pattern/executor.rs:126-166).
+    n = F.size(arr)
+    init = F.struct(F.lit(0).cast("int").alias("next"), F.lit(0).cast("long").alias("cnt"))
+
+    def merge(acc, iv):
+        i = iv
+        cond = i >= acc["next"]
+        for j, c in enumerate(cidx):
+            cond = cond & F.coalesce(F.get(arr, i + j)["b"][c], F.lit(False))
+        return F.struct(
+            F.when(cond, i + k).otherwise(acc["next"]).alias("next"),
+            F.when(cond, acc["cnt"] + 1).otherwise(acc["cnt"]).alias("cnt"),
+        )
+
+    idxs = F.transform(arr, lambda x, i: i)
+    counted = F.aggregate(
+        F.filter(idxs, lambda i: i <= n - k), init, merge, lambda acc: acc["cnt"]
+    )
+    return F.when(n >= k, counted).otherwise(F.lit(0))
+
+
+def _wildcard_match(arr, cidx, k):
+    conds_lit = F.array(*[F.lit(c) for c in cidx])
+    init = F.lit(0).cast("int")
+
+    def merge(acc, e):
+        has = F.coalesce(F.get(e["b"], F.get(conds_lit, acc)), F.lit(False))
+        return F.when((acc < k) & has, acc + 1).otherwise(acc)
+
+    return F.aggregate(arr, init, merge, lambda acc: acc == k)
+
+
+def _wildcard_count(arr, cidx, k):
+    conds_lit = F.array(*[F.lit(c) for c in cidx])
+    init = F.struct(F.lit(0).cast("int").alias("step"), F.lit(0).cast("long").alias("cnt"))
+
+    def merge(acc, e):
+        has = F.coalesce(F.get(e["b"], F.get(conds_lit, acc["step"])), F.lit(False))
+        ns = F.when(has, acc["step"] + 1).otherwise(acc["step"])
+        return F.struct(
+            F.when(ns >= k, 0).otherwise(ns).alias("step"),
+            F.when(ns >= k, acc["cnt"] + 1).otherwise(acc["cnt"]).alias("cnt"),
+        )
+
+    return F.aggregate(arr, init, merge, lambda acc: acc["cnt"])
+
+
+# ---------------------------------------------------------------------------
+# Python NFA path
+# ---------------------------------------------------------------------------
+
+def _kernel_path(df, steps, ts, cols, group_by, count_all, out):
+    ts_col = F.col(ts)
+    ev = df.where(ts_col.isNotNull())
+
+    def kernel(arrs):
+        m = arrs["m"]
+        nz = m != 0
+        res = P.execute_pattern(steps, arrs["t"][nz], m[nz], count_all)
+        return (res,) if count_all else (bool(res),)
+
+    field = (
+        T.StructField(out, T.LongType(), False)
+        if count_all
+        else T.StructField(out, T.BooleanType(), False)
+    )
+    return grouped_scan(
+        ev,
+        group_by,
+        {"t": F.unix_micros(ts_col), "m": condition_bitmask(cols)},
+        "t",
+        kernel,
+        [field],
+    )
+
+
+def sequence_match_events(df, pattern_str, ts, conds, group_by, out="m_ts"):
+    """Matched ``(?N)`` step timestamps of the first match; ``[]`` if none."""
+    steps, cols = _check(pattern_str, conds)
+    group_by = list(group_by)
+    ts_col = F.col(ts)
+    ev = df.where(ts_col.isNotNull())
+
+    def kernel(arrs):
+        m = arrs["m"]
+        nz = m != 0
+        res = P.execute_pattern_events(steps, arrs["t"][nz], m[nz])
+        return ([] if res is None else [int(x) for x in res],)
+
+    got = grouped_scan(
+        ev,
+        group_by,
+        {"t": F.unix_micros(ts_col), "m": condition_bitmask(cols)},
+        "t",
+        kernel,
+        [T.StructField("__us", T.ArrayType(T.LongType(), False), False)],
+    )
+    # µs → timestamp conversion stays JVM-side.
+    return got.select(
+        *group_by, F.transform("__us", lambda x: F.timestamp_micros(x)).alias(out)
+    )

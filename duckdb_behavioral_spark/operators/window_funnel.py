@@ -1,0 +1,136 @@
+"""window_funnel — longest condition chain within a time window.
+
+Reference semantics: greedy forward scan from every entry event; every
+matched step must be within ``window`` of the entry (inclusive); one
+event may advance multiple consecutive steps in default mode; max step
+across entries wins. Modes add constraints (reference:
+src/window_funnel.rs:49-434).
+
+Two physical strategies, picked automatically:
+
+1. **JVM fast path (default mode, ≤ 8 steps):** a dynamic program
+   folded over the per-group time-sorted event array with the SQL
+   ``aggregate`` higher-order function — runs entirely in the JVM.
+   ``dp[s]`` holds the *latest entry timestamp* of any chain that has
+   reached step ``s+1``; a later entry strictly dominates an earlier
+   one (every future event within the earlier entry's window is also
+   within the later one's), so one timestamp per step is a complete
+   state. Same-event multi-step advance falls out of chaining each
+   update through the same event's already-updated previous level.
+   Equivalence with the reference's max-over-entries greedy scan is
+   property-tested against the kernel.
+
+2. **Kernel path (modes, wide funnels):** exact Python port of the
+   scan (kernels/funnel.py) over the grouped mapInPandas engine.
+
+Both paths pre-filter events matching no condition (they can never
+participate — reference: src/window_funnel.rs:249-255) and pack/prune
+columns before the shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from duckdb_behavioral_spark.intervals import to_micros
+from duckdb_behavioral_spark.kernels.funnel import funnel_max_step, parse_modes
+from duckdb_behavioral_spark.operators.grouped import condition_bitmask, grouped_scan
+
+_SENTINEL = -(2**62)
+_HOF_MAX_CONDS = 8
+
+
+def _as_cols(conds: Sequence) -> list[Column]:
+    return [F.expr(c) if isinstance(c, str) else c for c in conds]
+
+
+def window_funnel(
+    df: DataFrame,
+    window,
+    ts: str,
+    conds: Sequence,
+    group_by: Sequence[str],
+    mode: str = "",
+    out: str = "step",
+    use_kernel: bool | None = None,
+) -> DataFrame:
+    """Per-group max funnel step; returns ``group_by`` + ``out`` (int)."""
+    cols = _as_cols(conds)
+    k = len(cols)
+    if not 2 <= k <= 32:
+        raise ValueError(f"window_funnel takes 2..32 conditions, got {k}")
+    window_us = to_micros(window)
+    mode_bits = parse_modes(mode)
+
+    if use_kernel is None:
+        use_kernel = not (mode_bits == 0 and k <= _HOF_MAX_CONDS)
+
+    if not use_kernel:
+        return _funnel_hof(df, window_us, ts, cols, list(group_by), k, out)
+    return _funnel_kernel(df, window_us, ts, cols, list(group_by), k, mode_bits, out)
+
+
+def _funnel_hof(df, window_us, ts, cols, group_by, k, out):
+    ts_col = F.col(ts)
+    bools = F.array(*[F.coalesce(c, F.lit(False)) for c in cols])
+    keep = ts_col.isNotNull() & F.exists(bools, lambda b: b)
+    # NULL-out non-qualifying events instead of filtering rows:
+    # collect_list drops NULLs, so groups with zero qualifying events
+    # still surface with step 0 (matching GROUP BY semantics).
+    ev = df.select(
+        *group_by,
+        F.when(keep, F.struct(F.unix_micros(ts_col).alias("t"), bools.alias("b"))).alias("e"),
+    )
+    arr = F.sort_array(F.collect_list("e"))
+
+    init = F.struct(*[F.lit(_SENTINEL).cast("long").alias(f"d{s}") for s in range(k)])
+
+    def merge(acc, e):
+        t = e["t"]
+        new = []
+        for s in range(k):
+            cur = acc[f"d{s}"]
+            has = F.coalesce(e["b"][s], F.lit(False))
+            if s == 0:
+                upd = F.when(has, F.greatest(cur, t)).otherwise(cur)
+            else:
+                prev = new[s - 1]
+                upd = F.when(
+                    has & (prev >= t - F.lit(window_us)), F.greatest(cur, prev)
+                ).otherwise(cur)
+            new.append(upd)
+        return F.struct(*[c.alias(f"d{s}") for s, c in enumerate(new)])
+
+    def finish(acc):
+        step = F.when(acc[f"d{k-1}"] != F.lit(_SENTINEL), k)
+        for s in range(k - 2, -1, -1):
+            step = step.when(acc[f"d{s}"] != F.lit(_SENTINEL), s + 1)
+        return step.otherwise(0).cast("int")
+
+    result = F.aggregate(arr, init, merge, finish)
+    return ev.groupBy(*group_by).agg(result.alias(out))
+
+
+def _funnel_kernel(df, window_us, ts, cols, group_by, k, mode_bits, out):
+    # All-false events can never match a step or trigger a break, so
+    # they are semantically inert for the funnel scan — but keeping them
+    # preserves group presence (step 0) for groups with no qualifying
+    # events. The kernel skips them implicitly (no condition bit set).
+    ts_col = F.col(ts)
+    ev = df.where(ts_col.isNotNull())
+
+    def kernel(arrs):
+        return (funnel_max_step(arrs["t"], arrs["m"], window_us, k, mode_bits),)
+
+    return grouped_scan(
+        ev,
+        group_by,
+        {"t": F.unix_micros(ts_col), "m": condition_bitmask(cols)},
+        "t",
+        kernel,
+        [T.StructField(out, T.IntegerType(), False)],
+    )
