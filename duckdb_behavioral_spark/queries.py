@@ -1,0 +1,388 @@
+"""Declared query suite: Spark implementations + DuckDB oracle SQL.
+
+Each entry pairs a Spark DataFrame query (built on the operators in
+this package) with an equivalent *plain* ANSI/DuckDB SQL statement the
+driver can execute against the same parquet tables. The behavioral
+functions don't exist in stock DuckDB, so each oracle re-derives the
+semantics with standard SQL (window functions, self-joins); the
+derivations are documented inline and cross-checked in
+tests/test_oracle_parity.py. Every computed column is aliased
+identically on both sides (the driver hashes values under sorted
+column names).
+
+Covers SURVEY.md §2.4 Q1–Q12 over the ``events`` table. The
+training-data pipeline extensions (dedup / similarity / text) register
+additional entries from duckdb_behavioral_spark.functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import duckdb_behavioral_spark as B
+
+GAP_30M_US = 30 * 60 * 1_000_000
+H1_US = 3_600 * 1_000_000
+H2_US = 2 * H1_US
+
+VIEW = "event_type = 'view'"
+CLICK = "event_type = 'click'"
+PURCHASE = "event_type = 'purchase'"
+SIGNUP = "event_type = 'signup'"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_behavioral_spark.sources import load_events
+
+    return load_events(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Q1/Q11 — sessionize
+# ---------------------------------------------------------------------------
+
+def q1_sessionize(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    return B.sessionize(df, "ts", "30 minutes", ["user_id"]).select(
+        "user_id", "ts", "session_id"
+    )
+
+
+Q1_SQL = f"""
+WITH o AS (
+  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+)
+SELECT user_id, ts,
+       CAST(SUM(CASE WHEN prev_ts IS NOT NULL
+                      AND epoch_us(ts) - epoch_us(prev_ts) > {GAP_30M_US}
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) + 1
+            AS BIGINT) AS session_id
+FROM o
+"""
+
+
+def q11_session_stats(spark, sf_dir):
+    df = q1_sessionize(spark, sf_dir)
+    return df.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n"), F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    )
+
+
+Q11_SQL = f"""
+WITH o AS (
+  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         CAST(SUM(CASE WHEN prev_ts IS NOT NULL
+                        AND epoch_us(ts) - epoch_us(prev_ts) > {GAP_30M_US}
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) + 1
+              AS BIGINT) AS session_id
+  FROM o
+)
+SELECT user_id, session_id, COUNT(*) AS n, MIN(ts) AS t0, MAX(ts) AS t1
+FROM s GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q2 — retention
+# ---------------------------------------------------------------------------
+
+def q2_retention(spark, sf_dir):
+    return B.retention(_events(spark, sf_dir), [SIGNUP, VIEW, PURCHASE], ["user_id"])
+
+
+# r[0] = anchor ever true; r[i] = anchor AND cond_i ever true.
+Q2_SQL = """
+SELECT user_id, [a, a AND v, a AND p] AS r
+FROM (
+  SELECT user_id,
+         bool_or(event_type = 'signup')   AS a,
+         bool_or(event_type = 'view')     AS v,
+         bool_or(event_type = 'purchase') AS p
+  FROM events GROUP BY user_id
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q3/Q4 — window_funnel
+# ---------------------------------------------------------------------------
+
+def q3_window_funnel(spark, sf_dir):
+    return B.window_funnel(
+        _events(spark, sf_dir), "1 hour", "ts", [VIEW, CLICK, PURCHASE], ["user_id"]
+    )
+
+
+def q4_window_funnel_modes(spark, sf_dir):
+    return B.window_funnel(
+        _events(spark, sf_dir), "2 hours", "ts", [VIEW, CLICK, PURCHASE], ["user_id"],
+        mode="strict_increase, strict_once",
+    )
+
+
+def _funnel_sql(window_us: int) -> str:
+    # Oracle derivation (valid because view/click/purchase are mutually
+    # exclusive predicates and per-user timestamps are distinct, so no
+    # event can serve two steps): the greedy max-over-entries scan
+    # reaches step s iff an increasing chain of s events exists with the
+    # final event within `window` of the first (inclusive boundary).
+    return f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+s1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+s2 AS (SELECT DISTINCT a.user_id
+       FROM e a JOIN e b ON a.user_id = b.user_id
+       WHERE a.event_type = 'view' AND b.event_type = 'click'
+         AND b.t > a.t AND b.t - a.t <= {window_us}),
+s3 AS (SELECT DISTINCT a.user_id
+       FROM e a JOIN e b ON a.user_id = b.user_id
+                JOIN e c ON b.user_id = c.user_id
+       WHERE a.event_type = 'view' AND b.event_type = 'click'
+         AND c.event_type = 'purchase'
+         AND b.t > a.t AND c.t > b.t AND c.t - a.t <= {window_us})
+SELECT u.user_id,
+       CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                 WHEN s2.user_id IS NOT NULL THEN 2
+                 WHEN s1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS INTEGER) AS step
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN s1 ON u.user_id = s1.user_id
+LEFT JOIN s2 ON u.user_id = s2.user_id
+LEFT JOIN s3 ON u.user_id = s3.user_id
+"""
+
+
+Q3_SQL = _funnel_sql(H1_US)
+# strict_increase / strict_once are no-ops on this data (distinct
+# timestamps, mutually exclusive conditions) — only the window differs.
+Q4_SQL = _funnel_sql(H2_US)
+
+
+# ---------------------------------------------------------------------------
+# Q5–Q8 — sequence functions (stream filtered to view/purchase events)
+# ---------------------------------------------------------------------------
+
+def q5_sequence_match_adjacent(spark, sf_dir):
+    return B.sequence_match(
+        _events(spark, sf_dir), "(?1)(?2)", "ts", [VIEW, PURCHASE], ["user_id"], out="m"
+    )
+
+
+# Adjacency is evaluated on the stream filtered to events matching ≥1
+# condition (all-false events are dropped before matching).
+Q5_SQL = """
+WITH f AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS nxt
+  FROM events WHERE event_type IN ('view', 'purchase')
+), m AS (
+  SELECT user_id, bool_or(event_type = 'view' AND nxt = 'purchase') AS m
+  FROM f GROUP BY user_id
+)
+SELECT u.user_id, coalesce(m.m, false) AS m
+FROM (SELECT DISTINCT user_id FROM events) u LEFT JOIN m ON u.user_id = m.user_id
+"""
+
+
+def q6_sequence_match_time(spark, sf_dir):
+    return B.sequence_match(
+        _events(spark, sf_dir), "(?1).*(?t<=3600)(?2)", "ts", [VIEW, PURCHASE],
+        ["user_id"], out="m",
+    )
+
+
+# (?t<=3600) elapses in whole seconds with truncating division.
+Q6_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t, event_type
+  FROM events WHERE event_type IN ('view', 'purchase')
+), m AS (
+  SELECT DISTINCT a.user_id, true AS m
+  FROM e a JOIN e b ON a.user_id = b.user_id
+  WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+    AND b.t > a.t AND (b.t - a.t) // 1000000 <= 3600
+)
+SELECT u.user_id, coalesce(m.m, false) AS m
+FROM (SELECT DISTINCT user_id FROM events) u LEFT JOIN m ON u.user_id = m.user_id
+"""
+
+
+def q7_sequence_count(spark, sf_dir):
+    return B.sequence_count(
+        _events(spark, sf_dir), "(?1).*(?2)", "ts", [VIEW, PURCHASE], ["user_id"], out="c"
+    )
+
+
+# Non-overlapping lazy counting of (?1).*(?2) over a two-symbol stream
+# reduces to counting adjacent view→purchase boundaries: after each
+# completed pair the scanner is unarmed, and exactly one pair completes
+# per view-run/purchase-run boundary.
+Q7_SQL = """
+WITH f AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS nxt
+  FROM events WHERE event_type IN ('view', 'purchase')
+), c AS (
+  SELECT user_id, count(*) FILTER (WHERE event_type = 'view' AND nxt = 'purchase') AS c
+  FROM f GROUP BY user_id
+)
+SELECT u.user_id, coalesce(c.c, 0) AS c
+FROM (SELECT DISTINCT user_id FROM events) u LEFT JOIN c ON u.user_id = c.user_id
+"""
+
+
+def q8_sequence_match_events(spark, sf_dir):
+    return B.sequence_match_events(
+        _events(spark, sf_dir), "(?1).*(?2)", "ts", [VIEW, PURCHASE], ["user_id"]
+    )
+
+
+# Lazy first match of (?1).*(?2): anchor at the first view (any later
+# start is dominated), partner is the first purchase after it.
+Q8_SQL = """
+WITH fv AS (
+  SELECT user_id, min(ts) FILTER (WHERE event_type = 'view') AS v
+  FROM events GROUP BY user_id
+), fp AS (
+  SELECT e.user_id, min(e.ts) AS p
+  FROM events e JOIN fv ON e.user_id = fv.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > fv.v
+  GROUP BY e.user_id
+)
+SELECT u.user_id,
+       CASE WHEN fp.p IS NOT NULL THEN [fv.v, fp.p]
+            ELSE CAST([] AS TIMESTAMP[]) END AS m_ts
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN fv ON u.user_id = fv.user_id
+LEFT JOIN fp ON u.user_id = fp.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q9/Q10 — sequence_next_node
+# ---------------------------------------------------------------------------
+
+def q9_next_node_forward(spark, sf_dir):
+    return B.sequence_next_node(
+        _events(spark, sf_dir), "forward", "first_match", "ts", "event_type",
+        SIGNUP, [SIGNUP, VIEW], ["user_id"], out="next_ev",
+    )
+
+
+# forward/first_match with chain (signup, view): for each signup in time
+# order, the chain greedily takes the first later view; the candidate
+# result is the value of the event right after that view (must exist).
+# The first signup yielding a candidate wins.
+Q9_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS nxt_val,
+         lead(ts)         OVER (PARTITION BY user_id ORDER BY ts) AS nxt_ts
+  FROM events
+), sg AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'signup'
+), vv AS (
+  SELECT user_id, ts AS vts, nxt_val, nxt_ts FROM o WHERE event_type = 'view'
+), cand AS (
+  SELECT sg.user_id, sg.ts AS sts, min(v.vts) AS fv
+  FROM sg JOIN vv v ON v.user_id = sg.user_id AND v.vts > sg.ts
+  GROUP BY sg.user_id, sg.ts
+), j AS (
+  SELECT c.user_id, c.sts, v.nxt_val, v.nxt_ts
+  FROM cand c JOIN vv v ON v.user_id = c.user_id AND v.vts = c.fv
+), best AS (
+  SELECT user_id, nxt_val FROM (
+    SELECT user_id, nxt_val,
+           row_number() OVER (PARTITION BY user_id ORDER BY sts) AS rn
+    FROM j WHERE nxt_ts IS NOT NULL
+  ) WHERE rn = 1
+)
+SELECT u.user_id, best.nxt_val AS next_ev
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN best ON u.user_id = best.user_id
+"""
+
+
+def q10_next_node_backward(spark, sf_dir):
+    return B.sequence_next_node(
+        _events(spark, sf_dir), "backward", "last_match", "ts", "event_type",
+        PURCHASE, [PURCHASE], ["user_id"], out="prev_ev",
+    )
+
+
+# backward/last_match with a single-step chain (purchase): scanning
+# starts right-to-left and the *last* successful start wins, i.e. the
+# earliest purchase that has a predecessor; result = value before it.
+Q10_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prv,
+         row_number()    OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events
+), best AS (
+  SELECT user_id, prv FROM (
+    SELECT user_id, prv,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts) AS r
+    FROM o WHERE event_type = 'purchase' AND rn > 1
+  ) WHERE r = 1
+)
+SELECT u.user_id, best.prv AS prev_ev
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN best ON u.user_id = best.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q12 — funnel drop-off report
+# ---------------------------------------------------------------------------
+
+def q12_funnel_dropoff(spark, sf_dir):
+    f = q3_window_funnel(spark, sf_dir)
+    return f.groupBy("step").agg(F.count("*").alias("users"))
+
+
+Q12_SQL = f"""
+WITH f AS ({Q3_SQL})
+SELECT step, COUNT(*) AS users FROM f GROUP BY step
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+CORE_QUERIES = {
+    "q1_sessionize": q1_sessionize,
+    "q2_retention": q2_retention,
+    "q3_window_funnel": q3_window_funnel,
+    "q4_window_funnel_modes": q4_window_funnel_modes,
+    "q5_sequence_match_adjacent": q5_sequence_match_adjacent,
+    "q6_sequence_match_time": q6_sequence_match_time,
+    "q7_sequence_count": q7_sequence_count,
+    "q8_sequence_match_events": q8_sequence_match_events,
+    "q9_next_node_forward": q9_next_node_forward,
+    "q10_next_node_backward": q10_next_node_backward,
+    "q11_session_stats": q11_session_stats,
+    "q12_funnel_dropoff": q12_funnel_dropoff,
+}
+
+CORE_ORACLES = {
+    "q1_sessionize": Q1_SQL,
+    "q2_retention": Q2_SQL,
+    "q3_window_funnel": Q3_SQL,
+    "q4_window_funnel_modes": Q4_SQL,
+    "q5_sequence_match_adjacent": Q5_SQL,
+    "q6_sequence_match_time": Q6_SQL,
+    "q7_sequence_count": Q7_SQL,
+    "q8_sequence_match_events": Q8_SQL,
+    "q9_next_node_forward": Q9_SQL,
+    "q10_next_node_backward": Q10_SQL,
+    "q11_session_stats": Q11_SQL,
+    "q12_funnel_dropoff": Q12_SQL,
+}
