@@ -1,0 +1,86 @@
+"""Shared cross-engine primitives for the pipeline extensions.
+
+Every extension query is validated against a DuckDB oracle by value
+hash, so all computations here are designed to be *bit-identical*
+across engines:
+
+- hashing uses a polynomial char hash ``h = (h*131 + codepoint) % (2^31-1)``
+  (fold over characters) — expressible in Spark (``aggregate`` over
+  ``split(s,'')``) and DuckDB (``list_reduce`` over ``string_split``)
+  with identical results;
+- ratios are returned as integer permille (``(1000*x) div y``), never
+  free-form doubles;
+- double-valued similarity folds use the same left-to-right fold order
+  in both engines so the IEEE results are identical bit for bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+CHAR_HASH_MOD = 2_147_483_647  # 2^31 - 1
+CHAR_HASH_MULT = 131
+
+# MinHash parameters (fixed, embedded identically in Spark + SQL).
+MINHASH_P = 2_305_843_009_213_693_951  # 2^61 - 1
+NUM_HASHES = 16
+LSH_BANDS = 4
+LSH_ROWS = 4
+BAND_MOD = 1_000_003
+
+# Deterministic odd multipliers / offsets (no RNG at import time).
+MINHASH_A = [(2 * j + 1) * 2_654_435_761 % (1 << 31) | 1 for j in range(NUM_HASHES)]
+MINHASH_B = [(j + 1) * 40_503 * 65_537 % (1 << 31) for j in range(NUM_HASHES)]
+
+
+# --- Spark side -----------------------------------------------------------
+
+def char_hash(col: Column) -> Column:
+    """Polynomial char hash of a string column (BIGINT in [0, 2^31-1))."""
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(CHAR_HASH_MULT) + F.ascii(c)) % F.lit(CHAR_HASH_MOD),
+    )
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of trimmed text."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def shingles3(toks: Column) -> Column:
+    """Distinct 3-gram (word) shingles; empty array when < 3 tokens."""
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.array_join(F.slice(toks, i, 3), " "),
+    )
+    return F.when(n >= 3, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# --- DuckDB side ----------------------------------------------------------
+
+def sql_char_hash(expr: str) -> str:
+    """DuckDB SQL mirroring char_hash()."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(a, b) -> (a * {CHAR_HASH_MULT} + b) % {CHAR_HASH_MOD})"
+    )
+
+
+def sql_tokens(expr: str) -> str:
+    return rf"regexp_split_to_array(trim({expr}), '\s+')"
+
+
+def sql_shingles3(toks_expr: str) -> str:
+    return (
+        f"CASE WHEN len({toks_expr}) >= 3 THEN "
+        f"list_distinct(list_transform(range(1, len({toks_expr}) - 1), "
+        f"i -> array_to_string({toks_expr}[i:i+2], ' '))) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )

@@ -1,0 +1,146 @@
+"""Host-surface composition queries (joins, rollups, list indexing,
+pct-of-total windows) over the TPC-H-ish tables — the SQL surface the
+reference's examples exercise through its host engine.
+
+Aggregates are restricted to order-independent values (counts,
+min/max) so cross-engine hashes are exact; float *sums* are
+deliberately avoided in oracle outputs (summation order differs
+between engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import duckdb_behavioral_spark as B
+
+
+def _t(spark, sf_dir, name):
+    from duckdb_behavioral_spark.sources import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+def q_tpch_pricing_flags(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+    )
+
+
+TPCH_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+       MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_orders_by_nation(spark, sf_dir):
+    """3-way join with a broadcast dimension (nation)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("min_total"),
+            F.max("o_totalprice").alias("max_total"),
+        )
+    )
+
+
+ORDERS_BY_NATION_SQL = """
+SELECT n_name, COUNT(*) AS n_orders,
+       MIN(o_totalprice) AS min_total, MAX(o_totalprice) AS max_total
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_events_hourly_rollup(spark, sf_dir):
+    from duckdb_behavioral_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(F.count("*").alias("n"))
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_retention_report(spark, sf_dir):
+    """element_at / list-index composition over the retention array
+    (the reference's README report shape: r[1], r[2] CASE analysis)."""
+    from duckdb_behavioral_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir)
+    r = B.retention(
+        ev,
+        ["event_type = 'signup'", "event_type = 'view'", "event_type = 'purchase'"],
+        ["user_id"],
+    )
+    return r.select(
+        F.element_at("r", 1).alias("anchored"),
+        F.element_at("r", 2).alias("viewed"),
+        F.element_at("r", 3).alias("purchased"),
+    ).groupBy("anchored", "viewed", "purchased").agg(F.count("*").alias("users"))
+
+
+RETENTION_REPORT_SQL = """
+WITH rr AS (
+  SELECT user_id, [a, a AND v, a AND p] AS r
+  FROM (
+    SELECT user_id,
+           bool_or(event_type = 'signup')   AS a,
+           bool_or(event_type = 'view')     AS v,
+           bool_or(event_type = 'purchase') AS p
+    FROM events GROUP BY user_id
+  )
+)
+SELECT r[1] AS anchored, r[2] AS viewed, r[3] AS purchased, COUNT(*) AS users
+FROM rr GROUP BY 1, 2, 3
+"""
+
+
+def q_events_pct_of_total(spark, sf_dir):
+    """SUM(COUNT(*)) OVER () pct-of-total window (integer permille)."""
+    from duckdb_behavioral_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    return counts.select(
+        "event_type", "n", F.floor((F.col("n") * 1000) / total).cast("long").alias("permille")
+    )
+
+
+EVENTS_PCT_SQL = """
+WITH c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type)
+SELECT event_type, n,
+       CAST(n * 1000 // SUM(n) OVER () AS BIGINT) AS permille
+FROM c
+"""

@@ -1,0 +1,272 @@
+"""Deduplication operators over the ``documents`` table.
+
+Four families, each designed for the 100 TB posture:
+
+- **exact**: hash-groupBy on md5(text) — pure shuffle-on-hash, scales
+  linearly; the canonical doc is the min id per hash group.
+- **n-gram Jaccard**: blocked pairwise comparison. Blocking key =
+  (lang, n_chars bucket) bounds the candidate pair count; at scale the
+  block join is a plain shuffle join on the block key and each block's
+  pairs are generated task-locally. Jaccard is evaluated with integer
+  arithmetic (``10*|∩| >= thr*|∪|``) — no doubles.
+- **MinHash + LSH**: shingle → polynomial hash → k min-hash values →
+  banded signatures → bucket join on (band, band_hash). This is the
+  scale path: candidate generation is O(docs·bands) with no pairwise
+  work outside shared buckets.
+- **SimHash**: 32-bit sign-sum fingerprint of token hashes; near-dups
+  share a fingerprint (or low Hamming distance — exposed as the raw
+  fingerprint here).
+
+All hashing uses the shared cross-engine polynomial char hash so the
+DuckDB oracles reproduce results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_behavioral_spark.functions.common import (
+    BAND_MOD,
+    CHAR_HASH_MOD,
+    CHAR_HASH_MULT,
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+    NUM_HASHES,
+    char_hash,
+    shingles3,
+    sql_char_hash,
+    sql_shingles3,
+    sql_tokens,
+    tokens,
+)
+
+JACCARD_THRESHOLD_TENTHS = 6  # pairs with jaccard >= 0.6
+BLOCK_CHARS = 32
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_behavioral_spark.sources import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    h = F.md5(F.col(text).cast("binary"))
+    return (
+        df.select(h.alias("text_md5"), F.col(id_col))
+        .groupBy("text_md5")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("canonical_id"))
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_md5, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# blocked n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def _with_shingles(df: DataFrame) -> DataFrame:
+    return df.select(
+        "doc_id",
+        "lang",
+        F.expr(f"n_chars div {BLOCK_CHARS}").alias("blk"),
+        shingles3(tokens(F.col("text"))).alias("sh"),
+    )
+
+
+def dedup_ngram_jaccard(df: DataFrame) -> DataFrame:
+    d = _with_shingles(df)
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    uni = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            inter.cast("long").alias("n_inter"),
+            uni.cast("long").alias("n_union"),
+        )
+        .where((F.col("n_union") > 0)
+               & (10 * F.col("n_inter") >= JACCARD_THRESHOLD_TENTHS * F.col("n_union")))
+    )
+
+
+DEDUP_JACCARD_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, n_chars // {BLOCK_CHARS} AS blk,
+         {sql_shingles3(sql_tokens('text'))} AS sh
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+       CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_union
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
+  AND 10 * len(list_intersect(a.sh, b.sh))
+      >= {JACCARD_THRESHOLD_TENTHS} * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(df: DataFrame) -> DataFrame:
+    """(doc_id, band, band_hash) — LSH-banded MinHash signatures."""
+    sh = shingles3(tokens(F.col("text")))
+    hashes = F.transform(sh, char_hash)
+
+    def _perm(j):
+        # factory (not default-arg lambda): pyspark dispatches on lambda
+        # arity, so extra defaulted params would bind the index Column
+        return lambda h: (F.lit(MINHASH_A[j]) * h + F.lit(MINHASH_B[j])) % F.lit(MINHASH_P)
+
+    sigs = [F.array_min(F.transform(hashes, _perm(j))) for j in range(NUM_HASHES)]
+    bands = []
+    for b in range(LSH_BANDS):
+        acc = F.lit(0).cast("long")
+        for r in range(LSH_ROWS):
+            acc = (acc * F.lit(CHAR_HASH_MULT) + sigs[b * LSH_ROWS + r] % F.lit(BAND_MOD)) % F.lit(
+                CHAR_HASH_MOD
+            )
+        bands.append(F.struct(F.lit(b).cast("int").alias("band"), acc.alias("band_hash")))
+    return (
+        df.where(F.size(tokens(F.col("text"))) >= 3)
+        .select("doc_id", F.explode(F.array(*bands)).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+    )
+
+
+def minhash_candidate_pairs(df: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, shared_bands) — pairs sharing ≥1 LSH bucket."""
+    sig = minhash_signatures(df)
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared_bands"))
+    )
+
+
+def _sql_minhash_sigs() -> str:
+    a_lst = "[" + ", ".join(str(x) for x in MINHASH_A) + "]"
+    b_lst = "[" + ", ".join(str(x) for x in MINHASH_B) + "]"
+    return f"""
+WITH t AS (
+  SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+), s AS (
+  SELECT doc_id, {sql_shingles3('toks')} AS sh FROM t WHERE len(toks) >= 3
+), hh AS (
+  SELECT doc_id, list_transform(sh, x -> {sql_char_hash('x')}) AS hs FROM s
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(1, {NUM_HASHES} + 1),
+           j -> list_min(list_transform(hs,
+                  h -> ({a_lst}[j] * h + {b_lst}[j]) % {MINHASH_P}))) AS sigs
+  FROM hh
+), banded AS (
+  SELECT doc_id, CAST(b AS INTEGER) AS band,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(sigs[b * {LSH_ROWS} + 1 : b * {LSH_ROWS} + {LSH_ROWS}],
+                            v -> v % {BAND_MOD})),
+           (x, y) -> (x * {CHAR_HASH_MULT} + y) % {CHAR_HASH_MOD}) AS band_hash
+  FROM sig, range(0, {LSH_BANDS}) r(b)
+)
+"""
+
+
+MINHASH_SIG_SQL = _sql_minhash_sigs() + "SELECT doc_id, band, band_hash FROM banded"
+
+MINHASH_PAIRS_SQL = _sql_minhash_sigs() + f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_bands
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash32(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash of token hashes (term frequency weighted)."""
+    th = F.transform(tokens(F.col(text)), char_hash)
+
+    def _bit_merge(b):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    out = F.lit(0).cast("long")
+    for b in range(32):
+        bitsum = F.aggregate(th, F.lit(0).cast("long"), _bit_merge(b))
+        out = out + F.when(bitsum > 0, F.lit(1 << b).cast("long")).otherwise(0)
+    return df.select(F.col(id_col), out.alias("simhash"))
+
+
+def _simhash_sql_bits() -> str:
+    terms = []
+    for b in range(32):
+        terms.append(
+            f"CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(th, h -> CAST(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END AS BIGINT))), "
+            f"(x, y) -> x + y) > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+SIMHASH_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_transform({sql_tokens('text')}, x -> {sql_char_hash('x')}) AS th
+  FROM documents
+)
+SELECT doc_id, CAST({_simhash_sql_bits()} AS BIGINT) AS simhash FROM t
+"""
+
+
+# --- query entries --------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup_exact(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return dedup_ngram_jaccard(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash_sigs(spark, sf_dir):
+    return minhash_signatures(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    return minhash_candidate_pairs(_docs(spark, sf_dir))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return simhash32(_docs(spark, sf_dir))

@@ -1,0 +1,54 @@
+"""Extension query/oracle registry (training-data pipeline + host surface)."""
+
+from __future__ import annotations
+
+from duckdb_behavioral_spark.functions import compositions as C
+from duckdb_behavioral_spark.functions import dedup as D
+from duckdb_behavioral_spark.functions import multimodal as M
+from duckdb_behavioral_spark.functions import similarity as S
+from duckdb_behavioral_spark.functions import text as TX
+
+EXT_QUERIES = {
+    # text analysis
+    "text_token_stats": TX.q_text_token_stats,
+    "text_lang_id": TX.q_text_lang_id,
+    "text_fingerprint": TX.q_text_fingerprint,
+    "text_quality": TX.q_text_quality,
+    # dedup
+    "dedup_exact": D.q_dedup_exact,
+    "dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
+    "dedup_minhash_sigs": D.q_dedup_minhash_sigs,
+    "dedup_minhash_pairs": D.q_dedup_minhash_pairs,
+    "dedup_simhash": D.q_dedup_simhash,
+    # similarity search
+    "ann_cosine_topk": S.q_ann_cosine_topk,
+    "ann_lsh_buckets": S.q_ann_lsh_buckets,
+    # multimodal
+    "multimodal_features": M.q_multimodal_features,
+    # host-surface compositions
+    "tpch_pricing_flags": C.q_tpch_pricing_flags,
+    "orders_by_nation": C.q_orders_by_nation,
+    "events_hourly_rollup": C.q_events_hourly_rollup,
+    "retention_report": C.q_retention_report,
+    "events_pct_of_total": C.q_events_pct_of_total,
+}
+
+EXT_ORACLES = {
+    "text_token_stats": TX.TOKEN_STATS_SQL,
+    "text_lang_id": TX.LANG_ID_SQL,
+    "text_fingerprint": TX.FINGERPRINT_SQL,
+    "text_quality": TX.QUALITY_SQL,
+    "dedup_exact": D.DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": D.DEDUP_JACCARD_SQL,
+    "dedup_minhash_sigs": D.MINHASH_SIG_SQL,
+    "dedup_minhash_pairs": D.MINHASH_PAIRS_SQL,
+    "dedup_simhash": D.SIMHASH_SQL,
+    "ann_cosine_topk": S.ANN_TOPK_SQL,
+    "ann_lsh_buckets": S.LSH_BUCKETS_SQL,
+    "multimodal_features": M.MULTIMODAL_SQL,
+    "tpch_pricing_flags": C.TPCH_PRICING_SQL,
+    "orders_by_nation": C.ORDERS_BY_NATION_SQL,
+    "events_hourly_rollup": C.EVENTS_HOURLY_SQL,
+    "retention_report": C.RETENTION_REPORT_SQL,
+    "events_pct_of_total": C.EVENTS_PCT_SQL,
+}

@@ -1,0 +1,155 @@
+"""Similarity search over the ``embeddings`` table.
+
+- ``ann_cosine_topk``: brute-force cosine top-k — the correctness
+  baseline. The query side is broadcast (tiny), the corpus streams
+  through one pass; ranking happens in a per-query window. At 100 TB
+  the corpus scan is embarrassingly parallel and the broadcast join
+  avoids any corpus shuffle; only (queries × k) rows survive the
+  window.
+- ``lsh_bucket_topk``: the scale path — random-hyperplane signs bucket
+  the corpus; candidates come from the query's bucket only, cutting the
+  scanned fraction by ~2^bits (probe multiple buckets for recall).
+
+Cross-engine determinism: all folds (dot product, norms) run
+left-to-right over the vector index in both engines, so the IEEE
+doubles — and therefore the rankings — are identical. Outputs carry
+only integer ids/ranks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+N_QUERIES = 10
+TOP_K = 5
+LSH_PLANES = 8  # hyperplane count for the bucketed variant
+
+# Deterministic pseudo-hyperplanes: plane p component i =
+# ((p*64+i)*2654435761 % 1000003) - 500001, embedded in both engines.
+_PLANE_MULT = 2_654_435_761
+_PLANE_MOD = 1_000_003
+_PLANE_SHIFT = 500_001
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_behavioral_spark.sources import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+
+
+def ann_cosine_topk(
+    df: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    e = df.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    q = (
+        e.where(F.col("cid") < n_queries)
+        .select(F.col("cid").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+    )
+    joined = e.join(F.broadcast(q), F.col("cid") != F.col("query_id"))
+    sim = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    ranked = joined.select(
+        "query_id", F.col("cid").alias("neighbor_id"), sim.alias("sim")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.where(F.col("rank") <= k).select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id"
+    )
+
+
+ANN_TOPK_SQL = f"""
+WITH e AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT cid, v,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(v, x -> x * x)), (s, x) -> s + x)) AS nrm
+  FROM e
+), q AS (
+  SELECT cid AS query_id, v AS qv, nrm AS qn FROM n WHERE cid < {N_QUERIES}
+), sims AS (
+  SELECT q.query_id, c.cid AS neighbor_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.v[i])),
+           (s, x) -> s + x) / (q.qn * c.nrm) AS sim
+  FROM n c JOIN q ON c.cid <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def lsh_bucket_signature(vec, dim: int = 64):
+    """Sign-bit bucket id from deterministic pseudo-hyperplanes."""
+    sig = F.lit(0).cast("long")
+    for p in range(LSH_PLANES):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(
+                    *[
+                        F.lit(((p * dim + i) * _PLANE_MULT % _PLANE_MOD) - _PLANE_SHIFT)
+                        for i in range(dim)
+                    ]
+                ),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(0)
+    return sig
+
+
+def lsh_buckets(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, bucket) — random-hyperplane LSH bucket per vector."""
+    v = F.col(vec_col).cast("array<double>")
+    return df.select(F.col(id_col), lsh_bucket_signature(v).alias("bucket"))
+
+
+def _sql_plane(p: int, dim: int = 64) -> str:
+    weights = ", ".join(
+        str(((p * dim + i) * _PLANE_MULT % _PLANE_MOD) - _PLANE_SHIFT) for i in range(dim)
+    )
+    return (
+        f"CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, 65), i -> v[i] * [{weights}][i])), (s, x) -> s + x) > 0 "
+        f"THEN CAST({1 << p} AS BIGINT) ELSE 0 END"
+    )
+
+
+LSH_BUCKETS_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT vec_id, CAST({' + '.join(_sql_plane(p) for p in range(LSH_PLANES))} AS BIGINT) AS bucket
+FROM e
+"""
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    return ann_cosine_topk(_emb(spark, sf_dir))
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    return lsh_buckets(_emb(spark, sf_dir))

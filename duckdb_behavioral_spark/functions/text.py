@@ -1,0 +1,164 @@
+"""Text analysis operators over the ``documents`` table.
+
+Each operator is a DataFrame transform built from JVM-side expressions
+(no Python in the hot path) and ships with a DuckDB oracle in
+functions/registry.py. Outputs are integers/strings only so the
+cross-engine value hash is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_behavioral_spark.functions.common import (
+    char_hash,
+    sql_char_hash,
+    sql_tokens,
+    tokens,
+)
+
+# Marker-word sets for the n-gram/stopword language heuristic. The
+# testdata vocabulary is synthetic; the heuristic machinery (token
+# marker hits → deterministic argmax) is what matters.
+LANG_MARKERS = {
+    "en": ("the", "a", "key", "order"),
+    "db": ("table", "join", "query", "scan", "merge"),
+    "perf": ("fast", "slow", "small", "big"),
+    "data": ("data", "row", "column", "value", "vector"),
+}
+_LANG_ORDER = ["en", "db", "perf", "data"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_behavioral_spark.sources import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+def token_stats(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc token statistics (all-integer outputs)."""
+    toks = tokens(F.col(text))
+    total_len = F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+    n = F.size(toks).cast("long")
+    # Positive int division: floor over exact small doubles == integer div.
+    avg_permille = F.floor((total_len * 1000) / n).cast("long")
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.array_max(F.transform(toks, F.length)).cast("long").alias("max_token_len"),
+        avg_permille.alias("avg_len_permille"),
+    )
+
+
+def lang_id(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-hit language heuristic with deterministic argmax."""
+    toks = tokens(F.col(text))
+    hits = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
+        for lang, words in LANG_MARKERS.items()
+    }
+    h = {k: hits[k].alias(f"hit_{k}") for k in _LANG_ORDER}
+    base = df.select(F.col(id_col), *h.values())
+    e, d, p, dt = (F.col(f"hit_{k}") for k in _LANG_ORDER)
+    pred = (
+        F.when((e >= d) & (e >= p) & (e >= dt), "en")
+        .when((d >= p) & (d >= dt), "db")
+        .when(p >= dt, "perf")
+        .otherwise("data")
+    )
+    return base.select(id_col, *[f"hit_{k}" for k in _LANG_ORDER], pred.alias("lang_pred"))
+
+
+def fingerprint(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Rolling polynomial hash over the full text (document fingerprint)."""
+    return df.select(F.col(id_col), char_hash(F.col(text)).alias("fp"))
+
+
+def quality_score(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Integer quality heuristics: length band, stopword permille,
+    uniqueness permille (vocabulary richness)."""
+    toks = tokens(F.col(text))
+    n = F.size(toks).cast("long")
+    stop = F.size(F.filter(toks, lambda t: t.isin("the", "a"))).cast("long")
+    uniq = F.size(F.array_distinct(toks)).cast("long")
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.length(text).cast("long").alias("n_chars_calc"),
+        F.floor((stop * 1000) / n).cast("long").alias("stopword_permille"),
+        F.floor((uniq * 1000) / n).cast("long").alias("distinct_permille"),
+    )
+
+
+# --- query entries --------------------------------------------------------
+
+def q_text_token_stats(spark, sf_dir):
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_text_lang_id(spark, sf_dir):
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark, sf_dir):
+    return quality_score(_docs(spark, sf_dir))
+
+
+TOKS = sql_tokens("text")
+
+TOKEN_STATS_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       CAST(list_max(list_transform(toks, x -> len(x))) AS BIGINT) AS max_token_len,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(toks, x -> CAST(len(x) AS BIGINT))), (a,b) -> a + b) * 1000
+            // len(toks) AS BIGINT) AS avg_len_permille
+FROM t
+"""
+
+
+def _marker_sql(words):
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"CAST(len(list_filter(toks, t -> t IN ({lst}))) AS BIGINT)"
+
+
+LANG_ID_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+h AS (
+  SELECT doc_id,
+         {_marker_sql(LANG_MARKERS['en'])}   AS hit_en,
+         {_marker_sql(LANG_MARKERS['db'])}   AS hit_db,
+         {_marker_sql(LANG_MARKERS['perf'])} AS hit_perf,
+         {_marker_sql(LANG_MARKERS['data'])} AS hit_data
+  FROM t
+)
+SELECT doc_id, hit_en, hit_db, hit_perf, hit_data,
+       CASE WHEN hit_en >= hit_db AND hit_en >= hit_perf AND hit_en >= hit_data THEN 'en'
+            WHEN hit_db >= hit_perf AND hit_db >= hit_data THEN 'db'
+            WHEN hit_perf >= hit_data THEN 'perf'
+            ELSE 'data' END AS lang_pred
+FROM h
+"""
+
+FINGERPRINT_SQL = f"""
+SELECT doc_id, {sql_char_hash('text')} AS fp FROM documents
+"""
+
+QUALITY_SQL = f"""
+WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) * 1000 // len(toks) AS BIGINT)
+         AS stopword_permille,
+       CAST(len(list_distinct(toks)) * 1000 // len(toks) AS BIGINT) AS distinct_permille
+FROM t
+"""
