@@ -30,7 +30,9 @@ LSH_ROWS = 4
 BAND_MOD = 1_000_003
 
 # Deterministic odd multipliers / offsets (no RNG at import time).
-MINHASH_A = [(2 * j + 1) * 2_654_435_761 % (1 << 31) | 1 for j in range(NUM_HASHES)]
+# Multipliers stay below 2^15 so a_j * hash48 stays within int64
+# (2^15 * 2^48 bound) in both engines.
+MINHASH_A = [((2 * j + 1) * 40_503) % (1 << 15) | 1 for j in range(NUM_HASHES)]
 MINHASH_B = [(j + 1) * 40_503 * 65_537 % (1 << 31) for j in range(NUM_HASHES)]
 
 
@@ -43,6 +45,12 @@ def char_hash(col: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, c: (acc * F.lit(CHAR_HASH_MULT) + F.ascii(c)) % F.lit(CHAR_HASH_MOD),
     )
+
+
+def md5_hash48(col: Column) -> Column:
+    """48-bit integer hash from the md5 hex prefix — native in both
+    engines (no interpreted char fold), identical values."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 12), 16, 10).cast("long")
 
 
 def tokens(col: Column) -> Column:
@@ -71,6 +79,11 @@ def sql_char_hash(expr: str) -> str:
         f"list_transform(string_split({expr}, ''), c -> CAST(ascii(c) AS BIGINT))), "
         f"(a, b) -> (a * {CHAR_HASH_MULT} + b) % {CHAR_HASH_MOD})"
     )
+
+
+def sql_md5_hash48(expr: str) -> str:
+    """DuckDB SQL mirroring md5_hash48()."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 12)) AS BIGINT)"
 
 
 def sql_tokens(expr: str) -> str:

@@ -36,16 +36,20 @@ from duckdb_behavioral_spark.functions.common import (
     MINHASH_B,
     MINHASH_P,
     NUM_HASHES,
-    char_hash,
+    md5_hash48,
     shingles3,
-    sql_char_hash,
+    sql_md5_hash48,
     sql_shingles3,
     sql_tokens,
     tokens,
 )
 
 JACCARD_THRESHOLD_TENTHS = 6  # pairs with jaccard >= 0.6
-BLOCK_CHARS = 32
+# Blocking bucket width: near-dup candidates must fall in the same
+# (lang, n_chars div 16) block. Narrower buckets = fewer candidate
+# pairs (quadratic win); high-threshold near-dups have near-equal
+# lengths, so recall loss is at bucket borders only.
+BLOCK_CHARS = 16
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,12 +82,22 @@ FROM documents GROUP BY md5(text)
 # ---------------------------------------------------------------------------
 
 def _with_shingles(df: DataFrame) -> DataFrame:
+    """(doc_id, lang, blk, sh) with sh = distinct hashed 3-gram shingles.
+
+    Shingles are hashed to 48-bit ints (native md5) so the pairwise
+    intersections compare longs, not strings. The trailing repartition
+    is a deliberate projection barrier: without it Catalyst inlines the
+    shingle expression into both legs of the self-join and into every
+    downstream reference, recomputing it per use.
+    """
     return df.select(
         "doc_id",
         "lang",
         F.expr(f"n_chars div {BLOCK_CHARS}").alias("blk"),
-        shingles3(tokens(F.col("text"))).alias("sh"),
-    )
+        F.array_distinct(
+            F.transform(shingles3(tokens(F.col("text"))), md5_hash48)
+        ).alias("sh"),
+    ).repartition("blk")
 
 
 def dedup_ngram_jaccard(df: DataFrame) -> DataFrame:
@@ -112,7 +126,8 @@ def dedup_ngram_jaccard(df: DataFrame) -> DataFrame:
 DEDUP_JACCARD_SQL = f"""
 WITH d AS (
   SELECT doc_id, lang, n_chars // {BLOCK_CHARS} AS blk,
-         {sql_shingles3(sql_tokens('text'))} AS sh
+         list_distinct(list_transform({sql_shingles3(sql_tokens('text'))},
+                                      x -> {sql_md5_hash48('x')})) AS sh
   FROM documents
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -131,27 +146,42 @@ WHERE len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
 # ---------------------------------------------------------------------------
 
 def minhash_signatures(df: DataFrame) -> DataFrame:
-    """(doc_id, band, band_hash) — LSH-banded MinHash signatures."""
-    sh = shingles3(tokens(F.col("text")))
-    hashes = F.transform(sh, char_hash)
+    """(doc_id, band, band_hash) — LSH-banded MinHash signatures.
+
+    Staged as hashed-shingles → (barrier) → 16 min-hash columns →
+    banded hashes. The repartition barrier keeps Catalyst from inlining
+    the shingle-hash array into each of the 16 signature expressions
+    (a 16× recompute without it — interpreted HOFs, not codegen).
+    """
 
     def _perm(j):
         # factory (not default-arg lambda): pyspark dispatches on lambda
         # arity, so extra defaulted params would bind the index Column
         return lambda h: (F.lit(MINHASH_A[j]) * h + F.lit(MINHASH_B[j])) % F.lit(MINHASH_P)
 
-    sigs = [F.array_min(F.transform(hashes, _perm(j))) for j in range(NUM_HASHES)]
+    base = (
+        df.where(F.size(tokens(F.col("text"))) >= 3)
+        .select(
+            "doc_id",
+            F.transform(shingles3(tokens(F.col("text"))), md5_hash48).alias("hs"),
+        )
+        .repartition("doc_id")
+    )
+    sigs = base.select(
+        "doc_id",
+        *[F.array_min(F.transform(F.col("hs"), _perm(j))).alias(f"s{j}")
+          for j in range(NUM_HASHES)],
+    )
     bands = []
     for b in range(LSH_BANDS):
         acc = F.lit(0).cast("long")
         for r in range(LSH_ROWS):
-            acc = (acc * F.lit(CHAR_HASH_MULT) + sigs[b * LSH_ROWS + r] % F.lit(BAND_MOD)) % F.lit(
-                CHAR_HASH_MOD
-            )
+            acc = (
+                acc * F.lit(CHAR_HASH_MULT) + F.col(f"s{b * LSH_ROWS + r}") % F.lit(BAND_MOD)
+            ) % F.lit(CHAR_HASH_MOD)
         bands.append(F.struct(F.lit(b).cast("int").alias("band"), acc.alias("band_hash")))
     return (
-        df.where(F.size(tokens(F.col("text"))) >= 3)
-        .select("doc_id", F.explode(F.array(*bands)).alias("bb"))
+        sigs.select("doc_id", F.explode(F.array(*bands)).alias("bb"))
         .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
     )
 
@@ -181,7 +211,7 @@ WITH t AS (
 ), s AS (
   SELECT doc_id, {sql_shingles3('toks')} AS sh FROM t WHERE len(toks) >= 3
 ), hh AS (
-  SELECT doc_id, list_transform(sh, x -> {sql_char_hash('x')}) AS hs FROM s
+  SELECT doc_id, list_transform(sh, x -> {sql_md5_hash48('x')}) AS hs FROM s
 ), sig AS (
   SELECT doc_id,
          list_transform(range(1, {NUM_HASHES} + 1),
@@ -215,19 +245,26 @@ GROUP BY a.doc_id, b.doc_id
 # ---------------------------------------------------------------------------
 
 def simhash32(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """32-bit SimHash of token hashes (term frequency weighted)."""
-    th = F.transform(tokens(F.col(text)), char_hash)
+    """32-bit SimHash of token hashes (term frequency weighted).
+
+    Token hashes are materialized behind a repartition barrier so the
+    32 per-bit sign-sums fold over an attribute reference instead of
+    re-deriving the token-hash array 32 times.
+    """
 
     def _bit_merge(b):
         return lambda acc, h: acc + F.when(
             F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
         ).otherwise(-1)
 
+    base = df.select(
+        F.col(id_col), F.transform(tokens(F.col(text)), md5_hash48).alias("th")
+    ).repartition(id_col)
     out = F.lit(0).cast("long")
     for b in range(32):
-        bitsum = F.aggregate(th, F.lit(0).cast("long"), _bit_merge(b))
+        bitsum = F.aggregate(F.col("th"), F.lit(0).cast("long"), _bit_merge(b))
         out = out + F.when(bitsum > 0, F.lit(1 << b).cast("long")).otherwise(0)
-    return df.select(F.col(id_col), out.alias("simhash"))
+    return base.select(F.col(id_col), out.alias("simhash"))
 
 
 def _simhash_sql_bits() -> str:
@@ -243,7 +280,7 @@ def _simhash_sql_bits() -> str:
 
 SIMHASH_SQL = f"""
 WITH t AS (
-  SELECT doc_id, list_transform({sql_tokens('text')}, x -> {sql_char_hash('x')}) AS th
+  SELECT doc_id, list_transform({sql_tokens('text')}, x -> {sql_md5_hash48('x')}) AS th
   FROM documents
 )
 SELECT doc_id, CAST({_simhash_sql_bits()} AS BIGINT) AS simhash FROM t
