@@ -98,7 +98,12 @@ def _funnel_hof(df, window_us, ts, cols, group_by, k, out):
             if s == 0:
                 upd = F.when(has, F.greatest(cur, t)).otherwise(cur)
             else:
-                prev = new[s - 1]
+                # Step 1 chains from the PRE-event d0 (the entry event
+                # is never rescanned for step 1 — reference scan starts
+                # at start+1, src/window_funnel.rs:351-355); steps ≥2
+                # chain through this event's updated previous level
+                # (default-mode multi-step advance).
+                prev = acc["d0"] if s == 1 else new[s - 1]
                 upd = F.when(
                     has & (prev >= t - F.lit(window_us)), F.greatest(cur, prev)
                 ).otherwise(cur)
