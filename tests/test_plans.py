@@ -1,0 +1,92 @@
+"""Physical-plan quality gates — the 100 TB posture, checked in CI.
+
+These assert the *shape* that makes the operators scale: single
+shuffle per grouped operator, map-side partial aggregation before the
+exchange, pruned parquet scans, broadcast joins for dimensions. If a
+refactor regresses one of these, correctness tests stay green but
+these fail.
+"""
+
+import re
+
+import pytest
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def sf(sf_dir):
+    return sf_dir
+
+
+def test_sessionize_single_exchange_shared_sort(spark, sf):
+    from duckdb_behavioral_spark.queries import q1_sessionize
+
+    plan = plan_of(q1_sessionize(spark, sf))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("+- Sort") == 1  # both windows reuse one sort
+    # column pruning: scan reads only ts + user_id
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {"ts", "user_id"}
+
+
+def test_funnel_hof_partial_aggregation_before_shuffle(spark, sf):
+    from duckdb_behavioral_spark.queries import q3_window_funnel
+
+    plan = plan_of(q3_window_funnel(spark, sf))
+    # map-side partial collect_list runs before the only exchange:
+    # only per-group arrays cross the wire, with non-qualifying rows
+    # already nulled out.
+    assert "partial_collect_list" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan  # default mode stays JVM-side
+    assert "ArrowEvalPython" not in plan
+
+
+def test_funnel_kernel_single_shuffle(spark, sf):
+    from duckdb_behavioral_spark.sources import load_events
+    import duckdb_behavioral_spark as B
+
+    df = B.window_funnel(
+        load_events(spark, sf), "2 hours", "ts",
+        ["event_type = 'view'", "event_type = 'click'"], ["user_id"],
+        mode="strict_once",
+    )
+    plan = plan_of(df)
+    assert plan.count("Exchange") == 1  # repartition by keys, nothing else
+    assert "MapInPandas" in plan
+    assert "Sort" in plan  # sortWithinPartitions, no global sort exchange
+
+
+def test_retention_is_pure_partial_agg(spark, sf):
+    from duckdb_behavioral_spark.queries import q2_retention
+
+    plan = plan_of(q2_retention(spark, sf))
+    assert "partial_bool_or" in plan or "partial_" in plan
+    assert "collect_list" not in plan  # O(1) state, no event materialization
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dimension_join_broadcasts(spark, sf):
+    from duckdb_behavioral_spark.functions.compositions import q_orders_by_nation
+
+    plan = plan_of(q_orders_by_nation(spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf):
+    from duckdb_behavioral_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    df = load_table(spark, sf, "lineitem").where(F.col("l_quantity") > 40).select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan and "GreaterThan(l_quantity,40.0)" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "l_orderkey", "l_quantity",
+    }
