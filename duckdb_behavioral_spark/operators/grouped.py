@@ -57,6 +57,7 @@ def grouped_scan(
     kernel: Callable[[dict], tuple],
     result_fields: Sequence[T.StructField],
     num_partitions: int | None = None,
+    max_events_per_group: int | None = None,
 ) -> DataFrame:
     """Apply ``kernel`` once per group; returns keys + result columns.
 
@@ -65,6 +66,13 @@ def grouped_scan(
     first) within each group. ``kernel`` receives a dict of numpy/object
     arrays (one entry per payload column, group-sliced, sorted) and
     returns one tuple matching ``result_fields``.
+
+    ``max_events_per_group`` is the skew guard for pathological keys at
+    scale: when set, only the first N events (in ``order``) of each
+    group reach the kernel, and the cross-batch carry buffer is
+    truncated to N rows — bounding both kernel cost and Python-side
+    memory for hot keys without any extra shuffle. Truncation changes
+    results for capped groups; it is an explicit opt-in.
     """
     keys = list(keys)
     key_fields = [df.schema[k] for k in keys]
@@ -83,6 +91,8 @@ def grouped_scan(
     result_names = [f.name for f in result_fields]
     out_cols = keys + result_names
 
+    cap = max_events_per_group
+
     def run(batches):
         carry = None
         for pdf in batches:
@@ -95,23 +105,27 @@ def grouped_scan(
             kdf = pdf[keys]
             starts = (kdf != kdf.shift()).any(axis=1).to_numpy().nonzero()[0]
             # Hold back the final group — it may continue in the next batch.
+            # All carry rows share one key, so truncating to `cap` keeps
+            # boundary detection intact while bounding memory.
             last_start = starts[-1]
             carry = pdf.iloc[last_start:]
+            if cap is not None and len(carry) > cap:
+                carry = carry.iloc[:cap]
             if last_start == 0:
                 continue
             head = pdf.iloc[:last_start]
-            yield _process(head, starts[:-1], keys, payload_names, result_names, out_cols, kernel)
+            yield _process(head, starts[:-1], keys, payload_names, result_names,
+                           out_cols, kernel, cap)
         if carry is not None and len(carry):
             kdf = carry[keys]
             starts = (kdf != kdf.shift()).any(axis=1).to_numpy().nonzero()[0]
-            yield _process(carry, starts, keys, payload_names, result_names, out_cols, kernel)
+            yield _process(carry, starts, keys, payload_names, result_names,
+                           out_cols, kernel, cap)
 
     return srt.mapInPandas(run, schema=out_schema)
 
 
-def _process(pdf, starts, keys, payload_names, result_names, out_cols, kernel):
-    import numpy as np
-
+def _process(pdf, starts, keys, payload_names, result_names, out_cols, kernel, cap=None):
     n = len(pdf)
     bounds = list(starts) + [n]
     cols = {name: pdf[name].to_numpy() for name in payload_names}
@@ -120,6 +134,8 @@ def _process(pdf, starts, keys, payload_names, result_names, out_cols, kernel):
     key_arrays = [pdf[k].to_numpy() for k in keys]
     for gi in range(len(bounds) - 1):
         lo, hi = bounds[gi], bounds[gi + 1]
+        if cap is not None and hi - lo > cap:
+            hi = lo + cap
         sliced = {name: arr[lo:hi] for name, arr in cols.items()}
         results.append(kernel(sliced))
         key_rows.append(tuple(arr[lo] for arr in key_arrays))

@@ -57,8 +57,13 @@ def window_funnel(
     mode: str = "",
     out: str = "step",
     use_kernel: bool | None = None,
+    max_events_per_group: int | None = None,
 ) -> DataFrame:
-    """Per-group max funnel step; returns ``group_by`` + ``out`` (int)."""
+    """Per-group max funnel step; returns ``group_by`` + ``out`` (int).
+
+    ``max_events_per_group`` is the opt-in skew guard: only the first N
+    qualifying events (by timestamp) per group are scanned.
+    """
     cols = _as_cols(conds)
     k = len(cols)
     if not 2 <= k <= 32:
@@ -70,11 +75,13 @@ def window_funnel(
         use_kernel = not (mode_bits == 0 and k <= _HOF_MAX_CONDS)
 
     if not use_kernel:
-        return _funnel_hof(df, window_us, ts, cols, list(group_by), k, out)
-    return _funnel_kernel(df, window_us, ts, cols, list(group_by), k, mode_bits, out)
+        return _funnel_hof(df, window_us, ts, cols, list(group_by), k, out,
+                           max_events_per_group)
+    return _funnel_kernel(df, window_us, ts, cols, list(group_by), k, mode_bits, out,
+                          max_events_per_group)
 
 
-def _funnel_hof(df, window_us, ts, cols, group_by, k, out):
+def _funnel_hof(df, window_us, ts, cols, group_by, k, out, cap=None):
     ts_col = F.col(ts)
     bools = F.array(*[F.coalesce(c, F.lit(False)) for c in cols])
     keep = ts_col.isNotNull() & F.exists(bools, lambda b: b)
@@ -86,6 +93,8 @@ def _funnel_hof(df, window_us, ts, cols, group_by, k, out):
         F.when(keep, F.struct(F.unix_micros(ts_col).alias("t"), bools.alias("b"))).alias("e"),
     )
     arr = F.sort_array(F.collect_list("e"))
+    if cap is not None:
+        arr = F.slice(arr, 1, cap)
 
     init = F.struct(*[F.lit(_SENTINEL).cast("long").alias(f"d{s}") for s in range(k)])
 
@@ -120,7 +129,7 @@ def _funnel_hof(df, window_us, ts, cols, group_by, k, out):
     return ev.groupBy(*group_by).agg(result.alias(out))
 
 
-def _funnel_kernel(df, window_us, ts, cols, group_by, k, mode_bits, out):
+def _funnel_kernel(df, window_us, ts, cols, group_by, k, mode_bits, out, cap=None):
     # All-false events can never match a step or trigger a break, so
     # they are semantically inert for the funnel scan — but keeping them
     # preserves group presence (step 0) for groups with no qualifying
@@ -138,4 +147,5 @@ def _funnel_kernel(df, window_us, ts, cols, group_by, k, mode_bits, out):
         "t",
         kernel,
         [T.StructField(out, T.IntegerType(), False)],
+        max_events_per_group=cap,
     )
