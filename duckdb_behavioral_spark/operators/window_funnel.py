@@ -6,22 +6,34 @@ event may advance multiple consecutive steps in default mode; max step
 across entries wins. Modes add constraints (reference:
 src/window_funnel.rs:49-434).
 
-Two physical strategies, picked automatically:
+Three physical strategies, picked automatically:
 
-1. **JVM fast path (default mode, ≤ 8 steps):** a dynamic program
-   folded over the per-group time-sorted event array with the SQL
-   ``aggregate`` higher-order function — runs entirely in the JVM.
-   ``dp[s]`` holds the *latest entry timestamp* of any chain that has
-   reached step ``s+1``; a later entry strictly dominates an earlier
-   one (every future event within the earlier entry's window is also
-   within the later one's), so one timestamp per step is a complete
-   state. Same-event multi-step advance falls out of chaining each
-   update through the same event's already-updated previous level.
-   Equivalence with the reference's max-over-entries greedy scan is
-   property-tested against the kernel.
+1. **Window path (default mode — the scale path, and the default):**
+   the funnel dynamic program evaluated as *chained running-max window
+   expressions* over one sort: ``dp[s]`` holds the latest entry
+   timestamp of any chain reaching step ``s+1`` (a later entry strictly
+   dominates an earlier one — every future event within the earlier
+   entry's window is also within the later one's). ``dp0`` is a running
+   max of entry timestamps; ``dp[s]`` is a running max of
+   ``dp[s-1]-if-qualified``. Step 1 reads ``dp0`` over frame
+   ``(-∞, -1)`` (the entry event is never rescanned for step 1);
+   steps ≥2 read frame ``(-∞, 0)`` (same-event multi-step advance).
+   One shuffle, one sort, k native window passes, **no per-group
+   arrays** — group size is unbounded, unlike any collect-based plan.
 
-2. **Kernel path (modes, wide funnels):** exact Python port of the
-   scan (kernels/funnel.py) over the grouped mapInPandas engine.
+2. **Aggregate-HOF path:** the same DP folded over
+   ``sort_array(collect_list(...))`` with the SQL ``aggregate``
+   higher-order function. Retained for composability (a single
+   aggregate expression) and as an independent implementation for
+   cross-checking; bounded by per-group array size.
+
+3. **Kernel path (modes, any width):** exact Python port of the
+   reference scan (kernels/funnel.py) over the grouped mapInPandas
+   engine.
+
+All three are proven equivalent on randomized overlapping-condition
+inputs (tests/test_randomized_cross_check.py) and the DP itself is
+hypothesis-tested against the kernel (tests/test_property_kernels.py).
 
 Both paths pre-filter events matching no condition (they can never
 participate — reference: src/window_funnel.rs:249-255) and pack/prune
@@ -57,12 +69,15 @@ def window_funnel(
     mode: str = "",
     out: str = "step",
     use_kernel: bool | None = None,
+    strategy: str | None = None,
     max_events_per_group: int | None = None,
 ) -> DataFrame:
     """Per-group max funnel step; returns ``group_by`` + ``out`` (int).
 
+    ``strategy``: None (auto) | 'window' | 'hof' | 'kernel'.
+    ``use_kernel`` is the legacy boolean form of the same choice.
     ``max_events_per_group`` is the opt-in skew guard: only the first N
-    qualifying events (by timestamp) per group are scanned.
+    events (by timestamp) per group are scanned ('hof'/'kernel' only).
     """
     cols = _as_cols(conds)
     k = len(cols)
@@ -71,14 +86,68 @@ def window_funnel(
     window_us = to_micros(window)
     mode_bits = parse_modes(mode)
 
-    if use_kernel is None:
-        use_kernel = not (mode_bits == 0 and k <= _HOF_MAX_CONDS)
+    if strategy is None:
+        if use_kernel is True:
+            strategy = "kernel"
+        elif use_kernel is False:
+            strategy = "hof"
+        elif mode_bits == 0 and max_events_per_group is None:
+            strategy = "window"
+        else:
+            strategy = "kernel"
+    if strategy in ("window", "hof") and mode_bits != 0:
+        raise ValueError(f"strategy {strategy!r} supports default mode only")
 
-    if not use_kernel:
+    if strategy == "window":
+        return _funnel_window(df, window_us, ts, cols, list(group_by), k, out)
+    if strategy == "hof":
+        if k > _HOF_MAX_CONDS:
+            raise ValueError(f"hof strategy supports at most {_HOF_MAX_CONDS} conditions")
         return _funnel_hof(df, window_us, ts, cols, list(group_by), k, out,
                            max_events_per_group)
     return _funnel_kernel(df, window_us, ts, cols, list(group_by), k, mode_bits, out,
                           max_events_per_group)
+
+
+def _funnel_window(df, window_us, ts, cols, group_by, k, out):
+    from pyspark.sql import Window
+
+    ts_col = F.col(ts)
+    tsu = F.unix_micros(ts_col)
+    base = df.select(
+        *group_by,
+        tsu.alias("__t"),
+        *[F.coalesce(cols[s], F.lit(False)).alias(f"__c{s}") for s in range(k)],
+    )
+    w_prev = (
+        Window.partitionBy(*group_by)
+        .orderBy(F.col("__t").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cur = (
+        Window.partitionBy(*group_by)
+        .orderBy(F.col("__t").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # dp0 contribution: this row as an entry point.
+    cur = base.withColumn("__x0", F.when(F.col("__c0"), F.col("__t")))
+    prev_col = None
+    for s in range(1, k):
+        if s == 1:
+            # step 1 chains from a strictly earlier entry: frame (-∞,-1)
+            prev_col = F.max("__x0").over(w_prev)
+        else:
+            # steps ≥2 may chain through this same event: frame (-∞,0)
+            prev_col = F.max(f"__x{s-1}").over(w_cur)
+        contrib = F.when(
+            F.col(f"__c{s}") & (prev_col >= F.col("__t") - F.lit(window_us)), prev_col
+        )
+        cur = cur.withColumn(f"__x{s}", contrib)
+    reached = [F.bool_or(F.col(f"__x{s}").isNotNull()) for s in range(k)]
+    step = F.when(reached[k - 1], k)
+    for s in range(k - 2, -1, -1):
+        step = step.when(reached[s], s + 1)
+    return cur.groupBy(*group_by).agg(step.otherwise(0).cast("int").alias(out))
 
 
 def _funnel_hof(df, window_us, ts, cols, group_by, k, out, cap=None):

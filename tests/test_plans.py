@@ -32,16 +32,36 @@ def test_sessionize_single_exchange_shared_sort(spark, sf):
     assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {"ts", "user_id"}
 
 
-def test_funnel_hof_partial_aggregation_before_shuffle(spark, sf):
+def test_funnel_default_is_windowed_single_shuffle(spark, sf):
     from duckdb_behavioral_spark.queries import q3_window_funnel
 
     plan = plan_of(q3_window_funnel(spark, sf))
+    # window strategy: one shuffle on user_id, one sort shared by all k
+    # chained window passes, partial aggregation for the final step max,
+    # no arrays, no Python.
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("+- Sort") == 1
+    assert "Window" in plan and "collect_list" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_funnel_hof_partial_aggregation_before_shuffle(spark, sf):
+    from duckdb_behavioral_spark.sources import load_events
+    import duckdb_behavioral_spark as B
+
+    df = B.window_funnel(
+        load_events(spark, sf), "1 hour", "ts",
+        ["event_type = 'view'", "event_type = 'click'", "event_type = 'purchase'"],
+        ["user_id"], strategy="hof",
+    )
+    plan = plan_of(df)
     # map-side partial collect_list runs before the only exchange:
     # only per-group arrays cross the wire, with non-qualifying rows
     # already nulled out.
     assert "partial_collect_list" in plan
     assert plan.count("Exchange hashpartitioning") == 1
-    assert "BatchEvalPython" not in plan  # default mode stays JVM-side
+    assert "BatchEvalPython" not in plan  # stays JVM-side
     assert "ArrowEvalPython" not in plan
 
 

@@ -41,12 +41,14 @@ CONDS = ["c0", "c1", "c2", "c3"]
 
 
 @pytest.mark.parametrize("window", ["90 seconds", "2 hours", "0 seconds"])
-def test_funnel_hof_equals_kernel(spark, random_events, window):
-    a = B.window_funnel(random_events, window, "ts", CONDS, ["g"], use_kernel=False)
-    b = B.window_funnel(random_events, window, "ts", CONDS, ["g"], use_kernel=True)
-    ga = {r.g: r.step for r in a.collect()}
-    gb = {r.g: r.step for r in b.collect()}
-    assert ga == gb
+def test_funnel_strategies_agree(spark, random_events, window):
+    kernel = B.window_funnel(random_events, window, "ts", CONDS, ["g"],
+                             strategy="kernel")
+    gk = {r.g: r.step for r in kernel.collect()}
+    for strategy in ("hof", "window"):
+        got = B.window_funnel(random_events, window, "ts", CONDS, ["g"],
+                              strategy=strategy)
+        assert {r.g: r.step for r in got.collect()} == gk, strategy
 
 
 @pytest.mark.parametrize("pattern", ["(?1)(?2)", "(?2)(?1)(?3)", "(?1)(?1)(?4)"])
