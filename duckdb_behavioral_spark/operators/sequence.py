@@ -8,14 +8,27 @@ left-to-right, ``sequence_match_events`` returns the matched ``(?N)``
 step timestamps of the first match (empty array when none —
 reference: src/ffi/sequence_match_events.rs:131-141).
 
-Physical strategies, mirroring the reference's own fast-path
-classification (reference: src/pattern/executor.rs:60-124):
+Physical strategies, mirroring (and exceeding) the reference's own
+fast-path classification (reference: src/pattern/executor.rs:60-124):
 
-- *adjacent* patterns (``(?1)(?2)…``) and *wildcard-separated*
-  patterns (``(?1).*(?2)…``) run as SQL higher-order functions over the
-  per-group sorted event array — pure JVM, no Python in the hot path.
-- everything else (time constraints, ``.``) runs the exact Python NFA
-  port (kernels/pattern.py) via the grouped mapInPandas engine.
+- **window strategy** (default for ``sequence_match`` on the common
+  shapes — the scale path, no per-group arrays):
+  *wildcard-separated* patterns (``(?1).*(?2)…``) become chained
+  reachability flags: ``x_j = cond_j AND any-earlier-row-has(x_{j-1})``
+  evaluated as running boolean maxes over one sorted window (a strict
+  ``(-∞,-1)`` frame encodes "one advance per event").
+  *adjacent* patterns (``(?1)(?2)…``) become ``lead(..., j) IGNORE
+  NULLS`` probes over a struct that is NULL for events matching no
+  condition — IGNORE NULLS skips exactly the events the reference
+  drops from the stream, so adjacency is evaluated on the filtered
+  subsequence without materializing it.
+- **aggregate-HOF strategy**: the same shapes folded over
+  ``sort_array(collect_list(...))``; used for ``sequence_count`` (the
+  non-overlapping reset is inherently sequential) and available for
+  cross-checking.
+- **kernel strategy**: everything else (time constraints, ``.``) runs
+  the exact Python NFA port (kernels/pattern.py) via the grouped
+  mapInPandas engine.
 
 Invalid patterns raise ``PatternError`` at plan time. (The reference
 returns NULL results for groups with an invalid pattern string —
@@ -53,25 +66,81 @@ def _check(pattern_str: str, conds):
     return steps, cols
 
 
-def sequence_match(df, pattern_str, ts, conds, group_by, out="matched", use_kernel=None):
+def sequence_match(df, pattern_str, ts, conds, group_by, out="matched",
+                   use_kernel=None, strategy=None):
     return _sequence(df, pattern_str, ts, conds, group_by, out, count_all=False,
-                     use_kernel=use_kernel)
+                     use_kernel=use_kernel, strategy=strategy)
 
 
-def sequence_count(df, pattern_str, ts, conds, group_by, out="c", use_kernel=None):
+def sequence_count(df, pattern_str, ts, conds, group_by, out="c",
+                   use_kernel=None, strategy=None):
     return _sequence(df, pattern_str, ts, conds, group_by, out, count_all=True,
-                     use_kernel=use_kernel)
+                     use_kernel=use_kernel, strategy=strategy)
 
 
-def _sequence(df, pattern_str, ts, conds, group_by, out, count_all, use_kernel):
+def _sequence(df, pattern_str, ts, conds, group_by, out, count_all, use_kernel,
+              strategy=None):
     steps, cols = _check(pattern_str, conds)
     group_by = list(group_by)
     shape, cidx = P.classify(steps)
-    if use_kernel is None:
-        use_kernel = shape == P.SHAPE_COMPLEX
-    if not use_kernel and shape != P.SHAPE_COMPLEX:
+    if strategy is None:
+        if use_kernel is True or shape == P.SHAPE_COMPLEX:
+            strategy = "kernel"
+        elif use_kernel is False:
+            strategy = "hof"
+        elif not count_all:
+            strategy = "window"  # existence on common shapes: no arrays
+        else:
+            strategy = "hof"  # non-overlapping counting is sequential
+    if strategy != "kernel" and shape == P.SHAPE_COMPLEX:
+        raise ValueError(f"strategy {strategy!r} requires an adjacent/wildcard pattern")
+    if strategy == "window":
+        if count_all:
+            raise ValueError("window strategy supports sequence_match only")
+        return _match_window(df, ts, cols, group_by, shape, cidx, out)
+    if strategy == "hof":
         return _hof_path(df, ts, cols, group_by, shape, cidx, count_all, out)
     return _kernel_path(df, steps, ts, cols, group_by, count_all, out)
+
+
+def _match_window(df, ts, cols, group_by, shape, cidx, out):
+    from pyspark.sql import Window
+
+    ts_col = F.col(ts)
+    k = len(cidx)
+    bools = [F.coalesce(c, F.lit(False)) & ts_col.isNotNull() for c in cols]
+    w = Window.partitionBy(*group_by).orderBy(ts_col.asc())
+    if shape == P.SHAPE_ADJACENT:
+        # NULL-out events matching no condition; IGNORE-NULLS leads then
+        # step over exactly the filtered subsequence.
+        qual = None
+        for b in bools:
+            qual = b if qual is None else (qual | b)
+        base = df.select(
+            *group_by, ts_col.alias(ts),
+            F.when(qual, F.struct(*[b.alias(f"c{i}") for i, b in enumerate(bools)]))
+            .alias("__qc"),
+        )
+        ok = F.col("__qc").isNotNull() & F.col("__qc")[f"c{cidx[0]}"]
+        for j in range(1, k):
+            nxt = F.expr(f"lead(__qc, {j}) IGNORE NULLS").over(w)
+            ok = ok & F.coalesce(nxt[f"c{cidx[j]}"], F.lit(False))
+        flagged = base.withColumn("__ok", ok)
+    else:
+        # wildcard: chained reachability with a strict (-∞,-1) frame —
+        # each step's event must be strictly after the previous step's.
+        w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
+        cur = df.select(*group_by, ts_col.alias(ts),
+                        *[b.alias(f"__b{i}") for i, b in enumerate(bools)])
+        x = F.col(f"__b{cidx[0]}")
+        cur = cur.withColumn("__x0", x)
+        for j in range(1, k):
+            reach_prev = F.coalesce(F.max(f"__x{j-1}").over(w_prev), F.lit(False))
+            cur = cur.withColumn(f"__x{j}", F.col(f"__b{cidx[j]}") & reach_prev)
+        flagged = cur.withColumn("__ok", F.col(f"__x{k-1}"))
+    return flagged.groupBy(*group_by).agg(
+        F.coalesce(F.bool_or("__ok"), F.lit(False)).alias(out)
+    )
 
 
 # ---------------------------------------------------------------------------

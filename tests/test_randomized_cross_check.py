@@ -51,21 +51,19 @@ def test_funnel_strategies_agree(spark, random_events, window):
         assert {r.g: r.step for r in got.collect()} == gk, strategy
 
 
-@pytest.mark.parametrize("pattern", ["(?1)(?2)", "(?2)(?1)(?3)", "(?1)(?1)(?4)"])
-def test_adjacent_hof_equals_nfa(spark, random_events, pattern):
-    a = B.sequence_match(random_events, pattern, "ts", CONDS, ["g"], use_kernel=False)
-    b = B.sequence_match(random_events, pattern, "ts", CONDS, ["g"], use_kernel=True)
-    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
-    a = B.sequence_count(random_events, pattern, "ts", CONDS, ["g"], use_kernel=False)
-    b = B.sequence_count(random_events, pattern, "ts", CONDS, ["g"], use_kernel=True)
-    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
-
-
-@pytest.mark.parametrize("pattern", ["(?1).*(?2)", "(?3).*(?1).*(?2)", "(?2).*(?2)"])
-def test_wildcard_hof_equals_nfa(spark, random_events, pattern):
-    a = B.sequence_match(random_events, pattern, "ts", CONDS, ["g"], use_kernel=False)
-    b = B.sequence_match(random_events, pattern, "ts", CONDS, ["g"], use_kernel=True)
-    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
-    a = B.sequence_count(random_events, pattern, "ts", CONDS, ["g"], use_kernel=False)
-    b = B.sequence_count(random_events, pattern, "ts", CONDS, ["g"], use_kernel=True)
+@pytest.mark.parametrize(
+    "pattern",
+    ["(?1)(?2)", "(?2)(?1)(?3)", "(?1)(?1)(?4)",
+     "(?1).*(?2)", "(?3).*(?1).*(?2)", "(?2).*(?2)"],
+)
+def test_sequence_strategies_agree(spark, random_events, pattern):
+    ref = B.sequence_match(random_events, pattern, "ts", CONDS, ["g"],
+                           strategy="kernel")
+    want = sorted(map(tuple, ref.collect()))
+    for strategy in ("hof", "window"):
+        got = B.sequence_match(random_events, pattern, "ts", CONDS, ["g"],
+                               strategy=strategy)
+        assert sorted(map(tuple, got.collect())) == want, strategy
+    a = B.sequence_count(random_events, pattern, "ts", CONDS, ["g"], strategy="hof")
+    b = B.sequence_count(random_events, pattern, "ts", CONDS, ["g"], strategy="kernel")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
