@@ -287,6 +287,107 @@ SELECT doc_id, CAST({_simhash_sql_bits()} AS BIGINT) AS simhash FROM t
 """
 
 
+# --- embedding-cosine near-dup -------------------------------------------
+
+# Near-dup threshold in permille of cosine similarity. The synthetic
+# embeddings have no >0.9 pairs, so 0.300 exercises the same blocked
+# pairwise-cosine semantics with a non-trivial result set.
+COSINE_DUP_PERMILLE = 300
+COSINE_BLOCK_PLANES = 4  # 16 blocks; 12x candidate reduction at sf0.01
+
+
+def dedup_embedding_cosine(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Blocked embedding near-dup: pairs with cosine >= threshold.
+
+    Scale path: a ``COSINE_BLOCK_PLANES``-bit random-hyperplane bucket
+    blocks the corpus; the pairwise join runs per bucket (shuffle join
+    on the bucket key, pairs generated task-locally), so work is
+    O(sum(bucket^2)) not O(n^2). More planes = finer blocks at larger
+    corpora. Cosine uses the same left-to-right fold in both engines,
+    so the doubles — and the threshold comparison — agree bit-for-bit;
+    output is integer permille. (Reference has no embedding ops; this
+    is north-star scope per SURVEY.md section 7 phase 5.)
+    """
+    from duckdb_behavioral_spark.functions.similarity import (
+        _dot,
+        _norm,
+        lsh_bucket_signature,
+    )
+
+    v = F.col(vec_col).cast("array<double>")
+    # repartition = barrier so Catalyst doesn't inline-recompute the
+    # HOF bucket/norm expressions on both sides of the self-join
+    e = (
+        df.select(
+            F.col(id_col).alias("vid"),
+            v.alias("v"),
+            _norm(v).alias("nrm"),
+            lsh_bucket_signature(v, n_planes=COSINE_BLOCK_PLANES).alias("bucket"),
+        )
+        # zero-norm vectors have undefined cosine: drop (ANSI div-by-zero)
+        .where(F.col("nrm") > 0)
+        .repartition("bucket")
+        .localCheckpoint(eager=False)
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vid") < F.col("b.vid")),
+    )
+    sim = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return pairs.select(
+        F.col("a.vid").alias("doc_a"),
+        F.col("b.vid").alias("doc_b"),
+        F.floor(sim * 1000).cast("long").alias("sim_permille"),
+    ).where(F.col("sim_permille") >= COSINE_DUP_PERMILLE)
+
+
+def _sql_fold_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, 65), i -> {a}[i] * {b}[i])), (s, x) -> s + x)"
+    )
+
+
+def _sql_cos_plane(p: int, dim: int = 64) -> str:
+    from duckdb_behavioral_spark.functions.similarity import (
+        _PLANE_MOD,
+        _PLANE_MULT,
+        _PLANE_SHIFT,
+    )
+
+    weights = ", ".join(
+        str(((p * dim + i) * _PLANE_MULT % _PLANE_MOD) - _PLANE_SHIFT) for i in range(dim)
+    )
+    return (
+        f"CASE WHEN {_sql_fold_dot('v', f'[{weights}]')} > 0 "
+        f"THEN CAST({1 << p} AS BIGINT) ELSE 0 END"
+    )
+
+
+COSINE_DUP_SQL = f"""
+WITH e AS (
+  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vid, v,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(v, x -> x * x)), (s, x) -> s + x)) AS nrm,
+         {' + '.join(_sql_cos_plane(p) for p in range(COSINE_BLOCK_PLANES))} AS bucket
+  FROM e
+), nz AS (
+  SELECT * FROM n WHERE nrm > 0
+)
+SELECT a.vid AS doc_a, b.vid AS doc_b,
+       CAST(floor({_sql_fold_dot('a.v', 'b.v')} / (a.nrm * b.nrm) * 1000) AS BIGINT)
+         AS sim_permille
+FROM nz a JOIN nz b ON a.bucket = b.bucket AND a.vid < b.vid
+WHERE floor({_sql_fold_dot('a.v', 'b.v')} / (a.nrm * b.nrm) * 1000)
+      >= {COSINE_DUP_PERMILLE}
+"""
+
+
 # --- query entries --------------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
@@ -307,3 +408,9 @@ def q_dedup_minhash_pairs(spark, sf_dir):
 
 def q_dedup_simhash(spark, sf_dir):
     return simhash32(_docs(spark, sf_dir))
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    from duckdb_behavioral_spark.sources import load_table
+
+    return dedup_embedding_cosine(load_table(spark, sf_dir, "embeddings"))

@@ -20,6 +20,7 @@ EXT_QUERIES = {
     "dedup_minhash_sigs": D.q_dedup_minhash_sigs,
     "dedup_minhash_pairs": D.q_dedup_minhash_pairs,
     "dedup_simhash": D.q_dedup_simhash,
+    "dedup_embedding_cosine": D.q_dedup_embedding_cosine,
     # similarity search
     "ann_cosine_topk": S.q_ann_cosine_topk,
     "ann_lsh_buckets": S.q_ann_lsh_buckets,
@@ -43,6 +44,7 @@ EXT_ORACLES = {
     "dedup_minhash_sigs": D.MINHASH_SIG_SQL,
     "dedup_minhash_pairs": D.MINHASH_PAIRS_SQL,
     "dedup_simhash": D.SIMHASH_SQL,
+    "dedup_embedding_cosine": D.COSINE_DUP_SQL,
     "ann_cosine_topk": S.ANN_TOPK_SQL,
     "ann_lsh_buckets": S.LSH_BUCKETS_SQL,
     "multimodal_features": M.MULTIMODAL_SQL,

@@ -53,9 +53,14 @@ def ann_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    e = df.select(
-        F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("v")
-    ).withColumn("nrm", _norm(F.col("v")))
+    e = (
+        df.select(
+            F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .withColumn("nrm", _norm(F.col("v")))
+        # zero-norm vectors have undefined cosine: drop (ANSI div-by-zero)
+        .where(F.col("nrm") > 0)
+    )
     q = (
         e.where(F.col("cid") < n_queries)
         .select(F.col("cid").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
@@ -83,14 +88,16 @@ WITH e AS (
          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                 list_transform(v, x -> x * x)), (s, x) -> s + x)) AS nrm
   FROM e
+), n2 AS (
+  SELECT * FROM n WHERE nrm > 0
 ), q AS (
-  SELECT cid AS query_id, v AS qv, nrm AS qn FROM n WHERE cid < {N_QUERIES}
+  SELECT cid AS query_id, v AS qv, nrm AS qn FROM n2 WHERE cid < {N_QUERIES}
 ), sims AS (
   SELECT q.query_id, c.cid AS neighbor_id,
          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
              list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.v[i])),
            (s, x) -> s + x) / (q.qn * c.nrm) AS sim
-  FROM n c JOIN q ON c.cid <> q.query_id
+  FROM n2 c JOIN q ON c.cid <> q.query_id
 ), ranked AS (
   SELECT query_id, neighbor_id,
          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
@@ -101,10 +108,10 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
-def lsh_bucket_signature(vec, dim: int = 64):
+def lsh_bucket_signature(vec, dim: int = 64, n_planes: int = LSH_PLANES):
     """Sign-bit bucket id from deterministic pseudo-hyperplanes."""
     sig = F.lit(0).cast("long")
-    for p in range(LSH_PLANES):
+    for p in range(n_planes):
         proj = F.aggregate(
             F.zip_with(
                 vec,
