@@ -7,6 +7,7 @@ from duckdb_behavioral_spark.functions import dedup as D
 from duckdb_behavioral_spark.functions import multimodal as M
 from duckdb_behavioral_spark.functions import similarity as S
 from duckdb_behavioral_spark.functions import text as TX
+from duckdb_behavioral_spark.operators import temporal_joins as TJ
 
 EXT_QUERIES = {
     # text analysis
@@ -26,6 +27,9 @@ EXT_QUERIES = {
     "ann_lsh_buckets": S.q_ann_lsh_buckets,
     # multimodal
     "multimodal_features": M.q_multimodal_features,
+    # temporal joins
+    "asof_view_before_purchase": TJ.q_asof_view_before_purchase,
+    "range_views_after_error": TJ.q_range_views_after_error,
     # host-surface compositions
     "tpch_pricing_flags": C.q_tpch_pricing_flags,
     "orders_by_nation": C.q_orders_by_nation,
@@ -48,6 +52,8 @@ EXT_ORACLES = {
     "ann_cosine_topk": S.ANN_TOPK_SQL,
     "ann_lsh_buckets": S.LSH_BUCKETS_SQL,
     "multimodal_features": M.MULTIMODAL_SQL,
+    "asof_view_before_purchase": TJ.ASOF_SQL,
+    "range_views_after_error": TJ.RANGE_SQL,
     "tpch_pricing_flags": C.TPCH_PRICING_SQL,
     "orders_by_nation": C.ORDERS_BY_NATION_SQL,
     "events_hourly_rollup": C.EVENTS_HOURLY_SQL,
