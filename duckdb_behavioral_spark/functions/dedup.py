@@ -293,7 +293,7 @@ SELECT doc_id, CAST({_simhash_sql_bits()} AS BIGINT) AS simhash FROM t
 # embeddings have no >0.9 pairs, so 0.300 exercises the same blocked
 # pairwise-cosine semantics with a non-trivial result set.
 COSINE_DUP_PERMILLE = 300
-COSINE_BLOCK_PLANES = 4  # 16 blocks; 12x candidate reduction at sf0.01
+COSINE_BLOCK_PLANES = 6  # 64 blocks; ~37x candidate reduction at sf0.1
 
 
 def dedup_embedding_cosine(
