@@ -25,6 +25,7 @@ EXT_QUERIES = {
     # similarity search
     "ann_cosine_topk": S.q_ann_cosine_topk,
     "ann_lsh_buckets": S.q_ann_lsh_buckets,
+    "ann_ivf_topk": S.q_ann_ivf_topk,
     # multimodal
     "multimodal_features": M.q_multimodal_features,
     # temporal joins
@@ -51,6 +52,7 @@ EXT_ORACLES = {
     "dedup_embedding_cosine": D.COSINE_DUP_SQL,
     "ann_cosine_topk": S.ANN_TOPK_SQL,
     "ann_lsh_buckets": S.LSH_BUCKETS_SQL,
+    "ann_ivf_topk": S.ANN_IVF_SQL,
     "multimodal_features": M.MULTIMODAL_SQL,
     "asof_view_before_purchase": TJ.ASOF_SQL,
     "range_views_after_error": TJ.RANGE_SQL,

@@ -154,8 +154,138 @@ FROM e
 """
 
 
+# --- IVF (inverted-file) approximate top-k --------------------------------
+
+CENT_MOD = 50  # every 50th vector is a centroid -> ncent scales with corpus
+NPROBE = 2     # clusters probed per query
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: assign each vector to its nearest deterministic
+    centroid (``vec_id % CENT_MOD == 0``), then answer queries by
+    scanning only the ``NPROBE`` closest clusters.
+
+    Scale path: the centroid table is tiny and broadcast, so both the
+    assignment pass and the probe are map-side — the corpus is scanned
+    once with no shuffle; only candidates from probed clusters reach
+    the per-query ranking window. At 100 TB the cluster assignment
+    would be precomputed/bucketed once and reused across queries.
+    Approximate by design: recall vs ``ann_cosine_topk`` depends on
+    NPROBE. Ties break on smaller centroid/neighbor id; folds are
+    left-to-right so both engines agree bitwise.
+    """
+    e = (
+        df.select(
+            F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .withColumn("nrm", _norm(F.col("v")))
+        .where(F.col("nrm") > 0)
+    )
+    cent = e.where(F.col("cid") % CENT_MOD == 0).select(
+        F.col("cid").alias("ctr_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    csim = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    w_assign = Window.partitionBy("cid").orderBy(F.desc("csim"), F.asc("ctr_id"))
+    assigned = (
+        e.join(F.broadcast(cent))
+        .withColumn("csim", csim)
+        .withColumn("rnk", F.row_number().over(w_assign))
+        .where(F.col("rnk") == 1)
+        .select("cid", "v", "nrm", F.col("ctr_id").alias("cluster"))
+    )
+    q = assigned.where(F.col("cid") < n_queries).select(
+        F.col("cid").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    # probe: top-NPROBE centroids per query
+    qsim = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("ctr_id"))
+    probes = (
+        q.join(F.broadcast(cent))
+        .withColumn("qsim", qsim)
+        .withColumn("prnk", F.row_number().over(w_probe))
+        .where(F.col("prnk") <= NPROBE)
+        .select("query_id", "qv", "qn", F.col("ctr_id").alias("cluster"))
+    )
+    cand = assigned.join(
+        F.broadcast(probes), on="cluster"
+    ).where(F.col("cid") != F.col("query_id"))
+    sim = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", F.col("cid").alias("neighbor_id"), sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id")
+    )
+
+
+def _fold_dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), "
+        f"(s, x) -> s + x)"
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH e AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT cid, v,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(v, x -> x * x)), (s, x) -> s + x)) AS nrm
+  FROM e
+), n2 AS (
+  SELECT * FROM n WHERE nrm > 0
+), cent AS (
+  SELECT cid AS ctr_id, v AS cv, nrm AS cn FROM n2 WHERE cid % {CENT_MOD} = 0
+), assigned AS (
+  SELECT cid, v, nrm, ctr_id AS cluster FROM (
+    SELECT n2.cid, n2.v, n2.nrm, cent.ctr_id,
+           row_number() OVER (
+             PARTITION BY n2.cid
+             ORDER BY {_fold_dot_sql('n2.v', 'cent.cv')} / (n2.nrm * cent.cn) DESC,
+                      cent.ctr_id ASC) AS rnk
+    FROM n2 CROSS JOIN cent)
+  WHERE rnk = 1
+), q AS (
+  SELECT cid AS query_id, v AS qv, nrm AS qn FROM assigned WHERE cid < {N_QUERIES}
+), probes AS (
+  SELECT query_id, qv, qn, ctr_id AS cluster FROM (
+    SELECT q.query_id, q.qv, q.qn, cent.ctr_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_fold_dot_sql('q.qv', 'cent.cv')} / (q.qn * cent.cn) DESC,
+                      cent.ctr_id ASC) AS prnk
+    FROM q CROSS JOIN cent)
+  WHERE prnk <= {NPROBE}
+), cand AS (
+  SELECT p.query_id, a.cid AS neighbor_id,
+         {_fold_dot_sql('p.qv', 'a.v')} / (p.qn * a.nrm) AS sim
+  FROM assigned a JOIN probes p ON a.cluster = p.cluster
+  WHERE a.cid <> p.query_id
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM cand)
+WHERE rank <= {TOP_K}
+"""
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     return ann_cosine_topk(_emb(spark, sf_dir))
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    return ann_ivf_topk(_emb(spark, sf_dir))
 
 
 def q_ann_lsh_buckets(spark, sf_dir):
