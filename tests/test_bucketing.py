@@ -1,0 +1,80 @@
+"""Bucketed-table co-location: the per-entity behavioral operators
+must run WITHOUT an Exchange when events are bucketed by user_id, and
+must produce byte-identical results to the unbucketed path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _executed_plan(df) -> str:
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, sf_dir, tmp_path_factory):
+    from duckdb_behavioral_spark.sources.bucketing import write_bucketed
+    from duckdb_behavioral_spark.sources import load_events
+
+    path = str(tmp_path_factory.mktemp("bucketed") / "events_bucketed")
+    spark.sql("DROP TABLE IF EXISTS events_bucketed_test")
+    write_bucketed(
+        load_events(spark, sf_dir), "events_bucketed_test", path, buckets=8
+    )
+    yield spark.table("events_bucketed_test")
+    spark.sql("DROP TABLE IF EXISTS events_bucketed_test")
+
+
+def test_grouped_agg_is_shuffle_free(spark, bucketed):
+    agg = bucketed.groupBy("user_id").agg(F.count("*").alias("n"))
+    plan = _executed_plan(agg)
+    assert "Exchange" not in plan, plan
+    assert "Bucketed: true" in plan
+
+
+def test_sessionize_window_is_shuffle_free(spark, bucketed):
+    from duckdb_behavioral_spark.operators.sessionize import sessionize
+
+    s = sessionize(bucketed, "ts", "30 minutes", ["user_id"])
+    plan = _executed_plan(s)
+    assert "Exchange" not in plan, plan
+
+
+def test_bucketed_self_join_is_shuffle_free(spark, bucketed):
+    p = bucketed.where("event_type = 'purchase'").select("user_id", "event_id")
+    v = bucketed.where("event_type = 'view'").select(
+        "user_id", F.col("event_id").alias("view_id")
+    )
+    with _no_broadcast(spark):
+        j = p.join(v, "user_id")
+        plan = _executed_plan(j)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+class _no_broadcast:
+    """Temporarily disable broadcast joins so bucket co-location is
+    what removes the Exchange (not a broadcast)."""
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", self.old)
+
+
+def test_bucketed_results_match_unbucketed(spark, sf_dir, bucketed):
+    from duckdb_behavioral_spark.operators.sessionize import sessionize
+    from duckdb_behavioral_spark.sources import load_events
+
+    a = sessionize(bucketed, "ts", "30 minutes", ["user_id"]).select(
+        "user_id", "ts", "session_id"
+    )
+    b = sessionize(load_events(spark, sf_dir), "ts", "30 minutes", ["user_id"]).select(
+        "user_id", "ts", "session_id"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
