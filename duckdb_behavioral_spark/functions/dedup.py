@@ -101,6 +101,13 @@ def _with_shingles(df: DataFrame) -> DataFrame:
 
 
 def dedup_ngram_jaccard(df: DataFrame) -> DataFrame:
+    """Blocked pairwise ``array_intersect``. An inverted-index
+    (explode + co-occurrence count) variant was benchmarked 1.6x
+    SLOWER here: common shingles are hot join keys, so the
+    co-occurrence join emits far more rows than the blocked pairwise
+    comparison. With high-threshold near-dup blocking the pair count
+    is small and per-pair intersection wins.
+    """
     d = _with_shingles(df)
     a, b = d.alias("a"), d.alias("b")
     pairs = a.join(
@@ -159,18 +166,21 @@ def minhash_signatures(df: DataFrame) -> DataFrame:
         # arity, so extra defaulted params would bind the index Column
         return lambda h: (F.lit(MINHASH_A[j]) * h + F.lit(MINHASH_B[j])) % F.lit(MINHASH_P)
 
+    # Exploded form: one row per (doc, shingle-hash), then 16 grouped
+    # mins. The permutation arithmetic runs in whole-stage codegen over
+    # the exploded rows (vs 16 interpreted HOF passes per document),
+    # and partial aggregation shrinks the shuffle to 16 longs per doc.
     base = (
         df.where(F.size(tokens(F.col("text"))) >= 3)
         .select(
             "doc_id",
-            F.transform(shingles3(tokens(F.col("text"))), md5_hash48).alias("hs"),
+            F.explode(
+                F.transform(shingles3(tokens(F.col("text"))), md5_hash48)
+            ).alias("h"),
         )
-        .repartition("doc_id")
     )
-    sigs = base.select(
-        "doc_id",
-        *[F.array_min(F.transform(F.col("hs"), _perm(j))).alias(f"s{j}")
-          for j in range(NUM_HASHES)],
+    sigs = base.groupBy("doc_id").agg(
+        *[F.min(_perm(j)(F.col("h"))).alias(f"s{j}") for j in range(NUM_HASHES)]
     )
     bands = []
     for b in range(LSH_BANDS):
