@@ -104,6 +104,89 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
+    """STUB-decoded resize: same row count, new dimensions in metadata.
+
+    The real implementation would decode, resample, and re-encode per
+    Arrow batch; the fake path cycles payload bytes to exactly
+    ``width*height`` so batch shapes, binary transport, and schema are
+    exercised for real.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for p in pdf["payload"]:
+                if not fake:
+                    raise NotImplementedError("image codecs unavailable; use fake=True")
+                n = width * height
+                src = bytes(p or b"\x00")
+                outs.append((src * (n // len(src) + 1))[:n])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "payload": outs,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("frame_ts_ms", T.LongType(), False),
+        T.StructField("frame_byte", T.LongType(), False),
+    ]
+)
+
+# 100ms sampling: median synthetic "clip" is ~300ms, so the driver
+# query genuinely fans out 1-to-N (3-6 frames per document)
+FRAME_EVERY_MS = 100
+
+
+def sample_frames(media: DataFrame, every_ms: int = FRAME_EVERY_MS, fake: bool = True) -> DataFrame:
+    """STUB-decoded frame sampling: one output row per sampled frame.
+
+    Exercises the 1-to-N mapInPandas shape a real video pipeline needs
+    (a batch of clips in, a larger batch of frames out). Fake decode
+    models duration as 1 ms per payload byte and the "frame" as the
+    byte at the frame timestamp's offset.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, idxs, tss, fbs = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if not fake:
+                    raise NotImplementedError("video codecs unavailable; use fake=True")
+                p = bytes(p or b"")
+                dur = len(p)  # fake: 1 ms per byte
+                for i, ts in enumerate(range(0, dur, every_ms)):
+                    mids.append(mid)
+                    idxs.append(i)
+                    tss.append(ts)
+                    fbs.append(p[ts % len(p)])
+            yield pd.DataFrame(
+                {"media_id": mids, "frame_idx": idxs, "frame_ts_ms": tss, "frame_byte": fbs}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_behavioral_spark.sources import load_table
 
@@ -114,6 +197,32 @@ def q_multimodal_features(spark, sf_dir):
     """documents.text treated as an opaque binary payload → features."""
     media = as_media(_docs(spark, sf_dir), "doc_id", "text", "text/plain")
     return extract_features(media, fake=True)
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """documents.text as fake video clips → sampled frame rows."""
+    media = as_media(_docs(spark, sf_dir), "doc_id", "text", "video/fake")
+    return sample_frames(media, every_ms=FRAME_EVERY_MS, fake=True)
+
+
+# Oracle mirrors the fake decode: duration = byte length, frames every
+# FRAME_EVERY_MS, frame byte = byte at ts offset (ASCII text so
+# ascii() equals the byte value).
+MULTIMODAL_FRAMES_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+), f AS (
+  SELECT doc_id, text, n,
+         unnest(generate_series(0, (n - 1) // {FRAME_EVERY_MS})) AS i
+  FROM d WHERE n > 0
+)
+SELECT doc_id AS media_id,
+       CAST(i AS BIGINT) AS frame_idx,
+       CAST(i * {FRAME_EVERY_MS} AS BIGINT) AS frame_ts_ms,
+       CAST(ascii(substr(text, CAST((i * {FRAME_EVERY_MS}) % n AS INTEGER) + 1, 1))
+            AS BIGINT) AS frame_byte
+FROM f
+"""
 
 
 # Oracle: UTF-8 byte length, first byte, and byte sum mod 2^16 —

@@ -28,6 +28,7 @@ EXT_QUERIES = {
     "ann_ivf_topk": S.q_ann_ivf_topk,
     # multimodal
     "multimodal_features": M.q_multimodal_features,
+    "multimodal_frames": M.q_multimodal_frames,
     # temporal joins
     "asof_view_before_purchase": TJ.q_asof_view_before_purchase,
     "range_views_after_error": TJ.q_range_views_after_error,
@@ -54,6 +55,7 @@ EXT_ORACLES = {
     "ann_lsh_buckets": S.LSH_BUCKETS_SQL,
     "ann_ivf_topk": S.ANN_IVF_SQL,
     "multimodal_features": M.MULTIMODAL_SQL,
+    "multimodal_frames": M.MULTIMODAL_FRAMES_SQL,
     "asof_view_before_purchase": TJ.ASOF_SQL,
     "range_views_after_error": TJ.RANGE_SQL,
     "tpch_pricing_flags": C.TPCH_PRICING_SQL,

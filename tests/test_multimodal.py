@@ -1,0 +1,55 @@
+"""Multimodal plumbing: binary transport through mapInPandas, resize
+metadata, 1-to-N frame sampling, and the unstubbed decode path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_behavioral_spark.functions.multimodal import (
+    as_media,
+    decode_media,
+    extract_features,
+    resize_media,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = spark.createDataFrame(
+        [(1, b"\x01\x02\x03\x04"), (2, b"\xff" * 2500), (3, b"")],
+        "id long, payload binary",
+    )
+    return as_media(df, "id", "payload", "application/octet-stream")
+
+
+def test_features_roundtrip(spark, media):
+    got = {r["media_id"]: r for r in extract_features(media, fake=True).collect()}
+    assert got[1]["n_bytes"] == 4 and got[1]["head_byte"] == 1
+    assert got[2]["n_bytes"] == 2500 and got[2]["byte_sum_mod"] == (255 * 2500) % 65536
+    assert got[3]["n_bytes"] == 0
+
+
+def test_resize_sets_dims_and_payload_size(spark, media):
+    out = resize_media(media, 8, 4).collect()
+    assert all(r["width"] == 8 and r["height"] == 4 for r in out)
+    assert all(len(r["payload"]) == 32 for r in out)
+    by_id = {r["media_id"]: bytes(r["payload"]) for r in out}
+    assert by_id[1][:4] == b"\x01\x02\x03\x04"  # cycled from source
+    assert by_id[3] == b"\x00" * 32             # empty payload -> zero fill
+
+
+def test_sample_frames_one_to_many(spark, media):
+    rows = sample_frames(media, every_ms=1000, fake=True).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append((r["frame_idx"], r["frame_ts_ms"]))
+    assert by_id[1] == [(0, 0)]                    # 4 "ms" -> one frame
+    assert by_id[2] == [(0, 0), (1, 1000), (2, 2000)]  # 2500 -> three
+    assert 3 not in by_id                          # empty payload -> no frames
+
+
+def test_unstubbed_decode_raises(spark, media):
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_media(b"xx", "image/png", fake=False)
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        resize_media(media, 2, 2, fake=False).collect()
