@@ -108,6 +108,26 @@ def q_retention_report(spark, sf_dir):
     ).groupBy("anchored", "viewed", "purchased").agg(F.count("*").alias("users"))
 
 
+def q_retention_report_salted(spark, sf_dir):
+    """Same report through the salted two-phase retention — identical
+    results by construction (bool_or decomposes); the driver oracle
+    proves it end-to-end. The skew-safe path for hot entities."""
+    from duckdb_behavioral_spark.operators.skew import salted_retention
+    from duckdb_behavioral_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir)
+    r = salted_retention(
+        ev,
+        ["event_type = 'signup'", "event_type = 'view'", "event_type = 'purchase'"],
+        ["user_id"],
+    )
+    return r.select(
+        F.element_at("r", 1).alias("anchored"),
+        F.element_at("r", 2).alias("viewed"),
+        F.element_at("r", 3).alias("purchased"),
+    ).groupBy("anchored", "viewed", "purchased").agg(F.count("*").alias("users"))
+
+
 RETENTION_REPORT_SQL = """
 WITH rr AS (
   SELECT user_id, [a, a AND v, a AND p] AS r

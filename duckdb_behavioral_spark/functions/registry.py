@@ -37,6 +37,7 @@ EXT_QUERIES = {
     "orders_by_nation": C.q_orders_by_nation,
     "events_hourly_rollup": C.q_events_hourly_rollup,
     "retention_report": C.q_retention_report,
+    "retention_report_salted": C.q_retention_report_salted,
     "events_pct_of_total": C.q_events_pct_of_total,
 }
 
@@ -62,5 +63,6 @@ EXT_ORACLES = {
     "orders_by_nation": C.ORDERS_BY_NATION_SQL,
     "events_hourly_rollup": C.EVENTS_HOURLY_SQL,
     "retention_report": C.RETENTION_REPORT_SQL,
+    "retention_report_salted": C.RETENTION_REPORT_SQL,
     "events_pct_of_total": C.EVENTS_PCT_SQL,
 }

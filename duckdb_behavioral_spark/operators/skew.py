@@ -1,0 +1,82 @@
+"""Salted two-phase aggregation — the skew escape hatch for
+decomposable aggregates.
+
+A single hot key (one user with 10^9 events, one dominant language)
+turns a groupBy into one straggler task. For aggregates that decompose
+into (partial, merge) pairs — count/sum/min/max/bool_or — salting
+splits each key into ``n_salt`` sub-keys, aggregates partially, then
+merges the sub-results: the hot key's work spreads over ``n_salt``
+tasks and the second shuffle carries only ``keys × n_salt`` rows.
+
+Results are identical to the unsalted groupBy for any decomposable
+spec (asserted in tests and by the driver oracle for
+``retention_report_salted``). Non-decomposable operators (funnel,
+sequence scans — order matters) cannot salt; they use the per-group
+event cap guard in the group engine instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# kind -> (phase-1 partial agg, phase-2 merge agg)
+_SPECS = {
+    "count": (F.count, F.sum),
+    "sum": (F.sum, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+    "bool_or": (F.max, F.max),  # max over booleans == any()
+}
+
+DEFAULT_SALT = 16
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    specs: list[tuple[str, str | Column, str]],
+    n_salt: int = DEFAULT_SALT,
+) -> DataFrame:
+    """Two-phase groupBy over ``keys`` with salted partials.
+
+    ``specs`` is a list of ``(kind, column, alias)`` with kind in
+    count / sum / min / max / bool_or. The salt is derived from a
+    per-row id, so any input distribution — including one key owning
+    every row — spreads across ``n_salt`` partial groups.
+    """
+    unknown = [k for k, _, _ in specs if k not in _SPECS]
+    if unknown:
+        raise ValueError(f"non-decomposable agg kinds: {unknown}; cannot salt")
+
+    salted = df.withColumn(
+        "__salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salt))
+    )
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[
+            _SPECS[kind][0](F.col(c) if isinstance(c, str) else c).alias(f"__p_{alias}")
+            for kind, c, alias in specs
+        ]
+    )
+    return partial.groupBy(*keys).agg(
+        *[
+            _SPECS[kind][1](F.col(f"__p_{alias}")).alias(alias)
+            for kind, _, alias in specs
+        ]
+    )
+
+
+def salted_retention(
+    df: DataFrame, conds: list[str], group_by: list[str], n_salt: int = DEFAULT_SALT,
+    out: str = "r",
+) -> DataFrame:
+    """Skew-resistant ``retention``: bool_or decomposes, so the salted
+    two-phase produces bit-identical results to the direct aggregate
+    while spreading a hot entity over ``n_salt`` tasks."""
+    specs = [("bool_or", F.expr(c).cast("boolean"), f"__c{i}") for i, c in enumerate(conds)]
+    agg = salted_agg(df, group_by, specs, n_salt)
+    anchor = F.coalesce(F.col("__c0"), F.lit(False))
+    arr = [anchor] + [
+        anchor & F.coalesce(F.col(f"__c{i}"), F.lit(False)) for i in range(1, len(conds))
+    ]
+    return agg.select(*group_by, F.array(*arr).alias(out))
