@@ -31,4 +31,8 @@ def sf_dir():
 
 @pytest.fixture(scope="session")
 def events(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    # via the loader: sets the ns-parquet conf and truncates to micros,
+    # so the fixture works regardless of test execution order
+    from duckdb_behavioral_spark.sources import load_events
+
+    return load_events(spark, sf_dir)
