@@ -164,3 +164,72 @@ SELECT event_type, n,
        CAST(n * 1000 // SUM(n) OVER () AS BIGINT) AS permille
 FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# capstone: training-set selection pipeline
+# ---------------------------------------------------------------------------
+
+# thresholds chosen against the synthetic corpus distributions so every
+# stage filters meaningfully (lang 'en' ~15%, quality bands mid-range)
+TS_STOPWORD_MIN = 20
+TS_DISTINCT_MIN = 400
+TS_TOKENS_LO, TS_TOKENS_HI = 20, 90
+
+
+def q_training_set_select(spark, sf_dir):
+    """End-to-end training-data selection: exact-dedup to canonical
+    docs -> language filter (marker heuristic = 'en') -> quality gates
+    (stopword floor, vocabulary-richness floor, token band). Composes
+    dedup_exact + lang_id + quality_score exactly as a 100 TB corpus
+    pipeline would: every stage is a JVM-expression filter or a
+    hash-shuffle, and the dedup/lang/quality joins are all on doc_id
+    (one co-partitioned key)."""
+    from duckdb_behavioral_spark.functions.dedup import dedup_exact
+    from duckdb_behavioral_spark.functions.text import lang_id, quality_score
+    from duckdb_behavioral_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    canon = dedup_exact(docs).select(F.col("canonical_id").alias("doc_id"))
+    lang = lang_id(docs).select("doc_id", "lang_pred")
+    qual = quality_score(docs)
+    return (
+        docs.select("doc_id")
+        .join(canon, "doc_id")  # semi: keep canonical representatives
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .where(
+            (F.col("lang_pred") == "en")
+            & (F.col("stopword_permille") >= TS_STOPWORD_MIN)
+            & (F.col("distinct_permille") >= TS_DISTINCT_MIN)
+            & F.col("n_tokens").between(TS_TOKENS_LO, TS_TOKENS_HI)
+        )
+        .select("doc_id", "n_tokens", "stopword_permille", "distinct_permille")
+    )
+
+
+def _training_set_sql():
+    from duckdb_behavioral_spark.functions.dedup import DEDUP_EXACT_SQL
+    from duckdb_behavioral_spark.functions.text import LANG_ID_SQL, QUALITY_SQL
+
+    return f"""
+WITH canon AS (
+  SELECT canonical_id AS doc_id FROM ({DEDUP_EXACT_SQL})
+), lang AS (
+  SELECT doc_id, lang_pred FROM ({LANG_ID_SQL})
+), qual AS (
+  SELECT * FROM ({QUALITY_SQL})
+)
+SELECT d.doc_id, qual.n_tokens, qual.stopword_permille, qual.distinct_permille
+FROM documents d
+JOIN canon USING (doc_id)
+JOIN lang USING (doc_id)
+JOIN qual USING (doc_id)
+WHERE lang.lang_pred = 'en'
+  AND qual.stopword_permille >= {TS_STOPWORD_MIN}
+  AND qual.distinct_permille >= {TS_DISTINCT_MIN}
+  AND qual.n_tokens BETWEEN {TS_TOKENS_LO} AND {TS_TOKENS_HI}
+"""
+
+
+TRAINING_SET_SQL = _training_set_sql()

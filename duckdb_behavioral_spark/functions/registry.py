@@ -39,6 +39,7 @@ EXT_QUERIES = {
     "retention_report": C.q_retention_report,
     "retention_report_salted": C.q_retention_report_salted,
     "events_pct_of_total": C.q_events_pct_of_total,
+    "training_set_select": C.q_training_set_select,
 }
 
 EXT_ORACLES = {
@@ -65,4 +66,5 @@ EXT_ORACLES = {
     "retention_report": C.RETENTION_REPORT_SQL,
     "retention_report_salted": C.RETENTION_REPORT_SQL,
     "events_pct_of_total": C.EVENTS_PCT_SQL,
+    "training_set_select": C.TRAINING_SET_SQL,
 }
