@@ -110,11 +110,16 @@ def dedup_ngram_jaccard(df: DataFrame) -> DataFrame:
     """
     d = _with_shingles(df)
     a, b = d.alias("a"), d.alias("b")
+    sa, sb = F.size(F.col("a.sh")), F.size(F.col("b.sh"))
+    # lossless size prune: jaccard >= thr forces min/max set-size ratio
+    # >= thr (inter <= min, union >= max), so mismatched sizes skip the
+    # expensive intersection entirely — O(1) vs O(|sh|) per pair
     pairs = a.join(
         b,
         (F.col("a.lang") == F.col("b.lang"))
         & (F.col("a.blk") == F.col("b.blk"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (10 * F.least(sa, sb) >= JACCARD_THRESHOLD_TENTHS * F.greatest(sa, sb)),
     )
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     uni = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
@@ -262,19 +267,27 @@ def simhash32(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Data
     re-deriving the token-hash array 32 times.
     """
 
-    def _bit_merge(b):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
+    # Exploded form (same pattern as minhash_signatures): one row per
+    # token hash, 32 codegen'd bit-sign sums as grouped aggregates with
+    # map-side partials — replaces 32 interpreted HOF folds per doc.
+    # explode_outer keeps zero-token docs (simhash 0, as the oracle's
+    # empty-list fold produces); their NULL row contributes sign 0
     base = df.select(
-        F.col(id_col), F.transform(tokens(F.col(text)), md5_hash48).alias("th")
-    ).repartition(id_col)
+        F.col(id_col),
+        F.explode_outer(F.transform(tokens(F.col(text)), md5_hash48)).alias("h"),
+    )
+    sign = lambda b: (
+        F.when(F.col("h").isNull(), 0)
+        .when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+        .otherwise(-1)
+    )
+    sums = base.groupBy(id_col).agg(
+        *[F.sum(sign(b)).alias(f"__b{b}") for b in range(32)]
+    )
     out = F.lit(0).cast("long")
     for b in range(32):
-        bitsum = F.aggregate(F.col("th"), F.lit(0).cast("long"), _bit_merge(b))
-        out = out + F.when(bitsum > 0, F.lit(1 << b).cast("long")).otherwise(0)
-    return base.select(F.col(id_col), out.alias("simhash"))
+        out = out + F.when(F.col(f"__b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(0)
+    return sums.select(F.col(id_col), out.alias("simhash"))
 
 
 def _simhash_sql_bits() -> str:

@@ -53,3 +53,18 @@ def test_unstubbed_decode_raises(spark, media):
         decode_media(b"xx", "image/png", fake=False)
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         resize_media(media, 2, 2, fake=False).collect()
+
+
+def test_simhash_null_text_doc_survives(spark):
+    """explode_outer keeps docs whose text yields no token array (NULL
+    text -> simhash 0, matching the oracle's NULL-list fold); the
+    whitespace tokenizer gives every non-null string >= 1 token."""
+    from duckdb_behavioral_spark.functions.dedup import simhash32
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["simhash"] for r in simhash32(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[2] == 0
