@@ -86,6 +86,17 @@ def window_funnel(
     window_us = to_micros(window)
     mode_bits = parse_modes(mode)
 
+    from duckdb_behavioral_spark.kernels.funnel import (
+        MODE_STRICT_INCREASE,
+        MODE_STRICT_ONCE,
+    )
+
+    # strict_increase forces strictly-later timestamps per step, which a
+    # RANGE (-inf, -1) frame expresses exactly; it also subsumes
+    # strict_once (a chain of strictly increasing timestamps cannot
+    # reuse an event). Both mode sets run JVM-only.
+    _STRICT_SETS = (MODE_STRICT_INCREASE, MODE_STRICT_INCREASE | MODE_STRICT_ONCE)
+
     if strategy is None:
         if use_kernel is True:
             strategy = "kernel"
@@ -93,13 +104,23 @@ def window_funnel(
             strategy = "hof"
         elif mode_bits == 0 and max_events_per_group is None:
             strategy = "window"
+        elif mode_bits in _STRICT_SETS and max_events_per_group is None:
+            strategy = "window_strict"
         else:
             strategy = "kernel"
     if strategy in ("window", "hof") and mode_bits != 0:
         raise ValueError(f"strategy {strategy!r} supports default mode only")
+    if strategy == "window_strict" and mode_bits not in _STRICT_SETS:
+        raise ValueError(
+            "window_strict strategy requires mode strict_increase "
+            "(optionally with strict_once)"
+        )
 
     if strategy == "window":
         return _funnel_window(df, window_us, ts, cols, list(group_by), k, out)
+    if strategy == "window_strict":
+        return _funnel_window(df, window_us, ts, cols, list(group_by), k, out,
+                              strict_increase=True)
     if strategy == "hof":
         if k > _HOF_MAX_CONDS:
             raise ValueError(f"hof strategy supports at most {_HOF_MAX_CONDS} conditions")
@@ -109,7 +130,7 @@ def window_funnel(
                           max_events_per_group)
 
 
-def _funnel_window(df, window_us, ts, cols, group_by, k, out):
+def _funnel_window(df, window_us, ts, cols, group_by, k, out, strict_increase=False):
     from pyspark.sql import Window
 
     ts_col = F.col(ts)
@@ -129,11 +150,21 @@ def _funnel_window(df, window_us, ts, cols, group_by, k, out):
         .orderBy(F.col("__t").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # strict_increase: every step needs a strictly EARLIER-TS
+    # predecessor — a RANGE frame excludes same-ts rows even under tie
+    # ordering (a ROWS frame would not)
+    w_strict = (
+        Window.partitionBy(*group_by)
+        .orderBy(F.col("__t").asc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
     # dp0 contribution: this row as an entry point.
     cur = base.withColumn("__x0", F.when(F.col("__c0"), F.col("__t")))
     prev_col = None
     for s in range(1, k):
-        if s == 1:
+        if strict_increase:
+            prev_col = F.max(f"__x{s-1}").over(w_strict)
+        elif s == 1:
             # step 1 chains from a strictly earlier entry: frame (-∞,-1)
             prev_col = F.max("__x0").over(w_prev)
         else:

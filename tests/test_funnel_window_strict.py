@@ -1,0 +1,66 @@
+"""window_strict strategy: JVM RANGE-frame DP must equal the exact
+Python kernel for strict_increase (+/- strict_once), including tie
+timestamps where a ROWS frame would wrongly allow same-ts chaining."""
+
+import random
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from duckdb_behavioral_spark.kernels.funnel import funnel_max_step, parse_modes
+from duckdb_behavioral_spark.operators.window_funnel import window_funnel
+
+T0 = datetime(2024, 1, 1)
+
+
+def test_window_strict_equals_kernel_with_ties(spark):
+    rng = random.Random(99)
+    k, w = 4, 120
+    mode = "strict_increase, strict_once"
+    rows, expect = [], {}
+    for g in range(150):
+        n = rng.randint(0, 20)
+        pool = range(0, 30) if g % 2 else range(0, 1500)  # half tie-heavy
+        ts = sorted(rng.choice(list(pool)) for _ in range(n))
+        mask = [rng.randrange(1, 1 << k) for _ in range(n)]
+        expect[g] = funnel_max_step(
+            [t * 1_000_000 for t in ts], mask, w * 1_000_000, k, parse_modes(mode)
+        )
+        rows.extend((g, T0 + timedelta(seconds=t), m) for t, m in zip(ts, mask))
+    df = spark.createDataFrame(rows, "g long, ts timestamp, m long")
+    got = {
+        r["g"]: r["step"]
+        for r in window_funnel(
+            df, f"{w} seconds", "ts", [f"(m & {1 << s}) != 0" for s in range(k)],
+            ["g"], mode=mode,
+        ).collect()
+    }
+    assert got == {g: s for g, s in expect.items() if g in got}
+    assert len(got) == len([g for g in expect if any(r[0] == g for r in rows)])
+
+
+def test_strict_modes_dispatch_to_jvm(spark):
+    df = spark.createDataFrame(
+        [(1, T0, 1), (1, T0 + timedelta(minutes=1), 2)], "g long, ts timestamp, m long"
+    )
+    q = window_funnel(
+        df, "1 hour", "ts", ["(m & 1) != 0", "(m & 2) != 0"], ["g"],
+        mode="strict_increase",
+    )
+    plan = q._jdf.queryExecution().optimizedPlan().toString()
+    assert "RangeFrame" in plan or "rangeframe" in plan.lower(), plan
+    assert "ArrowEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_same_ts_events_cannot_chain_under_strict_increase(spark):
+    # view and click at the SAME timestamp: default mode may chain
+    # (tie order permitting is irrelevant — kernel says step from
+    # strictly later ts only), strict_increase must NOT
+    df = spark.createDataFrame(
+        [(1, T0, 1), (1, T0, 2)], "g long, ts timestamp, m long"
+    )
+    strict = window_funnel(
+        df, "1 hour", "ts", ["(m & 1) != 0", "(m & 2) != 0"], ["g"],
+        mode="strict_increase",
+    ).collect()[0]["step"]
+    assert strict == 1
