@@ -18,6 +18,16 @@ def test_partitioned_parquet_roundtrip_prunes(spark, sf_dir, tmp_path):
     assert back.count() == n_direct
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, s string, v double"
+    )
+    path = str(tmp_path / "o")
+    df.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
 def test_csv_json_roundtrip(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "a", 1.5), (2, "b", 2.5)], "id long, s string, v double"
