@@ -96,3 +96,47 @@ def test_one_shot_stream_matches_batch(spark, sf_dir, tmp_path):
         if r["user_id"] in qualifying
     }
     assert got == want
+
+
+def test_checkpoint_restart_recovers_state(spark, tmp_path):
+    """Stop the query, start a NEW query from the same checkpoint: the
+    keyed DP state must survive, so a step completed across the restart
+    chains onto the pre-restart entry event."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    _write(spark, src, [(1, _m(0), "view"), (1, _m(30), "click")])
+
+    seen: list[tuple] = []
+
+    def start():
+        stream = spark.readStream.schema(
+            "user long, ts timestamp, etype string"
+        ).parquet(src)
+        return (
+            stateful_funnel_stream(stream, "1 hour", "ts", CONDS, ["user"])
+            .writeStream.foreachBatch(
+                lambda df, _id: seen.extend(map(tuple, df.collect()))
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .start()
+        )
+
+    q1 = start()
+    try:
+        q1.processAllAvailable()
+        assert seen == [(1, 2)]
+    finally:
+        q1.stop()
+
+    # new data lands while no query is running
+    _write(spark, src, [(1, _m(60), "purchase")])
+
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+        # step 3 requires the dp state (entry at t=0) recovered from the
+        # checkpoint -- a fresh state would yield step 0 for purchase-only
+        assert seen[-1] == (1, 3)
+    finally:
+        q2.stop()
