@@ -132,6 +132,24 @@ class TestMatch:
         assert not match("(?1).*(?t<=3600)(?2)",
                          [(0, [True, False]), (3601 * S, [False, True])])
 
+    def test_time_eq_neq_truncating(self):
+        # elapsed 1.5s truncates to 1 -> ==1 holds, !=1 fails
+        # (reference eval: src/pattern/parser.rs:45-54)
+        assert match("(?1)(?t==1)(?2)", [(0, [True, False]), (1_500_000, [False, True])])
+        assert not match("(?1)(?t==1)(?2)", [(0, [True, False]), (2 * S, [False, True])])
+        assert not match("(?1)(?t!=1)(?2)", [(0, [True, False]), (1_999_999, [False, True])])
+        assert match("(?1)(?t!=0)(?2)", [(0, [True, False]), (S, [False, True])])
+        assert not match("(?1)(?t!=0)(?2)", [(0, [True, False]), (999_999, [False, True])])
+
+    def test_time_strict_ops_at_exact_boundary(self):
+        # elapsed exactly 1.000000s -> trunc 1: < 1 fails, <= 1 holds,
+        # > 1 fails, >= 1 holds
+        at_1s = [(0, [True, False]), (S, [False, True])]
+        assert not match("(?1)(?t<1)(?2)", at_1s)
+        assert match("(?1)(?t<=1)(?2)", at_1s)
+        assert not match("(?1)(?t>1)(?2)", at_1s)
+        assert match("(?1)(?t>=1)(?2)", at_1s)
+
     def test_time_constraint_vacuous_without_prior_match(self):
         # Leading time constraint has no previous matched event → vacuously true.
         assert match("(?t>=100)(?1)", [(0, [True])])
