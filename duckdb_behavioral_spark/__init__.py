@@ -17,10 +17,14 @@ streaming mapInPandas group engine.
 
 from duckdb_behavioral_spark.intervals import to_micros
 from duckdb_behavioral_spark.operators import (
+    asof_join,
     condition_bitmask,
     grouped_scan,
+    range_join,
     retention,
     retention_col,
+    salted_agg,
+    salted_retention,
     sequence_count,
     sequence_match,
     sequence_match_events,
@@ -34,6 +38,10 @@ __version__ = "0.1.0"
 
 __all__ = [
     "to_micros",
+    "asof_join",
+    "range_join",
+    "salted_agg",
+    "salted_retention",
     "condition_bitmask",
     "grouped_scan",
     "retention",

@@ -7,9 +7,15 @@ from duckdb_behavioral_spark.operators.sequence import (
 )
 from duckdb_behavioral_spark.operators.sequence_next_node import sequence_next_node
 from duckdb_behavioral_spark.operators.sessionize import sessionize, sessionize_col
+from duckdb_behavioral_spark.operators.skew import salted_agg, salted_retention
+from duckdb_behavioral_spark.operators.temporal_joins import asof_join, range_join
 from duckdb_behavioral_spark.operators.window_funnel import window_funnel
 
 __all__ = [
+    "asof_join",
+    "range_join",
+    "salted_agg",
+    "salted_retention",
     "condition_bitmask",
     "grouped_scan",
     "retention",
