@@ -202,8 +202,13 @@ def minhash_signatures(df: DataFrame) -> DataFrame:
 
 
 def minhash_candidate_pairs(df: DataFrame) -> DataFrame:
-    """(doc_a, doc_b, shared_bands) — pairs sharing ≥1 LSH bucket."""
-    sig = minhash_signatures(df)
+    """(doc_a, doc_b, shared_bands) — pairs sharing ≥1 LSH bucket.
+
+    The banded signatures are checkpointed before the self-join:
+    without the barrier Catalyst re-executes the whole
+    tokenize→shingle→hash→min→band pipeline once per join side (plan
+    showed 4 parquet scans, zero exchange reuse)."""
+    sig = minhash_signatures(df).localCheckpoint(eager=False)
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(
