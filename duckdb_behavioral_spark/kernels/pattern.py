@@ -162,6 +162,55 @@ def classify(steps):
     return SHAPE_WILDCARD, conds
 
 
+def classify_timed(steps):
+    """(condition_indices, link_bounds_us) for wildcard chains whose
+    time constraints are all upper bounds, else None.
+
+    Accepted shape: COND (ANY_EVENTS+ [TIME] COND)* with TIME directly
+    preceding the next COND and op in {"<=", "<"} — only there does
+    the NFA evaluate the constraint against the event the COND will
+    match (a TIME elsewhere in the link constrains a skipped event:
+    different semantics, rejected). For such chains the greedy
+    latest-predecessor window DP is exact: an upper-bounded link is
+    monotone in the predecessor timestamp, so the running max
+    characterizes reachability. ``bounds[j]`` is the max allowed
+    ``cur - prev`` in microseconds for the link INTO condition j+1
+    (None = unbounded), already adjusted for the reference's
+    truncating-seconds division (elapsed = (cur - prev) // 1e6;
+    reference: src/pattern/parser.rs:45-54).
+    """
+    conds, bounds = [], []
+    pending_any, pending_bound, started = False, None, False
+    for st in steps:
+        if st[0] == COND:
+            if started:
+                if not pending_any:
+                    return None  # adjacency link: not this shape
+                bounds.append(pending_bound)
+            conds.append(st[1])
+            started = True
+            pending_any, pending_bound = False, None
+        elif st[0] == ANY_EVENTS:
+            if not started or pending_bound is not None:
+                return None  # leading .* / TIME-then-.* both change semantics
+            pending_any = True
+        elif st[0] == TIME:
+            op, n = st[1], st[2]
+            if not started or not pending_any or pending_bound is not None:
+                return None  # TIME must sit between .* and the next COND
+            if op == "<=":
+                pending_bound = (n + 1) * 1_000_000 - 1
+            elif op == "<":
+                pending_bound = n * 1_000_000 - 1
+            else:
+                return None  # >=, >, ==, != need more than a running max
+        else:
+            return None
+    if len(conds) < 2 or pending_any or pending_bound is not None:
+        return None
+    return conds, bounds
+
+
 def _fast_adjacent(mask, conds, count_all: bool) -> int:
     n = len(mask)
     k = len(conds)

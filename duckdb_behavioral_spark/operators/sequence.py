@@ -83,17 +83,28 @@ def _sequence(df, pattern_str, ts, conds, group_by, out, count_all, use_kernel,
     steps, cols = _check(pattern_str, conds)
     group_by = list(group_by)
     shape, cidx = P.classify(steps)
+    timed = P.classify_timed(steps) if shape == P.SHAPE_COMPLEX else None
     if strategy is None:
-        if use_kernel is True or shape == P.SHAPE_COMPLEX:
+        if use_kernel is True:
             strategy = "kernel"
+        elif shape == P.SHAPE_COMPLEX:
+            # upper-bounded wildcard chains: existence runs JVM-only
+            strategy = "window_timed" if (timed and not count_all) else "kernel"
         elif use_kernel is False:
             strategy = "hof"
         elif not count_all:
             strategy = "window"  # existence on common shapes: no arrays
         else:
             strategy = "hof"  # non-overlapping counting is sequential
-    if strategy != "kernel" and shape == P.SHAPE_COMPLEX:
+    if strategy in ("window", "hof") and shape == P.SHAPE_COMPLEX:
         raise ValueError(f"strategy {strategy!r} requires an adjacent/wildcard pattern")
+    if strategy == "window_timed":
+        if count_all or timed is None:
+            raise ValueError(
+                "window_timed strategy supports sequence_match on wildcard "
+                "chains with upper-bound time constraints only"
+            )
+        return _match_window_timed(df, ts, cols, group_by, timed, out)
     if strategy == "window":
         if count_all:
             raise ValueError("window strategy supports sequence_match only")
@@ -138,6 +149,43 @@ def _match_window(df, ts, cols, group_by, shape, cidx, out):
             reach_prev = F.coalesce(F.max(f"__x{j-1}").over(w_prev), F.lit(False))
             cur = cur.withColumn(f"__x{j}", F.col(f"__b{cidx[j]}") & reach_prev)
         flagged = cur.withColumn("__ok", F.col(f"__x{k-1}"))
+    return flagged.groupBy(*group_by).agg(
+        F.coalesce(F.bool_or("__ok"), F.lit(False)).alias(out)
+    )
+
+
+def _match_window_timed(df, ts, cols, group_by, timed, out):
+    """Existence of a wildcard chain with per-link upper time bounds,
+    as chained running-max windows carrying timestamps.
+
+    ``x_j`` = this row's µs timestamp when condition j matches AND the
+    running max of ``x_{j-1}`` over strictly-earlier rows satisfies the
+    link bound (``prev >= cur - bound``). Upper-bounded links are
+    monotone in the predecessor timestamp, so the running max is a
+    complete reachability summary — one shuffle, no arrays, no Python.
+    """
+    from pyspark.sql import Window
+
+    cidx, bounds = timed
+    ts_col = F.col(ts)
+    bools = [F.coalesce(c, F.lit(False)) & ts_col.isNotNull() for c in cols]
+    w_prev = (
+        Window.partitionBy(*group_by)
+        .orderBy(ts_col.asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cur = df.select(
+        *group_by, ts_col.alias(ts), F.unix_micros(ts_col).alias("__tu"),
+        *[b.alias(f"__b{i}") for i, b in enumerate(bools)],
+    )
+    cur = cur.withColumn("__x0", F.when(F.col(f"__b{cidx[0]}"), F.col("__tu")))
+    for j in range(1, len(cidx)):
+        prev = F.max(f"__x{j-1}").over(w_prev)
+        ok = F.col(f"__b{cidx[j]}") & prev.isNotNull()
+        if bounds[j - 1] is not None:
+            ok = ok & (prev >= F.col("__tu") - F.lit(bounds[j - 1]))
+        cur = cur.withColumn(f"__x{j}", F.when(ok, F.col("__tu")))
+    flagged = cur.withColumn("__ok", F.col(f"__x{len(cidx)-1}").isNotNull())
     return flagged.groupBy(*group_by).agg(
         F.coalesce(F.bool_or("__ok"), F.lit(False)).alias(out)
     )

@@ -64,3 +64,70 @@ def test_same_ts_events_cannot_chain_under_strict_increase(spark):
         mode="strict_increase",
     ).collect()[0]["step"]
     assert strict == 1
+
+
+class TestTimedSequenceWindow:
+    """window_timed sequence strategy: JVM running-max DP must equal
+    the NFA for wildcard chains with upper-bound time constraints."""
+
+    def test_randomized_equals_nfa(self, spark):
+        import random
+        from duckdb_behavioral_spark.kernels.pattern import (
+            execute_pattern,
+            parse_pattern,
+        )
+        from duckdb_behavioral_spark.operators.sequence import sequence_match
+
+        rng = random.Random(4242)
+        for pat, k in [("(?1).*(?t<=5)(?2)", 2), ("(?1).*(?2).*(?t<2)(?3)", 3)]:
+            steps = parse_pattern(pat)
+            rows, expect = [], {}
+            for g in range(120):
+                n = rng.randint(0, 15)
+                # sub-second spacing exercises the truncating division
+                ts_us = sorted(rng.sample(range(0, 12_000_000, 250_000), n))
+                mask = [rng.randrange(1, 1 << k) for _ in range(n)]
+                expect[g] = (execute_pattern(steps, ts_us, mask, False) or 0) > 0
+                rows.extend(
+                    (g, T0 + timedelta(microseconds=u), m) for u, m in zip(ts_us, mask)
+                )
+            df = spark.createDataFrame(rows, "g long, ts timestamp, m long")
+            got = {
+                r["g"]: r["matched"]
+                for r in sequence_match(
+                    df, pat, "ts", [f"(m & {1 << s}) != 0" for s in range(k)], ["g"]
+                ).collect()
+            }
+            assert got == {g: v for g, v in expect.items() if g in got}, pat
+
+    def test_dispatch_and_rejections(self, spark):
+        from duckdb_behavioral_spark.kernels.pattern import classify_timed, parse_pattern
+        from duckdb_behavioral_spark.operators.sequence import sequence_count
+
+        assert classify_timed(parse_pattern("(?1).*(?t<=3600)(?2)")) == (
+            [0, 1], [3_600_999_999])
+        # TIME not adjacent to the next COND, adjacency links, lower
+        # bounds: all stay on the exact NFA path
+        assert classify_timed(parse_pattern("(?1)(?t<=10).*(?2)")) is None
+        assert classify_timed(parse_pattern("(?1)(?t<=10)(?2)")) is None
+        assert classify_timed(parse_pattern("(?1).*(?t>=10)(?2)")) is None
+
+        df = spark.createDataFrame([(1, T0, 3)], "g long, ts timestamp, m long")
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="window_timed"):
+            sequence_count(df, "(?1).*(?t<=5)(?2)", "ts",
+                           ["(m & 1) != 0", "(m & 2) != 0"], ["g"],
+                           strategy="window_timed")
+
+    def test_q6_shape_runs_jvm_only(self, spark):
+        from duckdb_behavioral_spark.operators.sequence import sequence_match
+
+        df = spark.createDataFrame(
+            [(1, T0, 1), (1, T0 + timedelta(minutes=30), 2)],
+            "g long, ts timestamp, m long",
+        )
+        q = sequence_match(df, "(?1).*(?t<=3600)(?2)", "ts",
+                           ["(m & 1) != 0", "(m & 2) != 0"], ["g"])
+        plan = q._jdf.queryExecution().optimizedPlan().toString()
+        assert "InPandas" not in plan and "ArrowEvalPython" not in plan, plan
+        assert q.collect()[0]["matched"] is True
