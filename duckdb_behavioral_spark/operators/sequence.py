@@ -154,6 +154,37 @@ def _match_window(df, ts, cols, group_by, shape, cidx, out):
     )
 
 
+def _events_window(ev, ts, cols, group_by, cidx, out):
+    """First-match step timestamps for wildcard chains: m_0 = earliest
+    c_0 event; m_j = earliest c_j event strictly after m_{j-1}. All
+    chained full-partition MIN windows (no orderBy, no sort)."""
+    from pyspark.sql import Window
+
+    ts_col = F.col(ts)
+    w = Window.partitionBy(*group_by)
+    bools = [F.coalesce(c, F.lit(False)) for c in cols]
+    cur = ev.select(
+        *group_by, F.unix_micros(ts_col).alias("__tu"),
+        *[b.alias(f"__b{i}") for i, b in enumerate(bools)],
+    )
+    for j, ci in enumerate(cidx):
+        cond = F.col(f"__b{ci}")
+        if j > 0:
+            cond = cond & (F.col("__tu") > F.col(f"__m{j-1}"))
+        cur = cur.withColumn(f"__m{j}", F.min(F.when(cond, F.col("__tu"))).over(w))
+    k = len(cidx)
+    agg = cur.groupBy(*group_by).agg(
+        *[F.min(f"__m{j}").alias(f"__m{j}") for j in range(k)]
+    )
+    complete = F.col("__m0").isNotNull()
+    for j in range(1, k):
+        complete = complete & F.col(f"__m{j}").isNotNull()
+    arr = F.when(
+        complete, F.array(*[F.timestamp_micros(F.col(f"__m{j}")) for j in range(k)])
+    ).otherwise(F.array().cast("array<timestamp>"))
+    return agg.select(*group_by, arr.alias(out))
+
+
 def _match_window_timed(df, ts, cols, group_by, timed, out):
     """Existence of a wildcard chain with per-link upper time bounds,
     as chained running-max windows carrying timestamps.
@@ -316,12 +347,24 @@ def _kernel_path(df, steps, ts, cols, group_by, count_all, out):
     )
 
 
-def sequence_match_events(df, pattern_str, ts, conds, group_by, out="m_ts"):
-    """Matched ``(?N)`` step timestamps of the first match; ``[]`` if none."""
+def sequence_match_events(df, pattern_str, ts, conds, group_by, out="m_ts",
+                          use_kernel=False):
+    """Matched ``(?N)`` step timestamps of the first match; ``[]`` if none.
+
+    Wildcard chains take a JVM-only path: the lazy NFA's first match
+    is greedy-earliest per step (the earliest feasible anchor never
+    hurts when links are unbounded), which chained per-group MIN
+    windows express with one shuffle and no arrays. Other shapes run
+    the collecting NFA kernel.
+    """
     steps, cols = _check(pattern_str, conds)
     group_by = list(group_by)
     ts_col = F.col(ts)
     ev = df.where(ts_col.isNotNull())
+
+    shape, cidx = P.classify(steps)
+    if shape == P.SHAPE_WILDCARD and not use_kernel:
+        return _events_window(ev, ts, cols, group_by, cidx, out)
 
     def kernel(arrs):
         m = arrs["m"]

@@ -131,3 +131,57 @@ class TestTimedSequenceWindow:
         plan = q._jdf.queryExecution().optimizedPlan().toString()
         assert "InPandas" not in plan and "ArrowEvalPython" not in plan, plan
         assert q.collect()[0]["matched"] is True
+
+
+class TestEventsWindow:
+    """sequence_match_events wildcard fast path: greedy-earliest
+    windows must equal the collecting NFA."""
+
+    def test_randomized_equals_kernel(self, spark):
+        import random
+        from duckdb_behavioral_spark.kernels.pattern import (
+            execute_pattern_events,
+            parse_pattern,
+        )
+        from duckdb_behavioral_spark.operators.sequence import sequence_match_events
+
+        rng = random.Random(77)
+        pat, k = "(?1).*(?2).*(?3)", 3
+        steps = parse_pattern(pat)
+        rows, expect = [], {}
+        for g in range(150):
+            n = rng.randint(0, 14)
+            ts_us = sorted(rng.sample(range(0, 30_000_000, 500_000), n))
+            mask = [rng.randrange(1, 1 << k) for _ in range(n)]
+            r = execute_pattern_events(steps, ts_us, mask)
+            expect[g] = [] if r is None else list(r)
+            rows.extend(
+                (g, T0 + timedelta(microseconds=u), m) for u, m in zip(ts_us, mask)
+            )
+        df = spark.createDataFrame(rows, "g long, ts timestamp, m long")
+        got = {
+            r["g"]: [int((t - T0).total_seconds() * 1_000_000) for t in r["m_ts"]]
+            for r in sequence_match_events(
+                df, pat, "ts", [f"(m & {1 << s}) != 0" for s in range(k)], ["g"]
+            ).collect()
+        }
+        assert got == {g: v for g, v in expect.items() if g in got}
+
+    def test_partial_match_is_empty_and_kernel_fallback(self, spark):
+        from duckdb_behavioral_spark.operators.sequence import sequence_match_events
+
+        df = spark.createDataFrame(
+            [(1, T0, 2), (2, T0, 1)], "g long, ts timestamp, m long"
+        )
+        got = {
+            r["g"]: list(r["m_ts"])
+            for r in sequence_match_events(
+                df, "(?1).*(?2)", "ts", ["(m&1)!=0", "(m&2)!=0"], ["g"]
+            ).collect()
+        }
+        assert got == {1: [], 2: []}
+        # adjacent shape must dispatch to the exact kernel
+        adj = sequence_match_events(
+            df, "(?1)(?2)", "ts", ["(m&1)!=0", "(m&2)!=0"], ["g"]
+        )
+        assert "InPandas" in adj._jdf.queryExecution().optimizedPlan().toString()
