@@ -94,12 +94,21 @@ FROM s GROUP BY user_id, session_id
 # ---------------------------------------------------------------------------
 
 def q2_retention(spark, sf_dir):
-    return B.retention(_events(spark, sf_dir), [SIGNUP, VIEW, PURCHASE], ["user_id"])
+    # The operator returns array<boolean> (fixed length = #conditions);
+    # project it to scalar flag columns so the driver's canonicalizer
+    # can hash the result (pandas can't factorize list cells).
+    r = B.retention(_events(spark, sf_dir), [SIGNUP, VIEW, PURCHASE], ["user_id"])
+    return r.select(
+        "user_id",
+        F.col("r")[0].alias("r0"),
+        F.col("r")[1].alias("r1"),
+        F.col("r")[2].alias("r2"),
+    )
 
 
-# r[0] = anchor ever true; r[i] = anchor AND cond_i ever true.
+# r0 = anchor ever true; r_i = anchor AND cond_i ever true.
 Q2_SQL = """
-SELECT user_id, [a, a AND v, a AND p] AS r
+SELECT user_id, a AS r0, a AND v AS r1, a AND p AS r2
 FROM (
   SELECT user_id,
          bool_or(event_type = 'signup')   AS a,
@@ -238,13 +247,22 @@ FROM (SELECT DISTINCT user_id FROM events) u LEFT JOIN c ON u.user_id = c.user_i
 
 
 def q8_sequence_match_events(spark, sf_dir):
-    return B.sequence_match_events(
+    # The operator returns the matched step timestamps as an array
+    # (length = #(?N) steps, empty when no match); unpack to scalar
+    # columns (NULL/NULL = no match) so the driver can hash the result.
+    m = B.sequence_match_events(
         _events(spark, sf_dir), "(?1).*(?2)", "ts", [VIEW, PURCHASE], ["user_id"]
+    )
+    return m.select(
+        "user_id",
+        F.try_element_at("m_ts", F.lit(1)).alias("m0"),
+        F.try_element_at("m_ts", F.lit(2)).alias("m1"),
     )
 
 
 # Lazy first match of (?1).*(?2): anchor at the first view (any later
-# start is dominated), partner is the first purchase after it.
+# start is dominated), partner is the first purchase after it. A match
+# exists iff the partner exists; no-match groups emit NULL/NULL.
 Q8_SQL = """
 WITH fv AS (
   SELECT user_id, min(ts) FILTER (WHERE event_type = 'view') AS v
@@ -256,8 +274,8 @@ WITH fv AS (
   GROUP BY e.user_id
 )
 SELECT u.user_id,
-       CASE WHEN fp.p IS NOT NULL THEN [fv.v, fp.p]
-            ELSE CAST([] AS TIMESTAMP[]) END AS m_ts
+       CASE WHEN fp.p IS NOT NULL THEN fv.v END AS m0,
+       fp.p AS m1
 FROM (SELECT DISTINCT user_id FROM events) u
 LEFT JOIN fv ON u.user_id = fv.user_id
 LEFT JOIN fp ON u.user_id = fp.user_id
