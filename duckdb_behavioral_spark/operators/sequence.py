@@ -157,21 +157,31 @@ def _match_window(df, ts, cols, group_by, shape, cidx, out):
 def _events_window(ev, ts, cols, group_by, cidx, out):
     """First-match step timestamps for wildcard chains: m_0 = earliest
     c_0 event; m_j = earliest c_j event strictly after m_{j-1}. All
-    chained full-partition MIN windows (no orderBy, no sort)."""
+    chained full-partition MIN windows (no orderBy, no sort).
+
+    "After" is by *event*, not by timestamp: the NFA advances by row
+    index, so two events at the same microsecond (common after ns->us
+    truncation) can both participate in a match. Each event therefore
+    carries a unique ordinal (``monotonically_increasing_id``) and the
+    chain compares ``struct(t, ordinal)`` lexicographically — equal
+    timestamps chain through the ordinal, matching the kernel's
+    tie-order-arbitrary row advance."""
     from pyspark.sql import Window
 
     ts_col = F.col(ts)
     w = Window.partitionBy(*group_by)
-    bools = [F.coalesce(c, F.lit(False)) for c in cols]
+    bools = [F.coalesce(c, F.lit(False)) & ts_col.isNotNull() for c in cols]
     cur = ev.select(
         *group_by, F.unix_micros(ts_col).alias("__tu"),
+        F.monotonically_increasing_id().alias("__mid"),
         *[b.alias(f"__b{i}") for i, b in enumerate(bools)],
     )
+    key = F.struct(F.col("__tu").alias("t"), F.col("__mid").alias("i"))
     for j, ci in enumerate(cidx):
         cond = F.col(f"__b{ci}")
         if j > 0:
-            cond = cond & (F.col("__tu") > F.col(f"__m{j-1}"))
-        cur = cur.withColumn(f"__m{j}", F.min(F.when(cond, F.col("__tu"))).over(w))
+            cond = cond & (key > F.col(f"__m{j-1}"))
+        cur = cur.withColumn(f"__m{j}", F.min(F.when(cond, key)).over(w))
     k = len(cidx)
     agg = cur.groupBy(*group_by).agg(
         *[F.min(f"__m{j}").alias(f"__m{j}") for j in range(k)]
@@ -180,7 +190,8 @@ def _events_window(ev, ts, cols, group_by, cidx, out):
     for j in range(1, k):
         complete = complete & F.col(f"__m{j}").isNotNull()
     arr = F.when(
-        complete, F.array(*[F.timestamp_micros(F.col(f"__m{j}")) for j in range(k)])
+        complete,
+        F.array(*[F.timestamp_micros(F.col(f"__m{j}")["t"]) for j in range(k)]),
     ).otherwise(F.array().cast("array<timestamp>"))
     return agg.select(*group_by, arr.alias(out))
 
@@ -323,8 +334,12 @@ def _wildcard_count(arr, cidx, k):
 # ---------------------------------------------------------------------------
 
 def _kernel_path(df, steps, ts, cols, group_by, count_all, out):
+    # NULL-out rows with a NULL timestamp (mask 0 is dropped inside the
+    # kernel) instead of filtering them: a group whose rows all have
+    # NULL timestamps must still appear in the output, matching the
+    # window/hof strategies (see _event_array docstring).
     ts_col = F.col(ts)
-    ev = df.where(ts_col.isNotNull())
+    ev = df
 
     def kernel(arrs):
         m = arrs["m"]
@@ -340,7 +355,10 @@ def _kernel_path(df, steps, ts, cols, group_by, count_all, out):
     return grouped_scan(
         ev,
         group_by,
-        {"t": F.unix_micros(ts_col), "m": condition_bitmask(cols)},
+        {
+            "t": F.coalesce(F.unix_micros(ts_col), F.lit(0)),
+            "m": F.when(ts_col.isNotNull(), condition_bitmask(cols)).otherwise(F.lit(0)),
+        },
         "t",
         kernel,
         [field],
@@ -360,11 +378,10 @@ def sequence_match_events(df, pattern_str, ts, conds, group_by, out="m_ts",
     steps, cols = _check(pattern_str, conds)
     group_by = list(group_by)
     ts_col = F.col(ts)
-    ev = df.where(ts_col.isNotNull())
 
     shape, cidx = P.classify(steps)
     if shape == P.SHAPE_WILDCARD and not use_kernel:
-        return _events_window(ev, ts, cols, group_by, cidx, out)
+        return _events_window(df, ts, cols, group_by, cidx, out)
 
     def kernel(arrs):
         m = arrs["m"]
@@ -372,10 +389,15 @@ def sequence_match_events(df, pattern_str, ts, conds, group_by, out="m_ts",
         res = P.execute_pattern_events(steps, arrs["t"][nz], m[nz])
         return ([] if res is None else [int(x) for x in res],)
 
+    # NULL-ts rows are masked to 0 (dropped inside the kernel) rather
+    # than filtered, so all-NULL groups still emit an empty array.
     got = grouped_scan(
-        ev,
+        df,
         group_by,
-        {"t": F.unix_micros(ts_col), "m": condition_bitmask(cols)},
+        {
+            "t": F.coalesce(F.unix_micros(ts_col), F.lit(0)),
+            "m": F.when(ts_col.isNotNull(), condition_bitmask(cols)).otherwise(F.lit(0)),
+        },
         "t",
         kernel,
         [T.StructField("__us", T.ArrayType(T.LongType(), False), False)],
