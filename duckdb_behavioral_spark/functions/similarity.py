@@ -156,8 +156,30 @@ FROM e
 
 # --- IVF (inverted-file) approximate top-k --------------------------------
 
-CENT_MOD = 50  # every 50th vector is a centroid -> ncent scales with corpus
-NPROBE = 2     # clusters probed per query
+NCENT = 32   # FIXED centroid count — corpus-size-independent by design
+NPROBE = 2   # clusters probed per query
+
+
+def _centroids(e: DataFrame) -> DataFrame:
+    """Fixed-``NCENT`` deterministic centroid sample.
+
+    Rank the corpus by a 48-bit md5 of the vector id (a deterministic
+    uniform shuffle both engines compute identically) and take the
+    first ``NCENT``. The centroid table is O(NCENT) no matter the
+    corpus size — selection is a TakeOrdered (per-partition top-k, no
+    full sort), and the broadcast below stays constant-size at 100 TB.
+    A production system would k-means-train these; a deterministic
+    uniform sample is the standard init and keeps the oracle exact.
+    """
+    h = F.conv(F.substring(F.md5(F.col("cid").cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+    return (
+        e.withColumn("__h", h)
+        .orderBy(F.asc("__h"), F.asc("cid"))
+        .limit(NCENT)
+        .select(F.col("cid").alias("ctr_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
+    )
 
 
 def ann_ivf_topk(
@@ -167,18 +189,19 @@ def ann_ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-style ANN: assign each vector to its nearest deterministic
-    centroid (``vec_id % CENT_MOD == 0``), then answer queries by
-    scanning only the ``NPROBE`` closest clusters.
+    """IVF-style ANN: assign each vector to its nearest centroid from a
+    fixed-size deterministic sample, then answer queries by scanning
+    only the ``NPROBE`` closest clusters.
 
-    Scale path: the centroid table is tiny and broadcast, so both the
-    assignment pass and the probe are map-side — the corpus is scanned
-    once with no shuffle; only candidates from probed clusters reach
-    the per-query ranking window. At 100 TB the cluster assignment
-    would be precomputed/bucketed once and reused across queries.
-    Approximate by design: recall vs ``ann_cosine_topk`` depends on
-    NPROBE. Ties break on smaller centroid/neighbor id; folds are
-    left-to-right so both engines agree bitwise.
+    Scale path: the centroid table is O(NCENT) — corpus-independent —
+    and broadcast, so both the assignment pass and the probe are
+    map-side: the corpus is scanned once with no shuffle; only
+    candidates from probed clusters reach the per-query ranking
+    window. At 100 TB the cluster assignment would be precomputed/
+    bucketed once and reused across queries. Approximate by design:
+    recall vs ``ann_cosine_topk`` depends on NPROBE. Ties break on
+    smaller centroid/neighbor id; folds are left-to-right so both
+    engines agree bitwise.
     """
     e = (
         df.select(
@@ -187,17 +210,25 @@ def ann_ivf_topk(
         .withColumn("nrm", _norm(F.col("v")))
         .where(F.col("nrm") > 0)
     )
-    cent = e.where(F.col("cid") % CENT_MOD == 0).select(
-        F.col("cid").alias("ctr_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
-    )
+    cent = _centroids(e)
+    # Nearest-centroid assignment as a partial-aggregating max_by
+    # (csim desc, ctr_id asc): the broadcast join fans each vector out
+    # to NCENT rows map-side, and the hash aggregate collapses them
+    # back to one row per vector *before* the shuffle — the exchange
+    # carries n rows, not n x NCENT (a window rank here would shuffle
+    # the full fan-out).
     csim = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
-    w_assign = Window.partitionBy("cid").orderBy(F.desc("csim"), F.asc("ctr_id"))
     assigned = (
         e.join(F.broadcast(cent))
         .withColumn("csim", csim)
-        .withColumn("rnk", F.row_number().over(w_assign))
-        .where(F.col("rnk") == 1)
-        .select("cid", "v", "nrm", F.col("ctr_id").alias("cluster"))
+        .groupBy("cid")
+        .agg(
+            F.first("v").alias("v"),
+            F.first("nrm").alias("nrm"),
+            F.max_by(
+                "ctr_id", F.struct(F.col("csim").alias("s"), (-F.col("ctr_id")).alias("t"))
+            ).alias("cluster"),
+        )
     )
     q = assigned.where(F.col("cid") < n_queries).select(
         F.col("cid").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
@@ -244,7 +275,9 @@ WITH e AS (
 ), n2 AS (
   SELECT * FROM n WHERE nrm > 0
 ), cent AS (
-  SELECT cid AS ctr_id, v AS cv, nrm AS cn FROM n2 WHERE cid % {CENT_MOD} = 0
+  SELECT cid AS ctr_id, v AS cv, nrm AS cn FROM n2
+  ORDER BY ('0x' || substr(md5(CAST(cid AS VARCHAR)), 1, 12))::BIGINT ASC, cid ASC
+  LIMIT {NCENT}
 ), assigned AS (
   SELECT cid, v, nrm, ctr_id AS cluster FROM (
     SELECT n2.cid, n2.v, n2.nrm, cent.ctr_id,
