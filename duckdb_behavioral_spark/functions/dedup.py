@@ -45,11 +45,6 @@ from duckdb_behavioral_spark.functions.common import (
 )
 
 JACCARD_THRESHOLD_TENTHS = 6  # pairs with jaccard >= 0.6
-# Blocking bucket width: near-dup candidates must fall in the same
-# (lang, n_chars div 16) block. Narrower buckets = fewer candidate
-# pairs (quadratic win); high-threshold near-dups have near-equal
-# lengths, so recall loss is at bucket borders only.
-BLOCK_CHARS = 16
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,79 +73,61 @@ FROM documents GROUP BY md5(text)
 
 
 # ---------------------------------------------------------------------------
-# blocked n-gram Jaccard
+# n-gram Jaccard (MinHash-LSH candidates, exact verification)
 # ---------------------------------------------------------------------------
 
-def _with_shingles(df: DataFrame) -> DataFrame:
-    """(doc_id, lang, blk, sh) with sh = distinct hashed 3-gram shingles.
+def _shingle_sets(df: DataFrame) -> DataFrame:
+    """(doc_id, sh) with sh = distinct hashed 3-gram shingles.
 
     Shingles are hashed to 48-bit ints (native md5) so the pairwise
-    intersections compare longs, not strings. The trailing repartition
-    is a deliberate projection barrier: without it Catalyst inlines the
-    shingle expression into both legs of the self-join and into every
-    downstream reference, recomputing it per use.
+    intersections compare longs, not strings. The checkpoint is a
+    deliberate barrier: the set feeds both legs of the candidate join
+    and Catalyst would otherwise inline-recompute the interpreted HOF
+    pipeline once per leg.
     """
-    return df.select(
-        "doc_id",
-        "lang",
-        F.expr(f"n_chars div {BLOCK_CHARS}").alias("blk"),
-        F.array_distinct(
-            F.transform(shingles3(tokens(F.col("text"))), md5_hash48)
-        ).alias("sh"),
-    ).repartition("blk")
+    return (
+        df.select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(shingles3(tokens(F.col("text"))), md5_hash48)
+            ).alias("sh"),
+        )
+        .repartition("doc_id")
+        .localCheckpoint(eager=False)
+    )
 
 
 def dedup_ngram_jaccard(df: DataFrame) -> DataFrame:
-    """Blocked pairwise ``array_intersect``. An inverted-index
-    (explode + co-occurrence count) variant was benchmarked 1.6x
-    SLOWER here: common shingles are hot join keys, so the
-    co-occurrence join emits far more rows than the blocked pairwise
-    comparison. With high-threshold near-dup blocking the pair count
-    is small and per-pair intersection wins.
+    """Exact Jaccard verification over MinHash-LSH candidate pairs.
+
+    Candidate generation is the banded LSH bucket join — O(docs*bands)
+    rows, no all-pairs work — and the expensive ``array_intersect``
+    runs only on pairs that already collide in >=1 band. An earlier
+    (lang, length-bucket) blocked all-pairs variant was O(block^2) on
+    hot blocks: a corpus concentrated in one block went quadratic no
+    matter its content (see tests/test_dedup_scale.py); LSH buckets split on
+    *content*, so only true near-duplicate mass densifies a bucket.
+    Recall is the LSH collision probability at the threshold —
+    1-(1-j^r)^b, the standard tunable — with no length/language prior.
     """
-    d = _with_shingles(df)
-    a, b = d.alias("a"), d.alias("b")
-    sa, sb = F.size(F.col("a.sh")), F.size(F.col("b.sh"))
-    # lossless size prune: jaccard >= thr forces min/max set-size ratio
-    # >= thr (inter <= min, union >= max), so mismatched sizes skip the
-    # expensive intersection entirely — O(1) vs O(|sh|) per pair
-    pairs = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.blk") == F.col("b.blk"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
-        & (10 * F.least(sa, sb) >= JACCARD_THRESHOLD_TENTHS * F.greatest(sa, sb)),
+    cand = minhash_candidate_pairs(df).select("doc_a", "doc_b")
+    sh = _shingle_sets(df)
+    pairs = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")), "doc_b")
     )
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    uni = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    uni = F.size(F.col("sha")) + F.size(F.col("shb")) - inter
     return (
         pairs.select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            "doc_a",
+            "doc_b",
             inter.cast("long").alias("n_inter"),
             uni.cast("long").alias("n_union"),
         )
         .where((F.col("n_union") > 0)
                & (10 * F.col("n_inter") >= JACCARD_THRESHOLD_TENTHS * F.col("n_union")))
     )
-
-
-DEDUP_JACCARD_SQL = f"""
-WITH d AS (
-  SELECT doc_id, lang, n_chars // {BLOCK_CHARS} AS blk,
-         list_distinct(list_transform({sql_shingles3(sql_tokens('text'))},
-                                      x -> {sql_md5_hash48('x')})) AS sh
-  FROM documents
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
-       CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_union
-FROM d a JOIN d b
-  ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
-WHERE len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
-  AND 10 * len(list_intersect(a.sh, b.sh))
-      >= {JACCARD_THRESHOLD_TENTHS} * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-"""
 
 
 # ---------------------------------------------------------------------------
@@ -257,6 +234,29 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_bands
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
+"""
+
+DEDUP_JACCARD_SQL = _sql_minhash_sigs() + f"""
+, cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), shs AS (
+  SELECT doc_id,
+         list_distinct(list_transform({sql_shingles3(sql_tokens('text'))},
+                                      x -> {sql_md5_hash48('x')})) AS sh
+  FROM documents
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+       CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_union
+FROM cand c
+JOIN shs a ON a.doc_id = c.doc_a
+JOIN shs b ON b.doc_id = c.doc_b
+WHERE len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
+  AND 10 * len(list_intersect(a.sh, b.sh))
+      >= {JACCARD_THRESHOLD_TENTHS} * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
 """
 
 
