@@ -234,16 +234,21 @@ def _funnel_kernel(df, window_us, ts, cols, group_by, k, mode_bits, out, cap=Non
     # they are semantically inert for the funnel scan — but keeping them
     # preserves group presence (step 0) for groups with no qualifying
     # events. The kernel skips them implicitly (no condition bit set).
+    # NULL-ts rows are masked to 0 (inert) rather than filtered so a
+    # group whose rows all have NULL timestamps still surfaces (step 0),
+    # matching the window/hof strategies.
     ts_col = F.col(ts)
-    ev = df.where(ts_col.isNotNull())
 
     def kernel(arrs):
         return (funnel_max_step(arrs["t"], arrs["m"], window_us, k, mode_bits),)
 
     return grouped_scan(
-        ev,
+        df,
         group_by,
-        {"t": F.unix_micros(ts_col), "m": condition_bitmask(cols)},
+        {
+            "t": F.coalesce(F.unix_micros(ts_col), F.lit(0)),
+            "m": F.when(ts_col.isNotNull(), condition_bitmask(cols)).otherwise(F.lit(0)),
+        },
         "t",
         kernel,
         [T.StructField(out, T.IntegerType(), False)],

@@ -174,6 +174,168 @@ Q4_SQL = _funnel_sql(H2_US)
 
 
 # ---------------------------------------------------------------------------
+# Q13–Q16 — window_funnel non-default modes (oracle rows per mode)
+#
+# The synthetic events have mutually exclusive conditions and distinct
+# per-user timestamps, so each oracle re-derives the mode's kernel
+# semantics (kernels/funnel.py, reference src/window_funnel.rs:49-210)
+# in terms of chains with interleaving constraints:
+#   strict          — break when an event re-matches the just-completed
+#                     step; the scan is GREEDY, so the first view-or-
+#                     click after the entry must be the click, and the
+#                     first click-or-purchase after it the purchase
+#   strict_order    — any earlier-step condition ends the scan: first
+#                     view-or-click after the entry must be the click,
+#                     first view-or-click-or-purchase after it the
+#                     purchase
+#   timestamp_dedup — skip same-timestamp advances; on hour-truncated
+#                     timestamps this equals requiring strictly
+#                     increasing truncated times (tie order never
+#                     matters, so the result is deterministic)
+#   allow_reentry   — a view mid-chain restarts the scan; the scan
+#                     returns its FINAL state, so step 2 means "the
+#                     last view-or-click inside some view's window is
+#                     a click", and step 3 means "some purchase whose
+#                     latest preceding view-or-click is a click b, with
+#                     a view in [c-W, b)"
+# ---------------------------------------------------------------------------
+
+D3_US = 3 * 24 * H1_US
+D1_US = 24 * H1_US
+
+
+def q13_funnel_strict(spark, sf_dir):
+    return B.window_funnel(
+        _events(spark, sf_dir), "72 hours", "ts", [VIEW, CLICK, PURCHASE], ["user_id"],
+        mode="strict",
+    )
+
+
+def q14_funnel_strict_order(spark, sf_dir):
+    return B.window_funnel(
+        _events(spark, sf_dir), "72 hours", "ts", [VIEW, CLICK, PURCHASE], ["user_id"],
+        mode="strict_order",
+    )
+
+
+def q15_funnel_timestamp_dedup(spark, sf_dir):
+    df = _events(spark, sf_dir).withColumn("tsh", F.date_trunc("hour", F.col("ts")))
+    return B.window_funnel(
+        df, "24 hours", "tsh", [VIEW, CLICK, PURCHASE], ["user_id"],
+        mode="timestamp_dedup",
+    )
+
+
+def q16_funnel_allow_reentry(spark, sf_dir):
+    return B.window_funnel(
+        _events(spark, sf_dir), "72 hours", "ts", [VIEW, CLICK, PURCHASE], ["user_id"],
+        mode="allow_reentry",
+    )
+
+
+def _mode_funnel_sql(s2_body: str, s3_body: str) -> str:
+    return f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+v AS (SELECT user_id, t FROM e WHERE event_type = 'view'),
+c AS (SELECT user_id, t FROM e WHERE event_type = 'click'),
+p AS (SELECT user_id, t FROM e WHERE event_type = 'purchase'),
+vc AS (SELECT user_id, t, event_type FROM e
+       WHERE event_type IN ('view', 'click')),
+cp AS (SELECT user_id, t FROM e WHERE event_type IN ('click', 'purchase')),
+vcp AS (SELECT user_id, t FROM e
+        WHERE event_type IN ('view', 'click', 'purchase')),
+s2 AS ({s2_body}),
+s3 AS ({s3_body}),
+s1 AS (SELECT DISTINCT user_id FROM v)
+SELECT u.user_id,
+       CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                 WHEN s2.user_id IS NOT NULL THEN 2
+                 WHEN s1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS INTEGER) AS step
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN s1 ON u.user_id = s1.user_id
+LEFT JOIN s2 ON u.user_id = s2.user_id
+LEFT JOIN s3 ON u.user_id = s3.user_id
+"""
+
+
+# first view-or-click after the entry, inside the window, is a click
+_S2_FIRST_VC_IS_CLICK = f"""
+  SELECT DISTINCT a.user_id FROM v a JOIN c b
+    ON b.user_id = a.user_id
+   AND b.t = (SELECT min(x.t) FROM vc x
+              WHERE x.user_id = a.user_id AND x.t > a.t
+                AND x.t <= a.t + {D3_US})
+"""
+
+
+def _greedy_s3(third_pool: str) -> str:
+    # ... and the first event from `third_pool` after that click,
+    # still inside the ENTRY's window, is a purchase
+    return f"""
+  SELECT DISTINCT a.user_id FROM v a
+  JOIN c b ON b.user_id = a.user_id
+          AND b.t = (SELECT min(x.t) FROM vc x
+                     WHERE x.user_id = a.user_id AND x.t > a.t
+                       AND x.t <= a.t + {D3_US})
+  JOIN p pp ON pp.user_id = a.user_id
+           AND pp.t = (SELECT min(y.t) FROM {third_pool} y
+                       WHERE y.user_id = a.user_id AND y.t > b.t
+                         AND y.t <= a.t + {D3_US})
+"""
+
+
+Q13_SQL = _mode_funnel_sql(_S2_FIRST_VC_IS_CLICK, _greedy_s3("cp"))
+Q14_SQL = _mode_funnel_sql(_S2_FIRST_VC_IS_CLICK, _greedy_s3("vcp"))
+
+# timestamp_dedup on hour-truncated ts: advancing requires a strictly
+# later truncated timestamp, which is exactly the default-funnel chain
+# condition on the truncated time axis.
+Q15_SQL = f"""
+WITH e AS (SELECT user_id, epoch_us(date_trunc('hour', ts)) AS t, event_type
+           FROM events),
+s1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+s2 AS (SELECT DISTINCT a.user_id
+       FROM e a JOIN e b ON a.user_id = b.user_id
+       WHERE a.event_type = 'view' AND b.event_type = 'click'
+         AND b.t > a.t AND b.t - a.t <= {D1_US}),
+s3 AS (SELECT DISTINCT a.user_id
+       FROM e a JOIN e b ON a.user_id = b.user_id
+                JOIN e cc ON b.user_id = cc.user_id
+       WHERE a.event_type = 'view' AND b.event_type = 'click'
+         AND cc.event_type = 'purchase'
+         AND b.t > a.t AND cc.t > b.t AND cc.t - a.t <= {D1_US})
+SELECT u.user_id,
+       CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                 WHEN s2.user_id IS NOT NULL THEN 2
+                 WHEN s1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS INTEGER) AS step
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN s1 ON u.user_id = s1.user_id
+LEFT JOIN s2 ON u.user_id = s2.user_id
+LEFT JOIN s3 ON u.user_id = s3.user_id
+"""
+
+Q16_SQL = _mode_funnel_sql(
+    f"""
+  SELECT DISTINCT a.user_id FROM v a
+  JOIN vc l ON l.user_id = a.user_id AND l.event_type = 'click'
+  WHERE l.t = (SELECT max(x.t) FROM vc x
+               WHERE x.user_id = a.user_id AND x.t > a.t AND x.t <= a.t + {D3_US})
+""",
+    f"""
+  SELECT DISTINCT pc.user_id FROM (
+    SELECT pp.user_id, pp.t AS ct,
+           (SELECT max(x.t) FROM vc x
+            WHERE x.user_id = pp.user_id AND x.t < pp.t) AS bt
+    FROM p pp) pc
+  JOIN vc b ON b.user_id = pc.user_id AND b.t = pc.bt AND b.event_type = 'click'
+  JOIN v a ON a.user_id = pc.user_id AND a.t >= pc.ct - {D3_US} AND a.t < pc.bt
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # Q5–Q8 — sequence functions (stream filtered to view/purchase events)
 # ---------------------------------------------------------------------------
 
@@ -388,6 +550,10 @@ CORE_QUERIES = {
     "q10_next_node_backward": q10_next_node_backward,
     "q11_session_stats": q11_session_stats,
     "q12_funnel_dropoff": q12_funnel_dropoff,
+    "q13_funnel_strict": q13_funnel_strict,
+    "q14_funnel_strict_order": q14_funnel_strict_order,
+    "q15_funnel_timestamp_dedup": q15_funnel_timestamp_dedup,
+    "q16_funnel_allow_reentry": q16_funnel_allow_reentry,
 }
 
 CORE_ORACLES = {
@@ -403,4 +569,8 @@ CORE_ORACLES = {
     "q10_next_node_backward": Q10_SQL,
     "q11_session_stats": Q11_SQL,
     "q12_funnel_dropoff": Q12_SQL,
+    "q13_funnel_strict": Q13_SQL,
+    "q14_funnel_strict_order": Q14_SQL,
+    "q15_funnel_timestamp_dedup": Q15_SQL,
+    "q16_funnel_allow_reentry": Q16_SQL,
 }
