@@ -117,6 +117,22 @@ def range_join(
     intervals with no points (NULL point columns — callers typically
     ``count(point_col)``).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r}")
+    if how == "left":
+        # Unique row tag so the unmatched-recovery anti-join compares
+        # identity, not values: anti-joining on the interval COLUMNS
+        # would never match rows with a NULL payload column (emitting a
+        # matched interval twice) and would conflate duplicate interval
+        # rows. The checkpoint pins the nondeterministic ids so both
+        # branches see the same tags.
+        intervals = intervals.withColumn(
+            "__iid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=False)
+        icols = [c for c in intervals.columns if c != "__iid"] + ["__iid"]
+    else:
+        icols = list(intervals.columns)
+
     pu = F.unix_micros(F.col(point_ts))
     iu = F.unix_micros(F.col(interval_start))
     p2 = points.where(F.col(point_ts).isNotNull()).withColumn(
@@ -147,21 +163,21 @@ def range_join(
         i2.alias("i")
         .join(p2.alias("p"), _and_all(cond), "inner")
         .select(
-            *[F.col(f"i.{c}") for c in intervals.columns],
+            *[F.col(f"i.{c}") for c in icols],
             *[F.col(f"p.{c}") for c in point_cols],
         )
     )
     if how == "inner":
         return inner
-    if how != "left":
-        raise ValueError(f"unsupported how={how!r}")
-    # left: add back intervals with no in-range points (NULL point cols)
+    # left: add back intervals with no in-range points (NULL point
+    # cols). NULL-start intervals were excluded from i2 entirely, so
+    # they resurface here too.
     unmatched = intervals.join(
-        inner.select(*intervals.columns).distinct(), on=intervals.columns, how="left_anti"
+        inner.select("__iid").distinct(), on="__iid", how="left_anti"
     )
     p_schema = {f.name: f.dataType for f in points.schema.fields}
     null_points = [F.lit(None).cast(p_schema[c]).alias(c) for c in point_cols]
-    return inner.unionByName(unmatched.select("*", *null_points))
+    return inner.unionByName(unmatched.select(*icols, *null_points)).drop("__iid")
 
 
 def _and_all(conds):

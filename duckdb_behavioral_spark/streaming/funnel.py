@@ -58,7 +58,13 @@ def stateful_funnel_stream(
 
     def fold(key, pdfs: Iterable[pd.DataFrame], state) -> Iterable[pd.DataFrame]:
         dp = list(state.get[0]) if state.exists else [_SENTINEL] * k
-        for pdf in pdfs:
+        # Concatenate the key's chunks and sort ONCE: a micro-batch
+        # spanning several Arrow chunks is not globally time-sorted if
+        # each chunk is sorted independently (the fold is order-
+        # sensitive). Only this key's batch rows are materialized.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values("__t", kind="mergesort")
             for t, m in zip(pdf["__t"].tolist(), pdf["__m"].tolist()):
                 new = list(dp)

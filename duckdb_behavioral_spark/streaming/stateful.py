@@ -51,7 +51,13 @@ def stateful_sessionize_stream(
             last_ts_us, session_count = state.get
         else:
             last_ts_us, session_count = None, 0
-        for pdf in pdfs:
+        # One key's micro-batch can span several Arrow chunks; sorting
+        # each chunk independently is NOT globally time-sorted.
+        # Concatenate and sort once — this materializes only this
+        # key's rows for this micro-batch (state stays O(1)).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values(ts, kind="mergesort")
             ts_us = (pdf[ts].astype("int64") // 1000).tolist()
             ids = []

@@ -108,3 +108,36 @@ def test_range_join_no_duplicate_pairs(spark):
     )
     out = range_join(points, intervals, ["k"], "pts", "ets", 60_000_000, how="inner")
     assert out.count() == 1
+
+
+def test_range_left_null_payload_not_duplicated(spark):
+    # a matched interval carrying a NULL payload column must appear
+    # exactly once (identity-tagged recovery, not value anti-join)
+    T0 = datetime(2024, 1, 1)
+    iv = spark.createDataFrame(
+        [(1, T0, None), (1, T0 + timedelta(hours=10), "x")],
+        "k int, start timestamp, payload string",
+    )
+    pts = spark.createDataFrame(
+        [(1, T0 + timedelta(minutes=5))], "k int, pt timestamp"
+    )
+    got = range_join(pts, iv, ["k"], "pt", "start",
+                     window_us=3_600_000_000, how="left").collect()
+    matched = [r for r in got if r.payload is None and r.start == T0]
+    assert len(matched) == 1 and matched[0].pt is not None
+    unmatched = [r for r in got if r.payload == "x"]
+    assert len(unmatched) == 1 and unmatched[0].pt is None
+
+
+def test_range_left_duplicate_intervals_kept(spark):
+    # two identical interval rows each surface (matched or not)
+    T0 = datetime(2024, 1, 1)
+    iv = spark.createDataFrame(
+        [(1, T0), (1, T0)], "k int, start timestamp"
+    )
+    pts = spark.createDataFrame(
+        [(1, T0 + timedelta(minutes=5))], "k int, pt timestamp"
+    )
+    got = range_join(pts, iv, ["k"], "pt", "start",
+                     window_us=3_600_000_000, how="left").collect()
+    assert len(got) == 2 and all(r.pt is not None for r in got)
