@@ -30,11 +30,12 @@ fast-path classification (reference: src/pattern/executor.rs:60-124):
   the exact Python NFA port (kernels/pattern.py) via the grouped
   mapInPandas engine.
 
-Invalid patterns raise ``PatternError`` at plan time. (The reference
-returns NULL results for groups with an invalid pattern string —
-src/ffi/sequence.rs:108-111 — but its pattern argument is a query-time
-constant, so failing fast at plan time is the Spark-idiomatic
-equivalent; all reference test queries use valid patterns.)
+Invalid patterns raise ``PatternError`` at plan time by default
+(Spark-idiomatic: the pattern is a query-time constant, so failing
+fast beats a silent all-NULL result). ``on_invalid='null'`` opts into
+the reference's exact behavior instead — one row per group with a
+NULL result (src/ffi/sequence.rs:104-141 sets the validity bitmap on
+pattern errors).
 """
 
 from __future__ import annotations
@@ -60,27 +61,45 @@ def _check(pattern_str: str, conds):
     steps = P.parse_pattern(pattern_str)
     hi = P.max_condition_index(steps)
     if hi >= len(cols):
-        raise ValueError(
-            f"pattern references condition {hi + 1} but only {len(cols)} conditions given"
+        # a pattern-content problem (like a parse error), not API misuse
+        raise P.PatternError(
+            f"pattern references condition {hi + 1} but only {len(cols)} conditions given",
+            0,
         )
     return steps, cols
 
 
+def _null_result(df, group_by, out, dtype):
+    """One row per group with a NULL result — the reference's behavior
+    for groups evaluated under an invalid pattern
+    (src/ffi/sequence.rs:108-111)."""
+    return df.groupBy(*list(group_by)).agg(
+        F.max(F.lit(None).cast(dtype)).alias(out)
+    )
+
+
 def sequence_match(df, pattern_str, ts, conds, group_by, out="matched",
-                   use_kernel=None, strategy=None):
+                   use_kernel=None, strategy=None, on_invalid="raise"):
     return _sequence(df, pattern_str, ts, conds, group_by, out, count_all=False,
-                     use_kernel=use_kernel, strategy=strategy)
+                     use_kernel=use_kernel, strategy=strategy, on_invalid=on_invalid)
 
 
 def sequence_count(df, pattern_str, ts, conds, group_by, out="c",
-                   use_kernel=None, strategy=None):
+                   use_kernel=None, strategy=None, on_invalid="raise"):
     return _sequence(df, pattern_str, ts, conds, group_by, out, count_all=True,
-                     use_kernel=use_kernel, strategy=strategy)
+                     use_kernel=use_kernel, strategy=strategy, on_invalid=on_invalid)
 
 
 def _sequence(df, pattern_str, ts, conds, group_by, out, count_all, use_kernel,
-              strategy=None):
-    steps, cols = _check(pattern_str, conds)
+              strategy=None, on_invalid="raise"):
+    if on_invalid not in ("raise", "null"):
+        raise ValueError(f"on_invalid must be 'raise' or 'null', got {on_invalid!r}")
+    try:
+        steps, cols = _check(pattern_str, conds)
+    except P.PatternError:
+        if on_invalid == "raise":
+            raise
+        return _null_result(df, group_by, out, "bigint" if count_all else "boolean")
     group_by = list(group_by)
     shape, cidx = P.classify(steps)
     timed = P.classify_timed(steps) if shape == P.SHAPE_COMPLEX else None
@@ -366,7 +385,7 @@ def _kernel_path(df, steps, ts, cols, group_by, count_all, out):
 
 
 def sequence_match_events(df, pattern_str, ts, conds, group_by, out="m_ts",
-                          use_kernel=False):
+                          use_kernel=False, on_invalid="raise"):
     """Matched ``(?N)`` step timestamps of the first match; ``[]`` if none.
 
     Wildcard chains take a JVM-only path: the lazy NFA's first match
@@ -375,7 +394,14 @@ def sequence_match_events(df, pattern_str, ts, conds, group_by, out="m_ts",
     windows express with one shuffle and no arrays. Other shapes run
     the collecting NFA kernel.
     """
-    steps, cols = _check(pattern_str, conds)
+    if on_invalid not in ("raise", "null"):
+        raise ValueError(f"on_invalid must be 'raise' or 'null', got {on_invalid!r}")
+    try:
+        steps, cols = _check(pattern_str, conds)
+    except P.PatternError:
+        if on_invalid == "raise":
+            raise
+        return _null_result(df, group_by, out, "array<timestamp>")
     group_by = list(group_by)
     ts_col = F.col(ts)
 
