@@ -33,10 +33,13 @@ from duckdb_behavioral_spark.operators import (
     sessionize_col,
     window_funnel,
 )
+from duckdb_behavioral_spark.sql_surface import behavioral_sql, rewrite_behavioral_sql
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "behavioral_sql",
+    "rewrite_behavioral_sql",
     "to_micros",
     "asof_join",
     "range_join",

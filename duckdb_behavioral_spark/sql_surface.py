@@ -1,0 +1,315 @@
+"""Verbatim SQL surface: run the reference's behavioral SQL through
+``spark.sql`` with zero rewriting by the caller.
+
+The reference registers its seven functions as SQL aggregates (and
+``sessionize`` as a window function) directly in the host engine
+(reference: src/ffi/mod.rs:64-84), so its users write::
+
+    SELECT user_id,
+           window_funnel(INTERVAL '1 hour', ts,
+             event_type = 'view', event_type = 'click') AS step
+    FROM events GROUP BY user_id
+
+Spark has no Python UDAF registration, so ``behavioral_sql`` closes
+the gap with a *targeted source-to-source rewrite*: each behavioral
+call form is expanded in place into Spark-executable SQL —
+
+- ``retention(c0, c1, …)`` → a pure JVM ``array(bool_or…)`` aggregate
+  expression (no Python at all);
+- ``window_funnel`` / ``sequence_match`` / ``sequence_count`` /
+  ``sequence_match_events`` / ``sequence_next_node`` → a
+  ``collect_list(struct(…))`` aggregate fed to the registered kernel
+  UDFs from :mod:`duckdb_behavioral_spark.sql`;
+- ``sessionize(ts, INTERVAL g) OVER (PARTITION BY k ORDER BY o)`` →
+  the lag/running-sum window derivation, rewriting the statement's
+  FROM clause to a derived table that adds the lag column (pure
+  window SQL, no UDF).
+
+Everything else in the statement — CTEs, WHERE, GROUP BY, ORDER BY,
+other select items — passes through untouched, so the SURVEY §2.4
+statements run verbatim (tests/test_sql_verbatim.py). The rewrite is
+purely lexical over a balanced-paren scan; it does not parse SQL.
+
+Scope notes: ``sessionize … OVER`` is supported in statements whose
+outer query reads ``FROM <identifier>`` (a table or CTE name) — the
+shape every reference test uses. One statement may contain many
+behavioral aggregate calls but at most one sessionize-OVER.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from duckdb_behavioral_spark.intervals import to_micros
+
+_AGG_FNS = (
+    "window_funnel",
+    "sequence_match_events",  # before sequence_match (prefix!)
+    "sequence_match",
+    "sequence_count",
+    "sequence_next_node",
+    "retention",
+)
+
+
+def behavioral_sql(spark: SparkSession, sql: str) -> DataFrame:
+    """Execute a reference-dialect behavioral SQL statement on Spark."""
+    from duckdb_behavioral_spark.sql import register
+
+    register(spark)
+    return spark.sql(rewrite_behavioral_sql(sql))
+
+
+def rewrite_behavioral_sql(sql: str) -> str:
+    """Source-to-source rewrite of behavioral calls into Spark SQL."""
+    sql = _rewrite_sessionize(sql)
+    for fn in _AGG_FNS:
+        sql = _rewrite_calls(sql, fn)
+    return sql
+
+
+# --- lexical helpers -------------------------------------------------------
+
+
+def _scan_call(sql: str, fn: str, start: int = 0):
+    """Find the next ``fn(…)`` call at or after ``start`` (outside
+    string literals); return (lo, hi, args) with hi past the closing
+    paren and args split at depth-0 commas, or None."""
+    pat = re.compile(rf"(?<![\w.]){fn}\s*\(", re.IGNORECASE)
+    pos = start
+    while True:
+        m = pat.search(sql, pos)
+        if not m:
+            return None
+        if _in_string(sql, m.start()):
+            pos = m.end()
+            continue
+        i = m.end()
+        depth = 1
+        args, cur = [], []
+        while i < len(sql) and depth:
+            c = sql[i]
+            if c == "'":
+                j = _skip_string(sql, i)
+                cur.append(sql[i:j])
+                i = j
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            elif c == "," and depth == 1:
+                args.append("".join(cur).strip())
+                cur = []
+                i += 1
+                continue
+            cur.append(c)
+            i += 1
+        if depth:
+            raise ValueError(f"unbalanced parentheses in {fn} call")
+        last = "".join(cur).strip()
+        if last:
+            args.append(last)
+        return m.start(), i + 1, args
+
+
+def _in_string(sql: str, pos: int) -> bool:
+    return sql.count("'", 0, pos) % 2 == 1
+
+
+def _depth_at(sql: str, pos: int) -> int:
+    """Paren nesting depth at ``pos``, skipping string literals."""
+    d = 0
+    i = 0
+    while i < pos:
+        c = sql[i]
+        if c == "'":
+            i = _skip_string(sql, i)
+            continue
+        if c == "(":
+            d += 1
+        elif c == ")":
+            d -= 1
+        i += 1
+    return d
+
+
+def _skip_string(sql: str, i: int) -> int:
+    # single-quoted literal with '' escapes; returns index past close
+    j = i + 1
+    while j < len(sql):
+        if sql[j] == "'":
+            if j + 1 < len(sql) and sql[j + 1] == "'":
+                j += 2
+                continue
+            return j + 1
+        j += 1
+    raise ValueError("unterminated string literal")
+
+
+def _interval_us(arg: str) -> int:
+    m = re.match(r"^\s*INTERVAL\s*'([^']+)'\s*$", arg, re.IGNORECASE)
+    if not m:
+        m = re.match(r"^\s*INTERVAL\s+(\d+\s+\w+)\s*$", arg, re.IGNORECASE)
+    if not m:
+        raise ValueError(f"expected INTERVAL literal, got {arg!r}")
+    return to_micros(m.group(1))
+
+
+def _strlit(arg: str) -> str:
+    m = re.match(r"^\s*'((?:[^']|'')*)'\s*$", arg)
+    if not m:
+        raise ValueError(f"expected string literal, got {arg!r}")
+    return m.group(1).replace("''", "'")
+
+
+def _mask(conds) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN coalesce({c}, false) THEN {1 << i} ELSE 0 END)"
+        for i, c in enumerate(conds)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+# --- aggregate rewrites ----------------------------------------------------
+
+
+def _ev_collect(ts: str, conds) -> str:
+    # NULL-ts rows are skipped by the reference's update loop
+    # (src/ffi/window_funnel.rs:154-157); collect_list drops the NULLs.
+    return (
+        f"collect_list(CASE WHEN ({ts}) IS NOT NULL THEN "
+        f"struct(unix_micros({ts}) AS t, {_mask(conds)} AS m) END)"
+    )
+
+
+def _expand(fn: str, args) -> str:
+    if fn == "retention":
+        if not 1 <= len(args) <= 32:
+            raise ValueError(f"retention takes 1..32 conditions, got {len(args)}")
+        anchor = f"bool_or(coalesce({args[0]}, false))"
+        elems = [anchor] + [
+            f"({anchor} AND bool_or(coalesce({c}, false)))" for c in args[1:]
+        ]
+        return "array(" + ", ".join(elems) + ")"
+
+    if fn == "window_funnel":
+        gap = _interval_us(args[0])
+        rest = args[1:]
+        mode = ""
+        if rest and re.match(r"^\s*'", rest[0]):
+            mode = _strlit(rest[0])
+            rest = rest[1:]
+        ts, conds = rest[0], rest[1:]
+        ev = _ev_collect(ts, conds)
+        return (
+            f"wf_step({gap}, '{mode}', transform({ev}, x -> x.t), "
+            f"transform({ev}, x -> x.m), {len(conds)})"
+        )
+
+    if fn in ("sequence_match", "sequence_count", "sequence_match_events"):
+        pattern = _strlit(args[0]).replace("'", "''")
+        ts, conds = args[1], args[2:]
+        ev = _ev_collect(ts, conds)
+        udf = {"sequence_match": "seq_match", "sequence_count": "seq_count",
+               "sequence_match_events": "seq_match_events"}[fn]
+        call = (f"{udf}('{pattern}', transform({ev}, x -> x.t), "
+                f"transform({ev}, x -> x.m))")
+        if fn == "sequence_match_events":
+            call = f"transform({call}, x -> timestamp_micros(x))"
+        return call
+
+    if fn == "sequence_next_node":
+        direction = _strlit(args[0])
+        base = _strlit(args[1])
+        ts, val, bc = args[2], args[3], args[4]
+        conds = args[5:]
+        ev = (
+            f"collect_list(CASE WHEN ({ts}) IS NOT NULL THEN "
+            f"struct(unix_micros({ts}) AS t, CAST({val} AS STRING) AS v, "
+            f"coalesce({bc}, false) AS b, {_mask(conds)} AS m) END)"
+        )
+        return (
+            f"seq_next_node('{direction}', '{base}', "
+            f"transform({ev}, x -> x.t), transform({ev}, x -> x.v), "
+            f"transform({ev}, x -> x.b), transform({ev}, x -> x.m), {len(conds)})"
+        )
+
+    raise ValueError(f"unknown behavioral function {fn!r}")
+
+
+def _rewrite_calls(sql: str, fn: str) -> str:
+    pos = 0
+    while True:
+        found = _scan_call(sql, fn, pos)
+        if found is None:
+            return sql
+        lo, hi, args = found
+        repl = _expand(fn, args)
+        sql = sql[:lo] + repl + sql[hi:]
+        pos = lo + len(repl)
+
+
+# --- sessionize (window form, statement-level) -----------------------------
+
+_OVER_RE = re.compile(
+    r"\s*OVER\s*\(\s*PARTITION\s+BY\s+(?P<keys>.+?)\s+ORDER\s+BY\s+(?P<ob>.+?)\s*\)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _rewrite_sessionize(sql: str) -> str:
+    found = _scan_call(sql, "sessionize")
+    if found is None:
+        return sql
+    lo, hi, args = found
+    if len(args) != 2:
+        raise ValueError(f"sessionize takes (ts, INTERVAL), got {len(args)} args")
+    ts = args[0]
+    gap_us = _interval_us(args[1])
+    mo = _OVER_RE.match(sql, hi)
+    if not mo:
+        raise ValueError("sessionize requires OVER (PARTITION BY … ORDER BY …)")
+    keys, ob = mo.group("keys").strip(), mo.group("ob").strip()
+    # strictly-greater gap starts a new session; NULL ts ⇒ NULL id but
+    # neighbors unaffected (reference src/sessionize.rs:290-298)
+    expr = (
+        f"CAST(CASE WHEN ({ts}) IS NULL THEN NULL ELSE "
+        f"SUM(CASE WHEN __prev_ts IS NOT NULL "
+        f"AND unix_micros({ts}) - unix_micros(__prev_ts) > {gap_us} "
+        f"THEN 1 ELSE 0 END) "
+        f"OVER (PARTITION BY {keys} ORDER BY {ob} ROWS UNBOUNDED PRECEDING) + 1 "
+        f"END AS BIGINT)"
+    )
+    out = sql[:lo] + expr + sql[mo.end():]
+    # push a lag() derived table under the FROM <identifier> of the
+    # SELECT containing the call — the first FROM after the call at the
+    # call's own paren depth (handles both top-level and CTE bodies).
+    # Plain lag (no IGNORE NULLS) mirrors operators/sessionize.py:
+    # NULL-ts rows sort first in ascending order, so non-NULL rows only
+    # ever see non-NULL predecessors and don't split their neighbors.
+    call_depth = _depth_at(out, lo)
+    from_re = re.compile(r"\bFROM\s+(\w+)", re.IGNORECASE)
+    m = None
+    for cand in from_re.finditer(out, lo):
+        if _in_string(out, cand.start()):
+            continue
+        if _depth_at(out, cand.start()) == call_depth:
+            m = cand
+            break
+    if m is None:
+        raise ValueError("sessionize rewrite: could not locate FROM <table>")
+    src = m.group(1)
+    derived = (
+        f"FROM (SELECT *, lag({ts}) "
+        f"OVER (PARTITION BY {keys} ORDER BY {ob}) AS __prev_ts "
+        f"FROM {src})"
+    )
+    out = out[: m.start()] + derived + out[m.end():]
+    if _scan_call(out, "sessionize") is not None:
+        raise ValueError("at most one sessionize call per statement is supported")
+    return out
