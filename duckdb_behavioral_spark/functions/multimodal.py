@@ -11,8 +11,10 @@ synthetic decode (byte-length-derived features).
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -54,20 +56,110 @@ def as_media(df: DataFrame, id_col: str, payload_col, mime: str) -> DataFrame:
 
 
 def decode_media(payload: bytes, mime: str, fake: bool = False):
-    """STUB: media decoding requires codec libraries not present here.
+    """Decode a media payload.
 
-    With ``fake=True`` returns a deterministic synthetic "decode"
-    (length + simple byte stats) so the distributed plumbing is
-    exercisable end to end.
+    ``image/bmp`` decodes for REAL (:func:`decode_bmp` — uncompressed
+    24-bit BMP needs no codec library, just header parsing + numpy).
+    Other mimes are stubbed: they require codec libraries not present
+    in this environment; ``fake=True`` returns a deterministic
+    synthetic "decode" (length + simple byte stats) so the distributed
+    plumbing is exercisable end to end.
     """
+    if mime == "image/bmp":
+        return decode_bmp(payload)
     if not fake:
         raise NotImplementedError(
             "media decoding requires image/audio codecs not available in this "
-            "environment; pass fake=True for the deterministic synthetic decode"
+            "environment; pass fake=True for the deterministic synthetic decode "
+            "(image/bmp decodes for real)"
         )
     n = len(payload or b"")
     head = payload[0] if n else 0
     return {"n_bytes": n, "head_byte": int(head), "byte_sum_mod": sum(payload or b"") % 65_536}
+
+
+# --- real codec-free image path: uncompressed 24-bit BMP -------------------
+
+_BMP_HEADER = struct.Struct("<2sIHHI")          # magic, file size, res, res, px offset
+_BMP_INFO = struct.Struct("<IiiHHIIiiII")       # BITMAPINFOHEADER
+
+
+def encode_bmp_gray24(pixels: "np.ndarray") -> bytes:
+    """Encode a (h, w) uint8 array as an uncompressed 24-bit BMP
+    (R=G=B=v, bottom-up rows, 4-byte row padding) — pure struct+numpy,
+    no codec library."""
+    h, w = pixels.shape
+    row = w * 3
+    pad = (-row) % 4
+    stride = row + pad
+    px_size = stride * h
+    header = _BMP_HEADER.pack(b"BM", 14 + 40 + px_size, 0, 0, 14 + 40)
+    info = _BMP_INFO.pack(40, w, h, 1, 24, 0, px_size, 2835, 2835, 0, 0)
+    body = np.zeros((h, stride), dtype=np.uint8)
+    rgb = np.repeat(pixels[::-1, :, None], 3, axis=2)  # bottom-up
+    body[:, :row] = rgb.reshape(h, row)
+    return header + info + body.tobytes()
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Parse an uncompressed 24-bit BMP and return dimensions + pixel
+    stats (over the blue channel; gray images carry R=G=B). Raises
+    ``ValueError`` on malformed input — a REAL parser, not a stub."""
+    if payload is None or len(payload) < 54:
+        raise ValueError("not a BMP: payload shorter than headers")
+    magic, _, _, _, px_off = _BMP_HEADER.unpack_from(payload, 0)
+    if magic != b"BM":
+        raise ValueError(f"not a BMP: bad magic {magic!r}")
+    (hsize, w, h, planes, bpp, comp, _, _, _, _, _) = _BMP_INFO.unpack_from(payload, 14)
+    if hsize < 40 or planes != 1:
+        raise ValueError("unsupported BMP header")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={comp}")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    data = np.frombuffer(payload, dtype=np.uint8, offset=px_off, count=stride * h)
+    rows = data.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    blue = rows[:, :, 0].astype(np.int64)
+    return {
+        "width": int(w),
+        "height": int(h),
+        "px_min": int(blue.min()) if blue.size else 0,
+        "px_max": int(blue.max()) if blue.size else 0,
+        "px_sum": int(blue.sum()),
+    }
+
+
+BMP_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("px_min", T.LongType(), False),
+        T.StructField("px_max", T.LongType(), False),
+        T.StructField("px_sum", T.LongType(), False),
+    ]
+)
+
+
+def decode_bmp_stats(media: DataFrame) -> DataFrame:
+    """(media_id, width, height, px_min, px_max, px_sum) via the real
+    BMP parser — same Arrow-batched mapInPandas shape as the stubbed
+    decoders, but nothing fake in the decode."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "width", "height", "px_min", "px_max", "px_sum")}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_bmp(bytes(p))
+                out["media_id"].append(mid)
+                for k in ("width", "height", "px_min", "px_max", "px_sum"):
+                    out[k].append(d[k])
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=BMP_STATS_SCHEMA)
 
 
 FEATURE_SCHEMA = T.StructType(
@@ -203,6 +295,55 @@ def q_multimodal_frames(spark, sf_dir):
     """documents.text as fake video clips → sampled frame rows."""
     media = as_media(_docs(spark, sf_dir), "doc_id", "text", "video/fake")
     return sample_frames(media, every_ms=FRAME_EVERY_MS, fake=True)
+
+
+def q_multimodal_bmp_decode(spark, sf_dir):
+    """REAL image decode, end to end: deterministic grayscale images
+    (pixel(r,c) = (doc_id*31 + r*7 + c*13) % 256, w = 4 + doc_id%5,
+    h = 3 + doc_id%4) are encoded to actual 24-bit BMP bytes and
+    decoded back by the header-parsing numpy decoder. The oracle
+    computes the same stats closed-form, so a bug in either the
+    encoder's row padding / bottom-up layout or the decoder's parsing
+    breaks the hash match."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, payloads = [], []
+            for did in pdf["doc_id"]:
+                w = 4 + int(did) % 5
+                h = 3 + int(did) % 4
+                r = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(w, dtype=np.int64)[None, :]
+                px = ((int(did) * 31 + r * 7 + c * 13) % 256).astype(np.uint8)
+                mids.append(int(did))
+                payloads.append(encode_bmp_gray24(px))
+            yield pd.DataFrame({"media_id": mids, "payload": payloads})
+
+    media = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(gen, schema="media_id long, payload binary")
+    )
+    return decode_bmp_stats(media)
+
+
+BMP_DECODE_SQL = """
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+), i AS (
+  SELECT unnest(generate_series(0, 7)) AS i
+), px AS (
+  SELECT d.doc_id, d.w, d.h,
+         (d.doc_id * 31 + r.i * 7 + c.i * 13) % 256 AS v
+  FROM d JOIN i r ON r.i < d.h JOIN i c ON c.i < d.w
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(min(v) AS BIGINT) AS px_min,
+       CAST(max(v) AS BIGINT) AS px_max,
+       CAST(sum(v) AS BIGINT) AS px_sum
+FROM px GROUP BY doc_id, w, h
+"""
 
 
 # Oracle mirrors the fake decode: duration = byte length, frames every

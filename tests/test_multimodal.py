@@ -68,3 +68,47 @@ def test_simhash_null_text_doc_survives(spark):
     got = {r["doc_id"]: r["simhash"] for r in simhash32(df).collect()}
     assert set(got) == {1, 2}
     assert got[2] == 0
+
+
+def test_bmp_roundtrip_all_paddings():
+    import numpy as np
+
+    from duckdb_behavioral_spark.functions.multimodal import (
+        decode_bmp,
+        encode_bmp_gray24,
+    )
+
+    # widths 1..8 cover every 4-byte row-padding case (w*3 % 4)
+    for w in range(1, 9):
+        for h in (1, 3, 5):
+            px = ((np.arange(h)[:, None] * 7 + np.arange(w)[None, :] * 13) % 256
+                  ).astype(np.uint8)
+            d = decode_bmp(encode_bmp_gray24(px))
+            assert (d["width"], d["height"]) == (w, h)
+            assert d["px_min"] == int(px.min())
+            assert d["px_max"] == int(px.max())
+            assert d["px_sum"] == int(px.sum())
+
+
+def test_bmp_decode_rejects_garbage():
+    import pytest
+
+    from duckdb_behavioral_spark.functions.multimodal import decode_bmp
+
+    with pytest.raises(ValueError, match="shorter"):
+        decode_bmp(b"BM")
+    with pytest.raises(ValueError, match="magic"):
+        decode_bmp(b"XX" + b"\x00" * 60)
+
+
+def test_decode_media_routes_bmp_for_real():
+    import numpy as np
+
+    from duckdb_behavioral_spark.functions.multimodal import (
+        decode_media,
+        encode_bmp_gray24,
+    )
+
+    payload = encode_bmp_gray24(np.full((2, 2), 9, dtype=np.uint8))
+    # no fake flag needed: BMP is the real path
+    assert decode_media(payload, "image/bmp")["px_sum"] == 36
