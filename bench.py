@@ -55,7 +55,10 @@ def main() -> int:
     if subset:
         names = [n.strip() for n in subset.split(",") if n.strip()]
     else:
-        names = list(queries.keys())
+        # the streaming replay harness is a correctness gate (it
+        # re-writes the input as micro-batch files), not a throughput
+        # query — keep it out of the timed suite
+        names = [n for n in queries.keys() if not n.startswith("streaming_")]
 
     # Warm up the JVM + parquet footer caches outside the timed region.
     load_events(spark, sf_dir).count()

@@ -13,6 +13,12 @@ def all_queries():
         out.update(EXT_QUERIES)
     except ImportError:
         pass
+    try:
+        from duckdb_behavioral_spark.streaming.parity import streaming_funnel_parity
+
+        out["streaming_funnel_parity"] = streaming_funnel_parity
+    except ImportError:
+        pass
     return out
 
 
@@ -26,4 +32,6 @@ def all_oracles():
         out.update(EXT_ORACLES)
     except ImportError:
         pass
+    # the streamed funnel must equal the BATCH funnel oracle (Q3)
+    out["streaming_funnel_parity"] = out.get("q3_window_funnel")
     return out

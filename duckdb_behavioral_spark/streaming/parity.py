@@ -1,0 +1,82 @@
+"""Batch-equivalence gate for the streaming funnel — a DECLARED query.
+
+The streaming operators' parity claims were previously pytest-only;
+this query gives the hard oracle signal: it replays the events table
+as a real multi-micro-batch stream (4 time-ordered chunks, one file
+per trigger) through ``stateful_funnel_stream`` (applyInPandasWithState,
+O(k) state per user), folds the per-batch updates with ``foreachBatch``,
+and returns the final per-user step. The oracle is the BATCH funnel
+oracle (Q3 derivation) — streamed and batch answers must hash-match.
+
+Chunking is by time quantile, so cross-batch arrival order respects
+event time — the documented contract of the stateful operators (they
+sort within a batch; cross-batch reordering is not repaired).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_CHUNKS = 4
+CONDS = ["event_type = 'view'", "event_type = 'click'", "event_type = 'purchase'"]
+
+
+def streaming_funnel_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_behavioral_spark.sources import load_events
+    from duckdb_behavioral_spark.streaming.funnel import stateful_funnel_stream
+
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_type")
+    src = tempfile.mkdtemp(prefix="sg_stream_src_")
+    try:
+        # 4 time-ordered chunks written sequentially: FileStreamSource
+        # picks files oldest-mtime-first, so batches arrive in event-
+        # time order across chunks.
+        from pyspark.sql import Window
+
+        chunked = ev.withColumn(
+            "__chunk", F.ntile(N_CHUNKS).over(Window.orderBy("ts"))
+        )
+        for i in range(1, N_CHUNKS + 1):
+            (chunked.where(F.col("__chunk") == i).drop("__chunk")
+             .coalesce(1).write.mode("append").parquet(src))
+
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, event_type string"
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+
+        latest: dict = {}
+
+        def fold_batch(bdf: DataFrame, _epoch: int) -> None:
+            for r in bdf.collect():
+                latest[r["user_id"]] = r["step"]
+
+        q = (
+            stateful_funnel_stream(stream, "1 hour", "ts", CONDS, ["user_id"])
+            .writeStream.outputMode("update")
+            .foreachBatch(fold_batch)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        # streaming state only exists for users with >=1 qualifying
+        # event; the batch contract emits step 0 for everyone else
+        got = spark.createDataFrame(
+            [(int(u), int(s)) for u, s in latest.items()] or [(None, None)],
+            "user_id long, step int",
+        )
+        if not latest:
+            got = got.where(F.lit(False))
+        users = ev.select("user_id").distinct()
+        return users.join(got, "user_id", "left").select(
+            "user_id",
+            F.coalesce("step", F.lit(0)).cast("int").alias("step"),
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
