@@ -2,9 +2,13 @@
 """Benchmark harness: runs the headline query suite and prints one JSON line.
 
 Env:
-  SPARK_GRAFT_SF_DIR  data dir (default /root/testdata/sf0.1)
-  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
-  BENCH_QUERIES       comma-separated subset of query names (default: all)
+  SPARK_GRAFT_SF_DIR   data dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+  BENCH_QUERIES        comma-separated subset of query names (default: all)
+  SPARK_GRAFT_REPEAT   runs per query, last one timed (default 1; use 2+
+                       to measure steady state, e.g. with
+                       SPARK_GRAFT_BUCKETED=1 where run 1 pays the
+                       one-time bucketed-table write/IO flush)
 
 Each query is fully materialized through the noop sink (no driver
 collect). Reported value = total seconds across queries.
@@ -63,13 +67,15 @@ def main() -> int:
     # Warm up the JVM + parquet footer caches outside the timed region.
     load_events(spark, sf_dir).count()
 
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_REPEAT", "1")))
     per_query: dict[str, float] = {}
     for name in names:
         fn = queries[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        per_query[name] = round(time.perf_counter() - t0, 4)
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            per_query[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(per_query.values()), 4)
     print(

@@ -48,7 +48,7 @@ def write_bucketed(
 def load_bucketed_events(
     spark: SparkSession,
     sf_dir: str,
-    table: str = "events_bucketed",
+    table: str | None = None,
     path: str | None = None,
     buckets: int = DEFAULT_BUCKETS,
 ) -> DataFrame:
@@ -56,11 +56,19 @@ def load_bucketed_events(
 
     Idempotent per session: if ``table`` already exists in the catalog
     it is reused (the 100 TB model — bucket once, query many times).
+    The default table name encodes ``sf_dir`` so different scale
+    factors in one session don't collide.
     """
-    if not spark.catalog.tableExists(table):
-        from duckdb_behavioral_spark.sources import load_events
+    if table is None:
+        import re
 
-        ev = load_events(spark, sf_dir)
+        table = "events_bucketed_" + re.sub(r"[^A-Za-z0-9]+", "_", sf_dir).strip("_")
+    if not spark.catalog.tableExists(table):
+        # raw loader, NOT load_events: the env gate in load_events
+        # routes back here and would recurse
+        from duckdb_behavioral_spark.sources import load_table
+
+        ev = load_table(spark, sf_dir, "events")
         write_bucketed(
             ev, table, path or f"{spark.conf.get('spark.sql.warehouse.dir')}/{table}",
             buckets=buckets,

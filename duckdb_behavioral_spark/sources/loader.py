@@ -38,4 +38,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events table; ``SPARK_GRAFT_BUCKETED=1`` routes through the
+    bucketed layout (sources/bucketing.py) — written once per session,
+    then every per-user groupBy/window in the suite plans with ZERO
+    Exchange. This is the 100 TB layout; the env gate lets bench.py
+    measure the delta on identical queries."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_BUCKETED") == "1":
+        from duckdb_behavioral_spark.sources.bucketing import load_bucketed_events
+
+        return load_bucketed_events(spark, sf_dir)
     return load_table(spark, sf_dir, "events")

@@ -78,3 +78,21 @@ def test_bucketed_results_match_unbucketed(spark, sf_dir, bucketed):
         "user_id", "ts", "session_id"
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_env_gate_routes_suite_through_buckets(spark, sf_dir, monkeypatch):
+    """SPARK_GRAFT_BUCKETED=1 makes the DECLARED queries (which call
+    load_events) plan shuffle-free, with identical results."""
+    from duckdb_behavioral_spark.queries import q1_sessionize, q3_window_funnel
+
+    plain = {
+        "q1": sorted(map(tuple, q1_sessionize(spark, sf_dir).collect())),
+        "q3": sorted(map(tuple, q3_window_funnel(spark, sf_dir).collect())),
+    }
+    monkeypatch.setenv("SPARK_GRAFT_BUCKETED", "1")
+    s = q1_sessionize(spark, sf_dir)
+    f = q3_window_funnel(spark, sf_dir)
+    assert "Exchange" not in _executed_plan(s)
+    assert "Exchange" not in _executed_plan(f)
+    assert sorted(map(tuple, s.collect())) == plain["q1"]
+    assert sorted(map(tuple, f.collect())) == plain["q3"]
