@@ -236,7 +236,7 @@ FROM banded a JOIN banded b
 GROUP BY a.doc_id, b.doc_id
 """
 
-DEDUP_JACCARD_SQL = _sql_minhash_sigs() + f"""
+_SQL_PAIR_CTES = _sql_minhash_sigs() + f"""
 , cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM banded a JOIN banded b
@@ -247,16 +247,71 @@ DEDUP_JACCARD_SQL = _sql_minhash_sigs() + f"""
          list_distinct(list_transform({sql_shingles3(sql_tokens('text'))},
                                       x -> {sql_md5_hash48('x')})) AS sh
   FROM documents
+), verified AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+         CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_union
+  FROM cand c
+  JOIN shs a ON a.doc_id = c.doc_a
+  JOIN shs b ON b.doc_id = c.doc_b
+  WHERE len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
+    AND 10 * len(list_intersect(a.sh, b.sh))
+        >= {JACCARD_THRESHOLD_TENTHS} * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
 )
-SELECT c.doc_a, c.doc_b,
-       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
-       CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_union
-FROM cand c
-JOIN shs a ON a.doc_id = c.doc_a
-JOIN shs b ON b.doc_id = c.doc_b
-WHERE len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
-  AND 10 * len(list_intersect(a.sh, b.sh))
-      >= {JACCARD_THRESHOLD_TENTHS} * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+"""
+
+DEDUP_JACCARD_SQL = _SQL_PAIR_CTES + "SELECT doc_a, doc_b, n_inter, n_union FROM verified"
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering (connected components over verified pairs)
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(df: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, is_canonical) — transitive near-dup groups.
+
+    Pairwise dedup is not a retention policy: with a ~ b and b ~ c the
+    pipeline must keep exactly one of {a, b, c} even though (a, c) was
+    never verified. This takes the verified Jaccard pairs as edges and
+    labels each document with the minimum doc_id of its connected
+    component (``operators/graph.py`` — min-label propagation +
+    pointer jumping, lineage cut per round). Documents with no
+    near-dup are their own cluster; the canonical survivor of every
+    cluster is the min id, so ``WHERE is_canonical`` is the dedup
+    filter a training pipeline applies.
+    """
+    from duckdb_behavioral_spark.operators.graph import connected_components
+
+    edges = dedup_ngram_jaccard(df).select("doc_a", "doc_b")
+    comp = connected_components(edges, src="doc_a", dst="doc_b").withColumnRenamed(
+        "node", "doc_id"
+    )
+    cluster = F.coalesce(F.col("comp"), F.col("doc_id"))
+    return df.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id",
+        cluster.alias("cluster_id"),
+        (cluster == F.col("doc_id")).alias("is_canonical"),
+    )
+
+
+# Oracle: transitive closure via recursive CTE (small closure — the
+# near-dup graph at oracle SF is sparse), component = min reachable id.
+DEDUP_CLUSTERS_SQL = _SQL_PAIR_CTES.replace("WITH", "WITH RECURSIVE", 1) + """
+, e2 AS (
+  SELECT doc_a AS s, doc_b AS d FROM verified
+  UNION ALL
+  SELECT doc_b, doc_a FROM verified
+), reach(s, d) AS (
+  SELECT s, d FROM e2
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN e2 e ON e.s = r.d
+), comp AS (
+  SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id FROM reach GROUP BY s
+)
+SELECT dd.doc_id,
+       COALESCE(c.cluster_id, dd.doc_id) AS cluster_id,
+       (COALESCE(c.cluster_id, dd.doc_id) = dd.doc_id) AS is_canonical
+FROM documents dd LEFT JOIN comp c USING (doc_id)
 """
 
 
@@ -424,6 +479,10 @@ def q_dedup_exact(spark, sf_dir):
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup_ngram_jaccard(_docs(spark, sf_dir))
+
+
+def q_dedup_clusters(spark, sf_dir):
+    return dedup_clusters(_docs(spark, sf_dir))
 
 
 def q_dedup_minhash_sigs(spark, sf_dir):

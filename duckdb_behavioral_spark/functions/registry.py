@@ -18,6 +18,7 @@ EXT_QUERIES = {
     # dedup
     "dedup_exact": D.q_dedup_exact,
     "dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
+    "dedup_clusters": D.q_dedup_clusters,
     "dedup_minhash_sigs": D.q_dedup_minhash_sigs,
     "dedup_minhash_pairs": D.q_dedup_minhash_pairs,
     "dedup_simhash": D.q_dedup_simhash,
@@ -50,6 +51,7 @@ EXT_ORACLES = {
     "text_quality": TX.QUALITY_SQL,
     "dedup_exact": D.DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": D.DEDUP_JACCARD_SQL,
+    "dedup_clusters": D.DEDUP_CLUSTERS_SQL,
     "dedup_minhash_sigs": D.MINHASH_SIG_SQL,
     "dedup_minhash_pairs": D.MINHASH_PAIRS_SQL,
     "dedup_simhash": D.SIMHASH_SQL,
