@@ -182,16 +182,94 @@ def _centroids(e: DataFrame) -> DataFrame:
     )
 
 
+def _assign_clusters(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """(cid, v, nrm, cluster) — nearest centroid by cosine, as a
+    partial-aggregating max_by (csim desc, ctr_id asc): the broadcast
+    join fans each vector out to NCENT rows map-side, and the hash
+    aggregate collapses them back to one row per vector *before* the
+    shuffle — the exchange carries n rows, not n x NCENT (a window
+    rank here would shuffle the full fan-out)."""
+    csim = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    return (
+        e.join(F.broadcast(cent))
+        .withColumn("csim", csim)
+        .groupBy("cid")
+        .agg(
+            F.first("v").alias("v"),
+            F.first("nrm").alias("nrm"),
+            F.max_by(
+                "ctr_id", F.struct(F.col("csim").alias("s"), (-F.col("ctr_id")).alias("t"))
+            ).alias("cluster"),
+        )
+    )
+
+
+KMEANS_ITERS = 2  # Lloyd rounds for the trained-IVF variant
+
+
+def kmeans_centroids(e: DataFrame, n_iter: int = KMEANS_ITERS) -> DataFrame:
+    """Spherical k-means (Lloyd) refinement of the sampled centroids.
+
+    Each round: (1) assign every vector to its max-cosine centroid —
+    broadcast join + map-side max_by, corpus scanned once, shuffle
+    carries n rows; (2) recompute each centroid as the component-wise
+    mean of its members. The mean runs as ``SUM(CAST(x AS
+    DECIMAL(30,10)))`` — decimal addition is exact and commutative, so
+    the sum (hence the new centroid doubles, hence every downstream
+    assignment) is bit-identical at ANY parallelism, while still
+    aggregating with map-side partials: the shuffle after the
+    posexplode is O(clusters x dim) rows. No ordered folds, no
+    collect — deterministic *and* the 100 TB plan. Clusters that end
+    up empty (or with a zero-norm mean, whose cosine is undefined)
+    keep their previous centroid. Lineage is cut per round.
+    """
+    cent = _centroids(e).localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        members = _assign_clusters(e, cent).select("cluster", "v")
+        comp_means = (
+            members.select("cluster", F.posexplode("v").alias("i", "x"))
+            .groupBy("cluster", "i")
+            .agg(
+                F.sum(F.col("x").cast("decimal(30,10)")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .select(
+                "cluster", "i", (F.col("s").cast("double") / F.col("n")).alias("m")
+            )
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("i", "m"))).alias("pairs")
+            )
+            .select(
+                F.col("cluster").alias("ctr_id"),
+                F.transform(F.col("pairs"), lambda p: p["m"]).alias("mv"),
+            )
+            .withColumn("mn", _norm(F.col("mv")))
+        )
+        cent = (
+            cent.join(comp_means, "ctr_id", "left")
+            .select(
+                "ctr_id",
+                F.when(F.col("mn") > 0, F.col("mv")).otherwise(F.col("cv")).alias("cv"),
+                F.when(F.col("mn") > 0, F.col("mn")).otherwise(F.col("cn")).alias("cn"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cent
+
+
 def ann_ivf_topk(
     df: DataFrame,
     n_queries: int = N_QUERIES,
     k: int = TOP_K,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train: bool = False,
 ) -> DataFrame:
-    """IVF-style ANN: assign each vector to its nearest centroid from a
-    fixed-size deterministic sample, then answer queries by scanning
-    only the ``NPROBE`` closest clusters.
+    """IVF-style ANN: assign each vector to its nearest centroid (a
+    fixed-size deterministic sample; k-means-refined when ``train``),
+    then answer queries by scanning only the ``NPROBE`` closest
+    clusters.
 
     Scale path: the centroid table is O(NCENT) — corpus-independent —
     and broadcast, so both the assignment pass and the probe are
@@ -210,26 +288,8 @@ def ann_ivf_topk(
         .withColumn("nrm", _norm(F.col("v")))
         .where(F.col("nrm") > 0)
     )
-    cent = _centroids(e)
-    # Nearest-centroid assignment as a partial-aggregating max_by
-    # (csim desc, ctr_id asc): the broadcast join fans each vector out
-    # to NCENT rows map-side, and the hash aggregate collapses them
-    # back to one row per vector *before* the shuffle — the exchange
-    # carries n rows, not n x NCENT (a window rank here would shuffle
-    # the full fan-out).
-    csim = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
-    assigned = (
-        e.join(F.broadcast(cent))
-        .withColumn("csim", csim)
-        .groupBy("cid")
-        .agg(
-            F.first("v").alias("v"),
-            F.first("nrm").alias("nrm"),
-            F.max_by(
-                "ctr_id", F.struct(F.col("csim").alias("s"), (-F.col("ctr_id")).alias("t"))
-            ).alias("cluster"),
-        )
-    )
+    cent = kmeans_centroids(e) if train else _centroids(e)
+    assigned = _assign_clusters(e, cent)
     q = assigned.where(F.col("cid") < n_queries).select(
         F.col("cid").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
@@ -264,7 +324,7 @@ def _fold_dot_sql(a: str, b: str) -> str:
     )
 
 
-ANN_IVF_SQL = f"""
+_IVF_PREFIX_SQL = f"""
 WITH e AS (
   SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), n AS (
@@ -274,18 +334,57 @@ WITH e AS (
   FROM e
 ), n2 AS (
   SELECT * FROM n WHERE nrm > 0
-), cent AS (
+), cent0 AS (
   SELECT cid AS ctr_id, v AS cv, nrm AS cn FROM n2
   ORDER BY ('0x' || substr(md5(CAST(cid AS VARCHAR)), 1, 12))::BIGINT ASC, cid ASC
   LIMIT {NCENT}
-), assigned AS (
+)"""
+
+
+def _kmeans_iter_sql(prev: str, out: str) -> str:
+    """One unrolled Lloyd round: cosine assignment against ``prev``,
+    exact-decimal component means, zero-norm/empty fallback — the SQL
+    mirror of one ``kmeans_centroids`` iteration."""
+    return f"""
+, {out}_asg AS (
+  SELECT cid, v, cluster FROM (
+    SELECT n2.cid, n2.v, c.ctr_id AS cluster,
+           row_number() OVER (
+             PARTITION BY n2.cid
+             ORDER BY {_fold_dot_sql('n2.v', 'c.cv')} / (n2.nrm * c.cn) DESC,
+                      c.ctr_id ASC) AS rnk
+    FROM n2 CROSS JOIN {prev} c)
+  WHERE rnk = 1
+), {out}_mean AS (
+  SELECT cluster AS ctr_id, list(m ORDER BY i) AS mv FROM (
+    SELECT cluster, i,
+           CAST(SUM(CAST(v[i] AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS m
+    FROM {out}_asg, range(1, 65) r(i)
+    GROUP BY cluster, i)
+  GROUP BY cluster
+), {out}_n AS (
+  SELECT ctr_id, mv,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(mv, x -> x * x)), (s, x) -> s + x)) AS mn
+  FROM {out}_mean
+), {out} AS (
+  SELECT p.ctr_id,
+         CASE WHEN m.mn > 0 THEN m.mv ELSE p.cv END AS cv,
+         CASE WHEN m.mn > 0 THEN m.mn ELSE p.cn END AS cn
+  FROM {prev} p LEFT JOIN {out}_n m USING (ctr_id)
+)"""
+
+
+def _ivf_search_sql(cent: str) -> str:
+    return f"""
+, assigned AS (
   SELECT cid, v, nrm, ctr_id AS cluster FROM (
     SELECT n2.cid, n2.v, n2.nrm, cent.ctr_id,
            row_number() OVER (
              PARTITION BY n2.cid
              ORDER BY {_fold_dot_sql('n2.v', 'cent.cv')} / (n2.nrm * cent.cn) DESC,
                       cent.ctr_id ASC) AS rnk
-    FROM n2 CROSS JOIN cent)
+    FROM n2 CROSS JOIN {cent} cent)
   WHERE rnk = 1
 ), q AS (
   SELECT cid AS query_id, v AS qv, nrm AS qn FROM assigned WHERE cid < {N_QUERIES}
@@ -296,7 +395,7 @@ WITH e AS (
              PARTITION BY q.query_id
              ORDER BY {_fold_dot_sql('q.qv', 'cent.cv')} / (q.qn * cent.cn) DESC,
                       cent.ctr_id ASC) AS prnk
-    FROM q CROSS JOIN cent)
+    FROM q CROSS JOIN {cent} cent)
   WHERE prnk <= {NPROBE}
 ), cand AS (
   SELECT p.query_id, a.cid AS neighbor_id,
@@ -313,12 +412,27 @@ WHERE rank <= {TOP_K}
 """
 
 
+ANN_IVF_SQL = _IVF_PREFIX_SQL + _ivf_search_sql("cent0")
+
+ANN_IVF_KMEANS_SQL = (
+    _IVF_PREFIX_SQL
+    + "".join(
+        _kmeans_iter_sql(f"cent{t}", f"cent{t + 1}") for t in range(KMEANS_ITERS)
+    )
+    + _ivf_search_sql(f"cent{KMEANS_ITERS}")
+)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     return ann_cosine_topk(_emb(spark, sf_dir))
 
 
 def q_ann_ivf_topk(spark, sf_dir):
     return ann_ivf_topk(_emb(spark, sf_dir))
+
+
+def q_ann_ivf_kmeans_topk(spark, sf_dir):
+    return ann_ivf_topk(_emb(spark, sf_dir), train=True)
 
 
 def q_ann_lsh_buckets(spark, sf_dir):
