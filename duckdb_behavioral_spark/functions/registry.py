@@ -5,6 +5,7 @@ from __future__ import annotations
 from duckdb_behavioral_spark.functions import compositions as C
 from duckdb_behavioral_spark.functions import dedup as D
 from duckdb_behavioral_spark.functions import multimodal as M
+from duckdb_behavioral_spark.functions import sampling as SA
 from duckdb_behavioral_spark.functions import similarity as S
 from duckdb_behavioral_spark.functions import text as TX
 from duckdb_behavioral_spark.operators import temporal_joins as TJ
@@ -23,6 +24,9 @@ EXT_QUERIES = {
     "dedup_minhash_pairs": D.q_dedup_minhash_pairs,
     "dedup_simhash": D.q_dedup_simhash,
     "dedup_embedding_cosine": D.q_dedup_embedding_cosine,
+    # sampling
+    "sample_stratified": SA.q_sample_stratified,
+    "sample_per_stratum_topk": SA.q_sample_per_stratum_topk,
     # similarity search
     "ann_cosine_topk": S.q_ann_cosine_topk,
     "ann_lsh_buckets": S.q_ann_lsh_buckets,
@@ -57,6 +61,8 @@ EXT_ORACLES = {
     "dedup_minhash_pairs": D.MINHASH_PAIRS_SQL,
     "dedup_simhash": D.SIMHASH_SQL,
     "dedup_embedding_cosine": D.COSINE_DUP_SQL,
+    "sample_stratified": SA.SAMPLE_STRATIFIED_SQL,
+    "sample_per_stratum_topk": SA.SAMPLE_PER_STRATUM_SQL,
     "ann_cosine_topk": S.ANN_TOPK_SQL,
     "ann_lsh_buckets": S.LSH_BUCKETS_SQL,
     "ann_ivf_topk": S.ANN_IVF_SQL,

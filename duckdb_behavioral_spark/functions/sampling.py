@@ -1,0 +1,124 @@
+"""Deterministic sampling for training-data pipelines.
+
+`df.sample()` draws from a per-partition RNG: resampling after a
+re-partition (or a retry) changes the picked rows, and no oracle can
+reproduce it. Training pipelines instead sample by *content hash* —
+stable under re-partitioning, re-runs, and engine swaps, and exactly
+reproducible in the DuckDB oracle:
+
+- ``sample_hash_rate`` — Bernoulli(p) as ``hash(key) % 1000 <
+  permille``. A pure map-side filter: no shuffle, pushes past column
+  pruning, scales to any corpus.
+- ``sample_stratified`` — per-stratum permille rates (e.g. downsample
+  dominant languages, keep all of rare ones). Still a pure filter:
+  the rate lookup is a map literal expression, not a join.
+- ``sample_per_stratum_topk`` — exactly k rows per stratum: the k
+  smallest hashes within each stratum. One shuffle on the stratum
+  key; the rank filter executes as a WindowGroupLimit (per-partition
+  running top-k before the exchange), so the shuffle carries at most
+  k rows per stratum per map partition, not the corpus.
+
+All variants salt the hash (``sample:<key>``) so sampling decisions
+are independent of the MinHash/fingerprint uses of the same md5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _sample_hash(key_col) -> "F.Column":
+    h = F.md5(F.concat(F.lit("sample:"), key_col.cast("string")))
+    return F.conv(F.substring(h, 1, 12), 16, 10).cast("long")
+
+
+def _sql_sample_hash(key_expr: str) -> str:
+    return f"('0x' || substr(md5('sample:' || CAST({key_expr} AS VARCHAR)), 1, 12))::BIGINT"
+
+
+def sample_hash_rate(df: DataFrame, permille: int, key: str) -> DataFrame:
+    """Keep rows whose salted key-hash lands under ``permille``/1000."""
+    return df.where(_sample_hash(F.col(key)) % 1000 < permille)
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_col: str,
+    rates_permille: dict[str, int],
+    default_permille: int,
+    key: str,
+) -> DataFrame:
+    """Per-stratum Bernoulli rates; unlisted strata get the default."""
+    pairs = [x for kv in rates_permille.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    rate = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(strata_col)),
+        F.lit(default_permille),
+    )
+    return df.where(_sample_hash(F.col(key)) % 1000 < rate)
+
+
+def sample_per_stratum_topk(
+    df: DataFrame, strata_col: str, k: int, key: str
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum: smallest salted
+    hashes, key as tiebreak (hash collisions must not make the sample
+    ambiguous)."""
+    w = Window.partitionBy(strata_col).orderBy(
+        _sample_hash(F.col(key)).asc(), F.col(key).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+# --- declared queries ------------------------------------------------------
+
+# Downsample English hard (it dominates web corpora), keep most of the
+# rest; rates chosen to make every branch non-trivial on the testdata.
+STRAT_RATES = {"en": 300, "de": 700}
+STRAT_DEFAULT = 900
+PER_STRATUM_K = 40
+
+
+def q_sample_stratified(spark, sf_dir):
+    from duckdb_behavioral_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_stratified(
+        docs, "lang", STRAT_RATES, STRAT_DEFAULT, key="doc_id"
+    ).select("doc_id", "lang", "source")
+
+
+def q_sample_per_stratum_topk(spark, sf_dir):
+    from duckdb_behavioral_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_per_stratum_topk(docs, "lang", PER_STRATUM_K, key="doc_id").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def _rate_case() -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN {r}" for s, r in STRAT_RATES.items()
+    )
+    return f"CASE lang {whens} ELSE {STRAT_DEFAULT} END"
+
+
+SAMPLE_STRATIFIED_SQL = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {_sql_sample_hash('doc_id')} % 1000 < {_rate_case()}
+"""
+
+SAMPLE_PER_STRATUM_SQL = f"""
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {_sql_sample_hash('doc_id')} ASC, doc_id ASC) AS rn
+  FROM documents)
+WHERE rn <= {PER_STRATUM_K}
+"""

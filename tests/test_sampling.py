@@ -1,0 +1,45 @@
+"""Hash-based sampling: deterministic under re-partitioning."""
+
+from duckdb_behavioral_spark.functions.sampling import (
+    sample_hash_rate,
+    sample_per_stratum_topk,
+    sample_stratified,
+)
+
+
+def _docs(spark, n=500):
+    rows = [(i, ["en", "de", "fr"][i % 3], i % 7) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+
+
+def test_rate_sample_stable_across_partitioning(spark):
+    d = _docs(spark)
+    a = {r["doc_id"] for r in sample_hash_rate(d.coalesce(1), 300, "doc_id").collect()}
+    b = {r["doc_id"] for r in sample_hash_rate(d.repartition(16), 300, "doc_id").collect()}
+    assert a == b
+    assert 0 < len(a) < 500
+
+
+def test_rate_sample_roughly_proportional(spark):
+    d = _docs(spark, 2000)
+    n = sample_hash_rate(d, 250, "doc_id").count()
+    assert 400 < n < 600  # ~500 expected; md5 is uniform
+
+
+def test_stratified_rates_apply_per_stratum(spark):
+    d = _docs(spark)
+    out = sample_stratified(d, "lang", {"en": 0}, 1000, key="doc_id")
+    langs = {r["lang"] for r in out.collect()}
+    assert langs == {"de", "fr"}  # en rate 0 drops all, default 1000 keeps all
+    assert out.count() == 333  # 500 docs minus the 167 en docs
+
+
+def test_per_stratum_topk_exact_and_stable(spark):
+    d = _docs(spark)
+    a = sorted(map(tuple, sample_per_stratum_topk(d.coalesce(1), "lang", 10, "doc_id").collect()))
+    b = sorted(map(tuple, sample_per_stratum_topk(d.repartition(16), "lang", 10, "doc_id").collect()))
+    assert a == b
+    counts = {}
+    for _, lang, _ in a:
+        counts[lang] = counts.get(lang, 0) + 1
+    assert counts == {"en": 10, "de": 10, "fr": 10}
