@@ -16,6 +16,7 @@ EXT_QUERIES = {
     "text_lang_id": TX.q_text_lang_id,
     "text_fingerprint": TX.q_text_fingerprint,
     "text_quality": TX.q_text_quality,
+    "text_scrub_pii": TX.q_text_scrub_pii,
     # dedup
     "dedup_exact": D.q_dedup_exact,
     "dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
@@ -54,6 +55,7 @@ EXT_ORACLES = {
     "text_lang_id": TX.LANG_ID_SQL,
     "text_fingerprint": TX.FINGERPRINT_SQL,
     "text_quality": TX.QUALITY_SQL,
+    "text_scrub_pii": TX.SCRUB_PII_SQL,
     "dedup_exact": D.DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": D.DEDUP_JACCARD_SQL,
     "dedup_clusters": D.DEDUP_CLUSTERS_SQL,

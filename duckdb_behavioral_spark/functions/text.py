@@ -92,6 +92,39 @@ def quality_score(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> 
     )
 
 
+# --- PII scrub + normalization ---------------------------------------------
+
+# Conservative patterns inside the Java-regex ∩ RE2 common subset
+# (character classes, bounded repeats — no lookaround, no backrefs) so
+# Spark and the DuckDB oracle interpret them identically.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9][0-9 -]{7,}[0-9]"
+
+
+def scrub_pii(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, clean, n_emails, n_phones) — mask emails/phones, then
+    normalize (lowercase, collapse whitespace, trim).
+
+    Order matters: emails are masked before the phone pass so digit
+    runs inside addresses can't double-match; normalization runs last
+    so the mask tags are what survive it. All expressions are JVM
+    regex/codegen — a pure map-side projection, no shuffle, scales
+    linearly with the corpus.
+    """
+    t = F.col(text)
+    n_emails = F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long")
+    masked = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    n_phones = F.regexp_count(masked, F.lit(PII_PHONE_RE)).cast("long")
+    masked = F.regexp_replace(masked, PII_PHONE_RE, "<PHONE>")
+    clean = F.trim(F.regexp_replace(F.lower(masked), r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+    )
+
+
 # --- query entries --------------------------------------------------------
 
 def q_text_token_stats(spark, sf_dir):
@@ -108,6 +141,25 @@ def q_text_fingerprint(spark, sf_dir):
 
 def q_text_quality(spark, sf_dir):
     return quality_score(_docs(spark, sf_dir))
+
+
+def q_text_scrub_pii(spark, sf_dir):
+    """The synthetic corpus contains no PII, so the query plants a
+    deterministic email + phone per document (derived from source /
+    doc_id, mirrored in the oracle) — the masking path is exercised on
+    every row, not vacuously green."""
+    docs = _docs(spark, sf_dir)
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact "),
+            F.col("source"),
+            F.lit("@example.com  or +1 555-01"),
+            ((F.col("doc_id") % 90) + 10).cast("string"),
+        ),
+    )
+    return scrub_pii(planted)
 
 
 TOKS = sql_tokens("text")
@@ -150,6 +202,29 @@ FROM h
 
 FINGERPRINT_SQL = f"""
 SELECT doc_id, {sql_char_hash('text')} AS fp FROM documents
+"""
+
+SCRUB_PII_SQL = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' Contact ' || source || '@example.com  or +1 555-01'
+              || CAST(doc_id % 90 + 10 AS VARCHAR) AS text
+  FROM documents
+), masked AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+         regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+  FROM planted
+), masked2 AS (
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(t1, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+         regexp_replace(t1, '{PII_PHONE_RE}', '<PHONE>', 'g') AS t2
+  FROM masked
+)
+SELECT doc_id,
+       trim(regexp_replace(lower(t2), '\\s+', ' ', 'g')) AS clean,
+       n_emails, n_phones
+FROM masked2
 """
 
 QUALITY_SQL = f"""
