@@ -195,7 +195,12 @@ def _expand(fn: str, args) -> str:
         elems = [anchor] + [
             f"({anchor} AND bool_or(coalesce({c}, false)))" for c in args[1:]
         ]
-        return "array(" + ", ".join(elems) + ")"
+        # empty group → empty list, not [NULL, …]
+        # (reference test/sql/retention.test:58-62)
+        return (
+            f"CASE WHEN count(1) = 0 THEN CAST(array() AS ARRAY<BOOLEAN>) "
+            f"ELSE array({', '.join(elems)}) END"
+        )
 
     if fn == "window_funnel":
         gap = _interval_us(args[0])
@@ -257,7 +262,7 @@ def _rewrite_calls(sql: str, fn: str) -> str:
 # --- sessionize (window form, statement-level) -----------------------------
 
 _OVER_RE = re.compile(
-    r"\s*OVER\s*\(\s*PARTITION\s+BY\s+(?P<keys>.+?)\s+ORDER\s+BY\s+(?P<ob>.+?)\s*\)",
+    r"\s*OVER\s*\(\s*(?:PARTITION\s+BY\s+(?P<keys>.+?)\s+)?ORDER\s+BY\s+(?P<ob>.+?)\s*\)",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -274,7 +279,13 @@ def _rewrite_sessionize(sql: str) -> str:
     mo = _OVER_RE.match(sql, hi)
     if not mo:
         raise ValueError("sessionize requires OVER (PARTITION BY … ORDER BY …)")
-    keys, ob = mo.group("keys").strip(), mo.group("ob").strip()
+    keys = (mo.group("keys") or "").strip()
+    ob = mo.group("ob").strip()
+    # bare OVER (ORDER BY …) = one global session stream (reference
+    # test/sql/sessionize.test:21); a partition-less window is a
+    # single-reducer at scale — supported for dialect parity, real
+    # deployments partition by the entity key.
+    part = f"PARTITION BY {keys} " if keys else ""
     # strictly-greater gap starts a new session; NULL ts ⇒ NULL id but
     # neighbors unaffected (reference src/sessionize.rs:290-298)
     expr = (
@@ -282,18 +293,19 @@ def _rewrite_sessionize(sql: str) -> str:
         f"SUM(CASE WHEN __prev_ts IS NOT NULL "
         f"AND unix_micros({ts}) - unix_micros(__prev_ts) > {gap_us} "
         f"THEN 1 ELSE 0 END) "
-        f"OVER (PARTITION BY {keys} ORDER BY {ob} ROWS UNBOUNDED PRECEDING) + 1 "
+        f"OVER ({part}ORDER BY {ob} ROWS UNBOUNDED PRECEDING) + 1 "
         f"END AS BIGINT)"
     )
     out = sql[:lo] + expr + sql[mo.end():]
-    # push a lag() derived table under the FROM <identifier> of the
-    # SELECT containing the call — the first FROM after the call at the
-    # call's own paren depth (handles both top-level and CTE bodies).
+    # push a lag() derived table under the FROM of the SELECT
+    # containing the call — the first FROM after the call at the call's
+    # own paren depth (handles top-level, CTE bodies, and both
+    # FROM <identifier> and FROM (subquery) [alias] sources).
     # Plain lag (no IGNORE NULLS) mirrors operators/sessionize.py:
     # NULL-ts rows sort first in ascending order, so non-NULL rows only
     # ever see non-NULL predecessors and don't split their neighbors.
     call_depth = _depth_at(out, lo)
-    from_re = re.compile(r"\bFROM\s+(\w+)", re.IGNORECASE)
+    from_re = re.compile(r"\bFROM\s+", re.IGNORECASE)
     m = None
     for cand in from_re.finditer(out, lo):
         if _in_string(out, cand.start()):
@@ -302,14 +314,43 @@ def _rewrite_sessionize(sql: str) -> str:
             m = cand
             break
     if m is None:
-        raise ValueError("sessionize rewrite: could not locate FROM <table>")
-    src = m.group(1)
+        raise ValueError("sessionize rewrite: could not locate FROM clause")
+    src_lo = m.end()
+    if out[src_lo] == "(":
+        # balanced subquery + optional [AS] alias [(col, …)]
+        i, depth = src_lo + 1, 1
+        while i < len(out) and depth:
+            if out[i] == "'":
+                i = _skip_string(out, i)
+                continue
+            if out[i] == "(":
+                depth += 1
+            elif out[i] == ")":
+                depth -= 1
+            i += 1
+        alias = re.match(
+            r"\s*(?:AS\s+)?(?P<name>\w+)\s*(?:\(\s*\w+(?:\s*,\s*\w+)*\s*\))?",
+            out[i:],
+            re.IGNORECASE,
+        )
+        if alias and alias.group("name").lower() in (
+            "where", "group", "order", "having", "limit", "union", "qualify",
+            "window", "join", "on", "left", "right", "inner", "cross",
+        ):
+            alias = None  # clause keyword, not an alias
+        src_hi = i + (alias.end() if alias else 0)
+    else:
+        ident = re.match(r"\w+", out[src_lo:])
+        if not ident:
+            raise ValueError("sessionize rewrite: could not parse FROM source")
+        src_hi = src_lo + ident.end()
+    src = out[src_lo:src_hi]
     derived = (
         f"FROM (SELECT *, lag({ts}) "
-        f"OVER (PARTITION BY {keys} ORDER BY {ob}) AS __prev_ts "
+        f"OVER ({part}ORDER BY {ob}) AS __prev_ts "
         f"FROM {src})"
     )
-    out = out[: m.start()] + derived + out[m.end():]
+    out = out[: m.start()] + derived + out[src_hi:]
     if _scan_call(out, "sessionize") is not None:
         raise ValueError("at most one sessionize call per statement is supported")
     return out
