@@ -3,8 +3,11 @@
 Images/audio/video are modeled as ``binary`` columns with a metadata
 struct. The Spark-side plumbing (schemas, partition-friendly batch
 processing via mapInPandas, Arrow transport of binary) is real and
-tested; the actual media decode is stubbed (codec libraries are not in
-this environment) behind ``decode_media``, which raises
+tested. Two formats decode for REAL with no codec library —
+uncompressed 24-bit BMP (:func:`decode_bmp`) and PCM16 RIFF/WAV
+(:func:`decode_wav`), both pure struct+numpy parsers with
+oracle-checked roundtrip queries. Codec-dependent formats
+(JPEG/MP3/H.264…) are stubbed behind ``decode_media``, which raises
 ``NotImplementedError`` unless ``fake=True`` produces a deterministic
 synthetic decode (byte-length-derived features).
 """
@@ -58,15 +61,18 @@ def as_media(df: DataFrame, id_col: str, payload_col, mime: str) -> DataFrame:
 def decode_media(payload: bytes, mime: str, fake: bool = False):
     """Decode a media payload.
 
-    ``image/bmp`` decodes for REAL (:func:`decode_bmp` — uncompressed
-    24-bit BMP needs no codec library, just header parsing + numpy).
-    Other mimes are stubbed: they require codec libraries not present
-    in this environment; ``fake=True`` returns a deterministic
-    synthetic "decode" (length + simple byte stats) so the distributed
-    plumbing is exercisable end to end.
+    ``image/bmp`` and ``audio/wav`` decode for REAL (:func:`decode_bmp`
+    / :func:`decode_wav` — uncompressed formats need no codec library,
+    just header/chunk parsing + numpy). Other mimes are stubbed: they
+    require codec libraries not present in this environment;
+    ``fake=True`` returns a deterministic synthetic "decode" (length +
+    simple byte stats) so the distributed plumbing is exercisable end
+    to end.
     """
     if mime == "image/bmp":
         return decode_bmp(payload)
+    if mime == "audio/wav":
+        return decode_wav(payload)
     if not fake:
         raise NotImplementedError(
             "media decoding requires image/audio codecs not available in this "
@@ -160,6 +166,95 @@ def decode_bmp_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.select("media_id", "payload").mapInPandas(run, schema=BMP_STATS_SCHEMA)
+
+
+# --- real codec-free audio path: RIFF/WAV PCM16 ----------------------------
+
+
+def encode_wav_pcm16(samples: "np.ndarray", rate: int) -> bytes:
+    """Encode an int16 sample array as a mono PCM16 RIFF/WAV — pure
+    struct+numpy, no codec library."""
+    data = samples.astype("<i2").tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse a RIFF/WAV container (chunk walker, not offset guessing)
+    and return PCM16 stats. Raises ``ValueError`` on malformed input —
+    a REAL parser, not a stub."""
+    if payload is None or len(payload) < 12:
+        raise ValueError("not a WAV: payload shorter than RIFF header")
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(f"not a WAV: bad magic {payload[0:4]!r}/{payload[8:12]!r}")
+    pos, rate, bits, channels, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("unsupported WAV: short fmt chunk")
+            fmt_tag, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if fmt_tag != 1:
+                raise ValueError(f"unsupported WAV: non-PCM format {fmt_tag}")
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("not a WAV: missing fmt/data chunk")
+    if bits != 16 or channels != 1:
+        raise ValueError(f"unsupported WAV: bits={bits} channels={channels}")
+    s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    return {
+        "sample_rate": int(rate),
+        "n_samples": int(s.size),
+        "duration_ms": int(s.size * 1000 // rate),
+        "amp_min": int(s.min()) if s.size else 0,
+        "amp_max": int(s.max()) if s.size else 0,
+        "sq_sum": int((s * s).sum()),
+    }
+
+
+WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("duration_ms", T.LongType(), False),
+        T.StructField("amp_min", T.LongType(), False),
+        T.StructField("amp_max", T.LongType(), False),
+        T.StructField("sq_sum", T.LongType(), False),
+    ]
+)
+
+_WAV_COLS = ("sample_rate", "n_samples", "duration_ms", "amp_min", "amp_max", "sq_sum")
+
+
+def decode_wav_stats(media: DataFrame) -> DataFrame:
+    """(media_id, sample_rate, n_samples, duration_ms, amp_min,
+    amp_max, sq_sum) via the real WAV parser — same Arrow-batched
+    mapInPandas shape as the stubbed decoders."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id",) + _WAV_COLS}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_wav(bytes(p))
+                out["media_id"].append(mid)
+                for k in _WAV_COLS:
+                    out[k].append(d[k])
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=WAV_STATS_SCHEMA)
 
 
 FEATURE_SCHEMA = T.StructType(
@@ -325,6 +420,58 @@ def q_multimodal_bmp_decode(spark, sf_dir):
         .mapInPandas(gen, schema="media_id long, payload binary")
     )
     return decode_bmp_stats(media)
+
+
+def q_multimodal_wav_decode(spark, sf_dir):
+    """REAL audio decode, end to end: deterministic PCM16 waveforms
+    (sample k = ((doc_id*17 + k*257) % 4096) - 2048, n = 50 +
+    doc_id%32, rate = 8000 + (doc_id%4)*4000) are encoded to actual
+    RIFF/WAV bytes and decoded back by the chunk-walking parser. The
+    oracle computes the same stats closed-form, so a bug in either the
+    encoder's chunk layout or the parser breaks the hash match."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 50 + did % 32
+                rate = 8000 + (did % 4) * 4000
+                k = np.arange(n, dtype=np.int64)
+                s = ((did * 17 + k * 257) % 4096) - 2048
+                mids.append(did)
+                payloads.append(encode_wav_pcm16(s.astype(np.int16), rate))
+            yield pd.DataFrame({"media_id": mids, "payload": payloads})
+
+    media = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(gen, schema="media_id long, payload binary")
+    )
+    return decode_wav_stats(media)
+
+
+WAV_DECODE_SQL = """
+WITH d AS (
+  SELECT doc_id, 50 + doc_id % 32 AS n,
+         8000 + (doc_id % 4) * 4000 AS rate
+  FROM documents
+), i AS (
+  SELECT unnest(generate_series(0, 81)) AS k
+), s AS (
+  SELECT d.doc_id, d.n, d.rate,
+         (d.doc_id * 17 + i.k * 257) % 4096 - 2048 AS v
+  FROM d JOIN i ON i.k < d.n
+)
+SELECT doc_id AS media_id,
+       CAST(rate AS INTEGER) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+       CAST(min(v) AS BIGINT) AS amp_min,
+       CAST(max(v) AS BIGINT) AS amp_max,
+       CAST(sum(v * v) AS BIGINT) AS sq_sum
+FROM s GROUP BY doc_id, n, rate
+"""
 
 
 BMP_DECODE_SQL = """

@@ -37,6 +37,7 @@ EXT_QUERIES = {
     "multimodal_features": M.q_multimodal_features,
     "multimodal_frames": M.q_multimodal_frames,
     "multimodal_bmp_decode": M.q_multimodal_bmp_decode,
+    "multimodal_wav_decode": M.q_multimodal_wav_decode,
     # temporal joins
     "asof_view_before_purchase": TJ.q_asof_view_before_purchase,
     "range_views_after_error": TJ.q_range_views_after_error,
@@ -72,6 +73,7 @@ EXT_ORACLES = {
     "multimodal_features": M.MULTIMODAL_SQL,
     "multimodal_frames": M.MULTIMODAL_FRAMES_SQL,
     "multimodal_bmp_decode": M.BMP_DECODE_SQL,
+    "multimodal_wav_decode": M.WAV_DECODE_SQL,
     "asof_view_before_purchase": TJ.ASOF_SQL,
     "range_views_after_error": TJ.RANGE_SQL,
     "tpch_pricing_flags": C.TPCH_PRICING_SQL,

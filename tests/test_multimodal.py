@@ -112,3 +112,63 @@ def test_decode_media_routes_bmp_for_real():
     payload = encode_bmp_gray24(np.full((2, 2), 9, dtype=np.uint8))
     # no fake flag needed: BMP is the real path
     assert decode_media(payload, "image/bmp")["px_sum"] == 36
+
+
+def test_wav_roundtrip_stats():
+    import numpy as np
+
+    from duckdb_behavioral_spark.functions.multimodal import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    s = np.array([-2048, 0, 17, 2047, -1], dtype=np.int16)
+    d = decode_wav(encode_wav_pcm16(s, 16000))
+    assert d == {
+        "sample_rate": 16000,
+        "n_samples": 5,
+        "duration_ms": 0,
+        "amp_min": -2048,
+        "amp_max": 2047,
+        "sq_sum": int((s.astype(np.int64) ** 2).sum()),
+    }
+    # empty sample array still parses
+    e = decode_wav(encode_wav_pcm16(np.array([], dtype=np.int16), 8000))
+    assert (e["n_samples"], e["sq_sum"]) == (0, 0)
+
+
+def test_wav_parser_walks_extra_chunks():
+    import struct
+
+    import numpy as np
+
+    from duckdb_behavioral_spark.functions.multimodal import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    base = encode_wav_pcm16(np.array([3, -3], dtype=np.int16), 8000)
+    # splice a LIST chunk (odd length -> word-aligned) between fmt and data
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = base[:fmt_end] + extra + base[fmt_end:]
+    assert decode_wav(spliced)["n_samples"] == 2
+
+
+def test_wav_decode_rejects_garbage():
+    import struct
+
+    import pytest
+
+    from duckdb_behavioral_spark.functions.multimodal import decode_wav
+
+    with pytest.raises(ValueError, match="shorter"):
+        decode_wav(b"RIFF")
+    with pytest.raises(ValueError, match="magic"):
+        decode_wav(b"RIFF" + b"\x00" * 4 + b"XXXX" + b"\x00" * 40)
+    # stereo rejected
+    hdr = (b"RIFF" + struct.pack("<I", 40) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+           + b"data" + struct.pack("<I", 0))
+    with pytest.raises(ValueError, match="channels"):
+        decode_wav(hdr)
