@@ -17,7 +17,7 @@ additional entries from duckdb_behavioral_spark.functions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 import duckdb_behavioral_spark as B
@@ -86,6 +86,69 @@ WITH o AS (
 )
 SELECT user_id, session_id, COUNT(*) AS n, MIN(ts) AS t0, MAX(ts) AS t1
 FROM s GROUP BY user_id, session_id
+"""
+
+
+def q17_session_quantiles(spark, sf_dir):
+    """Exact session-duration quantiles (p50/p90/p99) by integer rank
+    selection: target rank = (n-1)*permille DIV 1000 + 1, picked with
+    a conditional aggregate over row_number. No float interpolation
+    anywhere, so both engines agree bit-for-bit (Spark's `percentile`
+    and DuckDB's `quantile_cont` interpolate with differently-ordered
+    float ops). The rank needs one global sort of SESSION rows (not
+    events) — fine for a stats report; at 100 TB the scale path is
+    `approx_percentile` on the same durations, traded here for an
+    exactly-checkable answer."""
+    s = q11_session_stats(spark, sf_dir).where(F.col("session_id").isNotNull())
+    d = s.select((F.unix_micros("t1") - F.unix_micros("t0")).alias("dur_us"))
+    w = Window.orderBy("dur_us")
+    ranked = d.select(
+        "dur_us",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy(F.lit(1))).alias("n"),
+    )
+
+    def pick(pm):
+        return F.max(
+            F.when(F.col("rn") == F.expr(f"(n - 1) * {pm} DIV 1000 + 1"), F.col("dur_us"))
+        )
+
+    return ranked.agg(
+        F.count("*").alias("n_sessions"),
+        pick(500).alias("p50_us"),
+        pick(900).alias("p90_us"),
+        pick(990).alias("p99_us"),
+        F.max("dur_us").alias("max_us"),
+    )
+
+
+Q17_SQL = f"""
+WITH o AS (
+  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         CAST(SUM(CASE WHEN prev_ts IS NOT NULL
+                        AND epoch_us(ts) - epoch_us(prev_ts) > {GAP_30M_US}
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) + 1
+              AS BIGINT) AS session_id
+  FROM o
+), g AS (
+  SELECT user_id, session_id, MIN(ts) AS t0, MAX(ts) AS t1
+  FROM s WHERE session_id IS NOT NULL GROUP BY user_id, session_id
+), dur AS (
+  SELECT epoch_us(t1) - epoch_us(t0) AS dur_us FROM g
+), r AS (
+  SELECT dur_us, row_number() OVER (ORDER BY dur_us) AS rn, COUNT(*) OVER () AS n
+  FROM dur
+)
+SELECT COUNT(*) AS n_sessions,
+       MAX(CASE WHEN rn = (n - 1) * 500 // 1000 + 1 THEN dur_us END) AS p50_us,
+       MAX(CASE WHEN rn = (n - 1) * 900 // 1000 + 1 THEN dur_us END) AS p90_us,
+       MAX(CASE WHEN rn = (n - 1) * 990 // 1000 + 1 THEN dur_us END) AS p99_us,
+       MAX(dur_us) AS max_us
+FROM r
 """
 
 
@@ -554,6 +617,7 @@ CORE_QUERIES = {
     "q14_funnel_strict_order": q14_funnel_strict_order,
     "q15_funnel_timestamp_dedup": q15_funnel_timestamp_dedup,
     "q16_funnel_allow_reentry": q16_funnel_allow_reentry,
+    "q17_session_quantiles": q17_session_quantiles,
 }
 
 CORE_ORACLES = {
@@ -573,4 +637,5 @@ CORE_ORACLES = {
     "q14_funnel_strict_order": Q14_SQL,
     "q15_funnel_timestamp_dedup": Q15_SQL,
     "q16_funnel_allow_reentry": Q16_SQL,
+    "q17_session_quantiles": Q17_SQL,
 }
