@@ -14,9 +14,13 @@ def all_queries():
     except ImportError:
         pass
     try:
-        from duckdb_behavioral_spark.streaming.parity import streaming_funnel_parity
+        from duckdb_behavioral_spark.streaming.parity import (
+            streaming_dedup_parity,
+            streaming_funnel_parity,
+        )
 
         out["streaming_funnel_parity"] = streaming_funnel_parity
+        out["streaming_dedup_parity"] = streaming_dedup_parity
     except ImportError:
         pass
     return out
@@ -32,6 +36,7 @@ def all_oracles():
         out.update(EXT_ORACLES)
     except ImportError:
         pass
-    # the streamed funnel must equal the BATCH funnel oracle (Q3)
+    # the streamed funnel/dedup must equal the BATCH oracles
     out["streaming_funnel_parity"] = out.get("q3_window_funnel")
+    out["streaming_dedup_parity"] = out.get("dedup_exact")
     return out

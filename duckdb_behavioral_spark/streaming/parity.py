@@ -80,3 +80,49 @@ def streaming_funnel_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARED query: replay the documents table as a 4-micro-batch
+    stream through ``streaming_exact_dedup``; the folded final state
+    must hash-match the BATCH ``dedup_exact`` oracle. min/count are
+    commutative, so unlike first-seen dedup this holds under any
+    chunking/arrival order — the chunks here deliberately interleave
+    doc_ids (mod-4) to prove it."""
+    from duckdb_behavioral_spark.sources import load_table
+    from duckdb_behavioral_spark.streaming.dedup import streaming_exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="sg_dedup_src_")
+    try:
+        for i in range(N_CHUNKS):
+            (docs.where(F.col("doc_id") % N_CHUNKS == i)
+             .coalesce(1).write.mode("append").parquet(src))
+
+        stream = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+
+        latest: dict = {}
+
+        def fold_batch(bdf: DataFrame, _epoch: int) -> None:
+            for r in bdf.collect():
+                latest[r["text_md5"]] = (r["n_docs"], r["canonical_id"])
+
+        q = (
+            streaming_exact_dedup(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(fold_batch)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        return spark.createDataFrame(
+            [(h, int(n), int(c)) for h, (n, c) in latest.items()],
+            "text_md5 string, n_docs long, canonical_id long",
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
