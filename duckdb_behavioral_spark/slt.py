@@ -135,6 +135,65 @@ def _canon_rows(rendered: list[str]) -> list[list[str]]:
     return sorted(ln.split("\t") for ln in rendered)
 
 
+def split_sql_script(text: str) -> list[str]:
+    """Split a .sql script into statements on top-level semicolons
+    (string-literal aware, ``--`` comments stripped)."""
+    out, cur, i = [], [], 0
+    while i < len(text):
+        c = text[i]
+        if c == "'":
+            j = i + 1
+            while j < len(text) and text[j] != "'":
+                j += 1
+            cur.append(text[i : j + 1])
+            i = j + 1
+            continue
+        if c == "-" and text[i : i + 2] == "--":
+            while i < len(text) and text[i] != "\n":
+                i += 1
+            continue
+        if c == ";":
+            stmt = "".join(cur).strip()
+            if stmt:
+                out.append(stmt)
+            cur = []
+            i += 1
+            continue
+        cur.append(c)
+        i += 1
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def run_sql_script(spark: SparkSession, text: str) -> list[tuple[str, int]]:
+    """Execute a reference example script (e.g. ``examples/*.sql``)
+    verbatim: DDL through the dialect shim, every SELECT through
+    ``behavioral_sql``. Returns (statement head, row count) per SELECT
+    so callers can assert the script's queries all produced output."""
+    from duckdb_behavioral_spark.sql_surface import behavioral_sql
+
+    results: list[tuple[str, int]] = []
+    for stmt in split_sql_script(text):
+        head = re.sub(r"\s+", " ", stmt)[:60]
+        m = re.match(
+            r"\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(\w+)\s*(.*)",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            for s in _shim_ddl(spark, f"CREATE TABLE {m.group(1)} {m.group(2)}"):
+                spark.sql(s)
+            continue
+        if re.match(r"\s*(SELECT|WITH)\b", stmt, re.IGNORECASE):
+            results.append((head, len(behavioral_sql(spark, stmt).collect())))
+        else:  # other DDL (INSERT etc.) through the shim
+            for s in _shim_ddl(spark, stmt):
+                spark.sql(s)
+    return results
+
+
 @dataclass
 class SltResult:
     queries: int = 0

@@ -63,11 +63,64 @@ def behavioral_sql(spark: SparkSession, sql: str) -> DataFrame:
 
 
 def rewrite_behavioral_sql(sql: str) -> str:
-    """Source-to-source rewrite of behavioral calls into Spark SQL."""
+    """Source-to-source rewrite of behavioral calls into Spark SQL,
+    plus two host-dialect gaps the reference's docs/examples rely on:
+    DuckDB's 1-based NULL-tolerant list subscript and
+    ``EXTRACT(EPOCH FROM <interval>)``."""
     sql = _rewrite_sessionize(sql)
     for fn in _AGG_FNS:
         sql = _rewrite_calls(sql, fn)
+    sql = _rewrite_epoch_extract(sql)
+    sql = _rewrite_subscripts(sql)
     return sql
+
+
+def _rewrite_epoch_extract(sql: str) -> str:
+    """``EXTRACT(EPOCH FROM x)`` → total seconds of an interval.
+
+    Spark's EXTRACT has no EPOCH field; for the reference's usage (x =
+    timestamp difference, e.g. examples/01_sessions.sql:51) seconds =
+    ``unix_micros(epoch + x) DIV 1e6``. Timestamp-typed x is not
+    supported (use unix_micros directly)."""
+    pos = 0
+    while True:
+        found = _scan_call(sql, "EXTRACT", pos)
+        if found is None:
+            return sql
+        lo, hi, args = found
+        m = re.match(r"^\s*EPOCH\s+FROM\s+(.*)$", args[0], re.IGNORECASE | re.DOTALL) \
+            if len(args) == 1 else None
+        if not m:
+            pos = hi  # some other EXTRACT field — leave untouched
+            continue
+        repl = (
+            f"(unix_micros(TIMESTAMP '1970-01-01 00:00:00' + ({m.group(1)})) "
+            f"DIV 1000000)"
+        )
+        sql = sql[:lo] + repl + sql[hi:]
+        pos = lo + len(repl)
+
+
+_SUBSCRIPT_RE = re.compile(r"((?:\w+\.)?\w+)\[(\d+)\]")
+
+
+def _rewrite_subscripts(sql: str) -> str:
+    """``x[N]`` (integer-literal subscript) → ``get(x, N-1)``.
+
+    The reference dialect (DuckDB) indexes lists 1-based and yields
+    NULL out of range; Spark's ``[]`` is 0-based and throws under
+    ANSI. ``get`` reproduces both differences exactly
+    (examples/03_retention.sql indexes ``r[4]`` on a 4-element
+    retention array)."""
+    out, pos = [], 0
+    for m in _SUBSCRIPT_RE.finditer(sql):
+        if _in_string(sql, m.start()):
+            continue
+        out.append(sql[pos : m.start()])
+        out.append(f"get({m.group(1)}, {int(m.group(2)) - 1})")
+        pos = m.end()
+    out.append(sql[pos:])
+    return "".join(out)
 
 
 # --- lexical helpers -------------------------------------------------------
