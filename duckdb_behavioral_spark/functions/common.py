@@ -87,6 +87,23 @@ def shingles3(toks: Column) -> Column:
     )
 
 
+def word_grams(toks: Column, n: int) -> Column:
+    """All word n-grams in order, duplicates kept; empty when < n tokens.
+
+    Same shifted-array zip_with construction as shingles3 (lambdas touch
+    only lambda vars — an index-transform would re-evaluate the token
+    expression once per element under interpreted HOF evaluation), but
+    without the distinct so occurrence counts survive for repetition
+    statistics.
+    """
+    sz = F.size(toks)
+    g = toks
+    for k in range(2, n + 1):
+        g = F.zip_with(g, F.slice(toks, k, sz), lambda a, b: F.concat(a, F.lit(" "), b))
+    g = F.slice(g, 1, sz - (n - 1))
+    return F.when(sz >= n, g).otherwise(F.array().cast("array<string>"))
+
+
 # --- DuckDB side ----------------------------------------------------------
 
 def sql_char_hash(expr: str) -> str:
@@ -105,6 +122,16 @@ def sql_md5_hash48(expr: str) -> str:
 
 def sql_tokens(expr: str) -> str:
     return rf"regexp_split_to_array(trim({expr}), '\s+')"
+
+
+def sql_word_grams(toks_expr: str, n: int) -> str:
+    """DuckDB SQL mirroring word_grams() (order kept, duplicates kept)."""
+    return (
+        f"CASE WHEN len({toks_expr}) >= {n} THEN "
+        f"list_transform(range(1, len({toks_expr}) - {n - 2}), "
+        f"i -> array_to_string({toks_expr}[i:i+{n - 1}], ' ')) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
 
 
 def sql_shingles3(toks_expr: str) -> str:

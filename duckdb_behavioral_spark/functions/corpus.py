@@ -1,0 +1,323 @@
+"""Corpus-level text statistics: decontamination, repetition signals,
+per-document top terms with corpus document frequency.
+
+These differ from functions/text.py in that each operator needs
+corpus-wide state (an eval-set shingle index, per-gram occurrence
+counts, a document-frequency table), not just per-row expressions.
+The Spark shapes are the ones that survive 100 TB:
+
+- decontamination broadcasts the *eval-set* gram index (benchmarks are
+  tiny next to a training corpus) so the train side is a single
+  map-side semi-probe — no shuffle of the big side beyond the per-doc
+  count aggregation;
+- repetition / term stats explode to (doc, gram) and aggregate with
+  map-side partial combine — linear in corpus size, no pairwise work;
+- the document-frequency join shuffles on the term key, which is the
+  natural partitioning for a vocabulary-sized table.
+
+Parity targets (reference has no corpus ops; these extend it the same
+way the reference's README positions behavioral aggregates as
+"pipeline building blocks" — see tomtom215/duckdb-behavioral
+README.md "Composing with SQL"): every query ships a plain-SQL DuckDB
+oracle and all outputs are integers/strings so cross-engine value
+hashes are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from duckdb_behavioral_spark.functions.common import (
+    shingles3,
+    sql_shingles3,
+    sql_tokens,
+    sql_word_grams,
+    tokens,
+    word_grams,
+)
+
+# Every 20th doc plays the held-out eval set; threshold in permille of
+# a train doc's distinct 3-gram shingles that also occur in the eval
+# set before the doc is flagged contaminated.
+DECON_EVAL_MOD = 20
+DECON_THRESHOLD_PERMILLE = 200
+
+TOPK_TERMS = 3
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_behavioral_spark.sources import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+# --- decontamination -------------------------------------------------------
+
+def decontaminate_ngram(
+    train: DataFrame,
+    eval_set: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    threshold_permille: int = DECON_THRESHOLD_PERMILLE,
+) -> DataFrame:
+    """Flag training documents whose word-3-gram shingles overlap the
+    eval set (benchmark decontamination).
+
+    Returns one row per training document:
+    ``(id, n_grams, matched, overlap_permille, contaminated)``.
+
+    Scale shape: the distinct eval gram set is broadcast (an eval
+    benchmark is MBs against a 100 TB corpus), so the train side is
+    scanned once, probed map-side, and aggregated per doc with partial
+    combine. No shuffle of raw text, no pairwise comparison.
+    """
+    ev = (
+        eval_set.select(F.explode(shingles3(tokens(F.col(text)))).alias("__g"))
+        .distinct()
+    )
+    tr = train.select(F.col(id_col), shingles3(tokens(F.col(text))).alias("__grams"))
+    matched = (
+        tr.select(F.col(id_col), F.explode(F.col("__grams")).alias("__g"))
+        .join(F.broadcast(ev), "__g", "inner")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("matched"))
+    )
+    base = tr.select(F.col(id_col), F.size("__grams").cast("long").alias("n_grams"))
+    out = base.join(matched, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_grams"),
+        F.coalesce(F.col("matched"), F.lit(0)).cast("long").alias("matched"),
+    )
+    permille = F.when(
+        F.col("n_grams") > 0, F.floor(F.col("matched") * 1000 / F.col("n_grams"))
+    ).otherwise(F.lit(0)).cast("long")
+    return out.select(
+        id_col,
+        "n_grams",
+        "matched",
+        permille.alias("overlap_permille"),
+        F.when(permille >= threshold_permille, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("contaminated"),
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") % DECON_EVAL_MOD == 0)
+    tr = docs.where(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    return decontaminate_ngram(tr, ev)
+
+
+_SH = sql_shingles3("toks")
+
+DECONTAMINATE_SQL = f"""
+WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SH} AS grams FROM t),
+ev AS (SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id % {DECON_EVAL_MOD} = 0),
+tr AS (SELECT doc_id, unnest(grams) AS g FROM sh WHERE doc_id % {DECON_EVAL_MOD} <> 0),
+counts AS (
+  SELECT tr.doc_id, count(ev.g) AS matched
+  FROM tr LEFT JOIN ev ON tr.g = ev.g
+  GROUP BY tr.doc_id
+)
+SELECT s.doc_id,
+       CAST(len(s.grams) AS BIGINT) AS n_grams,
+       CAST(coalesce(c.matched, 0) AS BIGINT) AS matched,
+       CAST(CASE WHEN len(s.grams) > 0
+                 THEN coalesce(c.matched, 0) * 1000 // len(s.grams)
+                 ELSE 0 END AS BIGINT) AS overlap_permille,
+       CAST(CASE WHEN len(s.grams) > 0
+                  AND coalesce(c.matched, 0) * 1000 // len(s.grams)
+                      >= {DECON_THRESHOLD_PERMILLE}
+                 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM sh s LEFT JOIN counts c ON s.doc_id = c.doc_id
+WHERE s.doc_id % {DECON_EVAL_MOD} <> 0
+"""
+
+
+# --- repetition signals ----------------------------------------------------
+
+def repetition_stats(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals, all-integer outputs.
+
+    Per document:
+    - ``top2_gram`` / ``top2_count`` — the most frequent word 2-gram
+      (ties broken by gram text ascending) and its occurrence count;
+    - ``top2_char_permille`` — permille of the trimmed text's
+      characters covered by occurrences of that 2-gram
+      (``count * len(gram) * 1000 // n_chars``);
+    - ``dup3_permille`` — permille of word-3-gram instances whose gram
+      occurs more than once in the document.
+
+    Shape: explode → groupBy(doc, gram) with map-side combine → per-doc
+    window/agg. Linear in total token count; the doc_id+gram shuffle
+    key is high-cardinality and skew-free.
+    """
+    toks = tokens(F.col(text))
+    base = df.select(
+        F.col(id_col),
+        F.length(F.trim(F.col(text))).cast("long").alias("n_chars"),
+        word_grams(toks, 2).alias("__g2"),
+        word_grams(toks, 3).alias("__g3"),
+    )
+    c2 = (
+        base.select(F.col(id_col), F.explode("__g2").alias("__g"))
+        .groupBy(id_col, "__g")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__cnt").desc(), F.col("__g").asc())
+    top2 = (
+        c2.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select(
+            F.col(id_col),
+            F.col("__g").alias("top2_gram"),
+            F.col("__cnt").cast("long").alias("top2_count"),
+        )
+    )
+    d3 = (
+        base.select(F.col(id_col), F.explode("__g3").alias("__g"))
+        .groupBy(id_col, "__g")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("__cnt") >= 2, F.col("__cnt")).otherwise(0))
+            .cast("long")
+            .alias("__dup"),
+            F.sum("__cnt").cast("long").alias("__tot"),
+        )
+    )
+    out = (
+        base.select(F.col(id_col), "n_chars")
+        .join(top2, id_col, "left")
+        .join(d3, id_col, "left")
+    )
+    top_chars = F.coalesce(
+        F.col("top2_count") * F.length("top2_gram"), F.lit(0)
+    ).cast("long")
+    dup_permille = F.when(
+        F.coalesce(F.col("__tot"), F.lit(0)) > 0,
+        F.floor(F.col("__dup") * 1000 / F.col("__tot")),
+    ).otherwise(F.lit(0)).cast("long")
+    return out.select(
+        F.col(id_col),
+        F.col("n_chars"),
+        F.coalesce(F.col("top2_gram"), F.lit("")).alias("top2_gram"),
+        F.coalesce(F.col("top2_count"), F.lit(0)).cast("long").alias("top2_count"),
+        F.floor(top_chars * 1000 / F.col("n_chars")).cast("long").alias("top2_char_permille"),
+        dup_permille.alias("dup3_permille"),
+    )
+
+
+def q_text_repetition(spark, sf_dir):
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+REPETITION_SQL = f"""
+WITH t AS (SELECT doc_id, trim(text) AS text, {sql_tokens('text')} AS toks FROM documents),
+base AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         {sql_word_grams('toks', 2)} AS g2,
+         {sql_word_grams('toks', 3)} AS g3
+  FROM t
+),
+c2 AS (
+  SELECT doc_id, g, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(g2) AS g FROM base)
+  GROUP BY doc_id, g
+),
+top2 AS (
+  SELECT doc_id, g AS top2_gram, cnt AS top2_count
+  FROM (SELECT doc_id, g, cnt,
+               row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g ASC) AS rk
+        FROM c2)
+  WHERE rk = 1
+),
+d3 AS (
+  SELECT doc_id,
+         sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup,
+         sum(cnt) AS tot
+  FROM (SELECT doc_id, g, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(g3) AS g FROM base)
+        GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+       b.n_chars,
+       coalesce(t2.top2_gram, '') AS top2_gram,
+       CAST(coalesce(t2.top2_count, 0) AS BIGINT) AS top2_count,
+       CAST(coalesce(t2.top2_count * length(t2.top2_gram), 0) * 1000 // b.n_chars
+            AS BIGINT) AS top2_char_permille,
+       CAST(CASE WHEN coalesce(d3.tot, 0) > 0
+                 THEN d3.dup * 1000 // d3.tot ELSE 0 END AS BIGINT) AS dup3_permille
+FROM base b
+LEFT JOIN top2 t2 ON b.doc_id = t2.doc_id
+LEFT JOIN d3 ON b.doc_id = d3.doc_id
+"""
+
+
+# --- per-doc top terms with corpus document frequency ----------------------
+
+def topk_terms(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", k: int = TOPK_TERMS
+) -> DataFrame:
+    """Top-k terms per document ranked by (term frequency desc, term
+    asc), each carrying its corpus document frequency.
+
+    The ranking key is all-integer (tf, then lexicographic term) so the
+    result is deterministic cross-engine — no float tf-idf in the sort.
+    ``df_docs`` (number of documents containing the term) is the
+    corpus-wide statistic a tf-idf weighting would consume.
+
+    Shape: one explode + (doc, term) count with map-side combine; the
+    document-frequency table derives from that same aggregate (no
+    second scan) and joins back on the term key — a vocabulary-sized
+    shuffle, the natural partitioning. Top-k is a per-doc window that
+    AQE plans as WindowGroupLimit (rank pushdown), not a full sort.
+    """
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df_docs"))
+    w = Window.partitionBy(id_col).orderBy(F.col("tf").desc(), F.col("term").asc())
+    return (
+        tf.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .join(dfreq, "term", "inner")
+        .select(
+            F.col(id_col),
+            F.col("rk").cast("long").alias("rk"),
+            "term",
+            "tf",
+            "df_docs",
+        )
+    )
+
+
+def q_topk_terms(spark, sf_dir):
+    return topk_terms(_docs(spark, sf_dir))
+
+
+TOPK_TERMS_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_docs FROM tf GROUP BY term),
+ranked AS (
+  SELECT doc_id, term, tf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS rk
+  FROM tf
+)
+SELECT r.doc_id, CAST(r.rk AS BIGINT) AS rk, r.term, r.tf, d.df_docs
+FROM ranked r JOIN dfreq d ON r.term = d.term
+WHERE r.rk <= {TOPK_TERMS}
+"""

@@ -3,7 +3,9 @@
 from __future__ import annotations
 
 from duckdb_behavioral_spark.functions import compositions as C
+from duckdb_behavioral_spark.functions import corpus as CO
 from duckdb_behavioral_spark.functions import dedup as D
+from duckdb_behavioral_spark.functions import embeddings as E
 from duckdb_behavioral_spark.functions import multimodal as M
 from duckdb_behavioral_spark.functions import sampling as SA
 from duckdb_behavioral_spark.functions import similarity as S
@@ -17,6 +19,12 @@ EXT_QUERIES = {
     "text_fingerprint": TX.q_text_fingerprint,
     "text_quality": TX.q_text_quality,
     "text_scrub_pii": TX.q_text_scrub_pii,
+    # corpus-level text statistics
+    "corpus_decontaminate": CO.q_decontaminate,
+    "text_repetition": CO.q_text_repetition,
+    "corpus_topk_terms": CO.q_topk_terms,
+    # embeddings utilities
+    "embedding_quantize": E.q_embedding_quantize,
     # dedup
     "dedup_exact": D.q_dedup_exact,
     "dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
@@ -57,6 +65,10 @@ EXT_ORACLES = {
     "text_fingerprint": TX.FINGERPRINT_SQL,
     "text_quality": TX.QUALITY_SQL,
     "text_scrub_pii": TX.SCRUB_PII_SQL,
+    "corpus_decontaminate": CO.DECONTAMINATE_SQL,
+    "text_repetition": CO.REPETITION_SQL,
+    "corpus_topk_terms": CO.TOPK_TERMS_SQL,
+    "embedding_quantize": E.QUANTIZE_SQL,
     "dedup_exact": D.DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": D.DEDUP_JACCARD_SQL,
     "dedup_clusters": D.DEDUP_CLUSTERS_SQL,
