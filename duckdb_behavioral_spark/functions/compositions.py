@@ -90,6 +90,131 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_rollup_cube(spark, sf_dir):
+    """GROUP BY ROLLUP (day, event_type) with grouping_id — the
+    multi-level report shape (per type per day, per day subtotal,
+    grand total) host engines produce in one pass.
+
+    Spark plans rollup as a single Expand + hash aggregate (one
+    shuffle, map-side partials on every grouping set); grouping_id
+    bit semantics match DuckDB's GROUPING(a, b) exactly.
+    """
+    from duckdb_behavioral_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    agg = (
+        ev.select(day, "event_type", "user_id")
+        .rollup("day", "event_type")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+    # Rolled-up grouping keys are NULL; rewrite to sentinels so the
+    # output carries no NULLs (hash/sort-stable in any canonicalizer).
+    return agg.select(
+        F.coalesce("day", F.lit("1900-01-01").cast("timestamp")).alias("day"),
+        F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+        "gid",
+        "n",
+        "n_users",
+    )
+
+
+EVENTS_ROLLUP_CUBE_SQL = """
+SELECT coalesce(CAST(date_trunc('day', ts) AS TIMESTAMP), TIMESTAMP '1900-01-01') AS day,
+       coalesce(event_type, '<all>') AS event_type,
+       CAST(GROUPING(CAST(date_trunc('day', ts) AS TIMESTAMP), event_type) AS BIGINT) AS gid,
+       COUNT(*) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY ROLLUP (CAST(date_trunc('day', ts) AS TIMESTAMP), event_type)
+"""
+
+
+EVENT_TYPES = ["view", "click", "signup", "purchase", "error"]
+
+
+def q_events_type_pivot(spark, sf_dir):
+    """Per-day pivot on event_type — wide conditional-aggregation
+    report. Pivot values are pinned (not discovered at plan time), so
+    the schema is static and the plan is one hash aggregate; at scale
+    this avoids the extra value-discovery job `.pivot(col)` runs."""
+    from duckdb_behavioral_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    piv = (
+        ev.select(day, "event_type")
+        .groupBy("day")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+    )
+    return piv.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in EVENT_TYPES],
+    )
+
+
+EVENTS_TYPE_PIVOT_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error
+FROM events
+GROUP BY 1
+"""
+
+
+SETOP_MIN_EVENTS = 12
+
+
+def q_users_setops(spark, sf_dir):
+    """Set-op surface: heavy purchasers (≥12 purchases) EXCEPT heavy
+    errorers, and their INTERSECT, tagged and unioned. (A plain
+    any-view EXCEPT any-purchase is vacuously empty on the synthetic
+    corpus — every user has every type — so the HAVING threshold makes
+    both branches non-empty.)
+
+    Spark plans EXCEPT/INTERSECT DISTINCT as left-anti / left-semi
+    hash joins over the deduplicated sides — no sort, broadcastable
+    when one side is small."""
+    from duckdb_behavioral_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir)
+
+    def heavy(t):
+        return (
+            ev.where(F.col("event_type") == t)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") >= SETOP_MIN_EVENTS)
+            .select("user_id")
+        )
+
+    hv, er = heavy("purchase"), heavy("error")
+    only = hv.exceptAll(er.distinct()).select(
+        "user_id", F.lit("only_purchase").alias("relation")
+    )
+    both = hv.intersect(er).select("user_id", F.lit("both").alias("relation"))
+    return only.union(both)
+
+
+USERS_SETOPS_SQL = f"""
+WITH hv AS (SELECT user_id FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id HAVING count(*) >= {SETOP_MIN_EVENTS}),
+     er AS (SELECT user_id FROM events WHERE event_type = 'error'
+            GROUP BY user_id HAVING count(*) >= {SETOP_MIN_EVENTS})
+SELECT user_id, 'only_purchase' AS relation FROM (SELECT * FROM hv EXCEPT SELECT * FROM er)
+UNION ALL
+SELECT user_id, 'both' AS relation FROM (SELECT * FROM hv INTERSECT SELECT * FROM er)
+"""
+
+
 def q_retention_report(spark, sf_dir):
     """element_at / list-index composition over the retention array
     (the reference's README report shape: r[1], r[2] CASE analysis)."""

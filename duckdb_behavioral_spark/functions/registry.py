@@ -53,6 +53,9 @@ EXT_QUERIES = {
     "tpch_pricing_flags": C.q_tpch_pricing_flags,
     "orders_by_nation": C.q_orders_by_nation,
     "events_hourly_rollup": C.q_events_hourly_rollup,
+    "events_rollup_cube": C.q_events_rollup_cube,
+    "events_type_pivot": C.q_events_type_pivot,
+    "users_setops": C.q_users_setops,
     "retention_report": C.q_retention_report,
     "retention_report_salted": C.q_retention_report_salted,
     "events_pct_of_total": C.q_events_pct_of_total,
@@ -91,6 +94,9 @@ EXT_ORACLES = {
     "tpch_pricing_flags": C.TPCH_PRICING_SQL,
     "orders_by_nation": C.ORDERS_BY_NATION_SQL,
     "events_hourly_rollup": C.EVENTS_HOURLY_SQL,
+    "events_rollup_cube": C.EVENTS_ROLLUP_CUBE_SQL,
+    "events_type_pivot": C.EVENTS_TYPE_PIVOT_SQL,
+    "users_setops": C.USERS_SETOPS_SQL,
     "retention_report": C.RETENTION_REPORT_SQL,
     "retention_report_salted": C.RETENTION_REPORT_SQL,
     "events_pct_of_total": C.EVENTS_PCT_SQL,
