@@ -17,10 +17,12 @@ def all_queries():
         from duckdb_behavioral_spark.streaming.parity import (
             streaming_dedup_parity,
             streaming_funnel_parity,
+            streaming_sessionize_parity,
         )
 
         out["streaming_funnel_parity"] = streaming_funnel_parity
         out["streaming_dedup_parity"] = streaming_dedup_parity
+        out["streaming_sessionize_parity"] = streaming_sessionize_parity
     except ImportError:
         pass
     return out
@@ -39,4 +41,5 @@ def all_oracles():
     # the streamed funnel/dedup must equal the BATCH oracles
     out["streaming_funnel_parity"] = out.get("q3_window_funnel")
     out["streaming_dedup_parity"] = out.get("dedup_exact")
+    out["streaming_sessionize_parity"] = out.get("q11_session_stats")
     return out

@@ -82,6 +82,89 @@ def streaming_funnel_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(src, ignore_errors=True)
 
 
+def streaming_sessionize_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARED query: replay events as a 6-micro-batch stream through
+    ``session_metrics_stream`` (native ``session_window`` state) and
+    rebuild the Q11 session-stats report from the closed sessions; it
+    must hash-match the BATCH Q11 oracle (lag+running-sum sessionize).
+
+    Boundary parity is exact: ``session_window`` merges events exactly
+    ``gap`` apart and splits at ``gap`` + 1µs (probed), which is the
+    batch operator's strict ``>`` split on integral microseconds.
+
+    Closing every real session in append mode needs the watermark to
+    pass their ends: after the 4 time-ordered data chunks, two
+    far-future sentinel batches (one synthetic event per user, +1 day
+    and +2 days) advance the watermark — the second one matters
+    because eviction uses the PREVIOUS batch's watermark. Sentinel
+    sessions are dropped by their start time; sentinels sit >> gap
+    after the last real event so they never merge into a real session.
+    """
+    from datetime import timedelta
+
+    from pyspark.sql import Window
+
+    from duckdb_behavioral_spark.sources import load_events
+    from duckdb_behavioral_spark.streaming.sessionize import session_metrics_stream
+
+    gap = timedelta(minutes=30)
+    ev = load_events(spark, sf_dir).select("user_id", "ts")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sentinels = [max_ts + timedelta(days=d) for d in (1, 2)]
+    users = ev.select("user_id").distinct()
+
+    src = tempfile.mkdtemp(prefix="sg_sess_src_")
+    try:
+        chunked = ev.withColumn("__chunk", F.ntile(N_CHUNKS).over(Window.orderBy("ts")))
+        for i in range(1, N_CHUNKS + 1):
+            (chunked.where(F.col("__chunk") == i).drop("__chunk")
+             .coalesce(1).write.mode("append").parquet(src))
+        for s_ts in sentinels:
+            (users.select("user_id", F.lit(s_ts).alias("ts"))
+             .coalesce(1).write.mode("append").parquet(src))
+
+        stream = spark.readStream.schema("user_id long, ts timestamp").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+
+        closed: list = []
+
+        def fold_batch(bdf: DataFrame, _epoch: int) -> None:
+            closed.extend(
+                (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+                for r in bdf.collect()
+            )
+
+        q = (
+            session_metrics_stream(stream, "ts", gap, ["user_id"], watermark="1 second")
+            .writeStream.outputMode("append")
+            .foreachBatch(fold_batch)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        rows = [
+            (int(u), t0, t1 - gap, int(n))
+            for (u, t0, t1, n) in closed
+            if t0 < sentinels[0]
+        ]
+        got = spark.createDataFrame(
+            rows or [(None, None, None, None)],
+            "user_id long, t0 timestamp, t1 timestamp, n long",
+        )
+        if not rows:
+            got = got.where(F.lit(False))
+        sid = F.row_number().over(Window.partitionBy("user_id").orderBy("t0"))
+        return got.select(
+            "user_id", sid.cast("long").alias("session_id"), "n", "t0", "t1"
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
 def streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DECLARED query: replay the documents table as a 4-micro-batch
     stream through ``streaming_exact_dedup``; the folded final state
