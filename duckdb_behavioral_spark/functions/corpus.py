@@ -75,19 +75,21 @@ def decontaminate_ngram(
     ev = (
         eval_set.select(F.explode(shingles3(tokens(F.col(text)))).alias("__g"))
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
+    # Single shingle pass: explode_outer keeps gram-less docs (NULL
+    # gram row), the broadcast left join marks eval hits, and one
+    # grouped agg yields both the gram count and the hit count — the
+    # train text is scanned and shingled exactly once.
     tr = train.select(F.col(id_col), shingles3(tokens(F.col(text))).alias("__grams"))
-    matched = (
-        tr.select(F.col(id_col), F.explode(F.col("__grams")).alias("__g"))
-        .join(F.broadcast(ev), "__g", "inner")
+    out = (
+        tr.select(F.col(id_col), F.explode_outer(F.col("__grams")).alias("__g"))
+        .join(F.broadcast(ev), "__g", "left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("matched"))
-    )
-    base = tr.select(F.col(id_col), F.size("__grams").cast("long").alias("n_grams"))
-    out = base.join(matched, id_col, "left").select(
-        F.col(id_col),
-        F.col("n_grams"),
-        F.coalesce(F.col("matched"), F.lit(0)).cast("long").alias("matched"),
+        .agg(
+            F.count("__g").cast("long").alias("n_grams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("matched"),
+        )
     )
     permille = F.when(
         F.col("n_grams") > 0, F.floor(F.col("matched") * 1000 / F.col("n_grams"))
@@ -159,43 +161,65 @@ def repetition_stats(
     key is high-cardinality and skew-free.
     """
     toks = tokens(F.col(text))
-    base = df.select(
+    # One text scan: both gram arrays are built in a single projection,
+    # tagged, concatenated, and exploded once — one (doc, tag, gram)
+    # shuffle with map-side combine serves both signals (the 2-gram
+    # branch and the 3-gram branch reuse the same exchange).
+    tagged = df.select(
+        F.col(id_col),
+        F.explode(
+            F.concat(
+                F.transform(
+                    word_grams(toks, 2),
+                    lambda g: F.struct(F.lit(2).alias("n"), g.alias("g")),
+                ),
+                F.transform(
+                    word_grams(toks, 3),
+                    lambda g: F.struct(F.lit(3).alias("n"), g.alias("g")),
+                ),
+            )
+        ).alias("__t"),
+    )
+    counts = (
+        tagged.select(F.col(id_col), F.col("__t.n").alias("__n"), F.col("__t.g").alias("__g"))
+        .groupBy(id_col, "__n", "__g")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    # Both signals fall out of ONE second aggregation — a struct-min
+    # ((-cnt, gram) lexicographic = highest count, ties by gram asc)
+    # replaces the rank window, and the 3-gram sums ride along. A
+    # filter-per-branch formulation pushes the __n filter below the
+    # count aggregate and recomputes the explode per branch (no
+    # exchange reuse — measured on the physical plan).
+    per_doc = counts.groupBy(id_col).agg(
+        F.min(
+            F.when(
+                F.col("__n") == 2,
+                F.struct((-F.col("__cnt")).alias("nc"), F.col("__g").alias("g")),
+            )
+        ).alias("__top2"),
+        F.sum(
+            F.when((F.col("__n") == 3) & (F.col("__cnt") >= 2), F.col("__cnt")).otherwise(0)
+        )
+        .cast("long")
+        .alias("__dup"),
+        F.sum(F.when(F.col("__n") == 3, F.col("__cnt")).otherwise(0))
+        .cast("long")
+        .alias("__tot"),
+    )
+    out = df.select(
         F.col(id_col),
         F.length(F.trim(F.col(text))).cast("long").alias("n_chars"),
-        word_grams(toks, 2).alias("__g2"),
-        word_grams(toks, 3).alias("__g3"),
-    )
-    c2 = (
-        base.select(F.col(id_col), F.explode("__g2").alias("__g"))
-        .groupBy(id_col, "__g")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("__cnt").desc(), F.col("__g").asc())
-    top2 = (
-        c2.withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") == 1)
-        .select(
+    ).join(
+        per_doc.select(
             F.col(id_col),
-            F.col("__g").alias("top2_gram"),
-            F.col("__cnt").cast("long").alias("top2_count"),
-        )
-    )
-    d3 = (
-        base.select(F.col(id_col), F.explode("__g3").alias("__g"))
-        .groupBy(id_col, "__g")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .groupBy(id_col)
-        .agg(
-            F.sum(F.when(F.col("__cnt") >= 2, F.col("__cnt")).otherwise(0))
-            .cast("long")
-            .alias("__dup"),
-            F.sum("__cnt").cast("long").alias("__tot"),
-        )
-    )
-    out = (
-        base.select(F.col(id_col), "n_chars")
-        .join(top2, id_col, "left")
-        .join(d3, id_col, "left")
+            F.col("__top2.g").alias("top2_gram"),
+            (-F.col("__top2.nc")).cast("long").alias("top2_count"),
+            "__dup",
+            "__tot",
+        ),
+        id_col,
+        "left",
     )
     top_chars = F.coalesce(
         F.col("top2_count") * F.length("top2_gram"), F.lit(0)
