@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from duckdb_behavioral_spark.functions import chunking as CH
 from duckdb_behavioral_spark.functions import compositions as C
 from duckdb_behavioral_spark.functions import corpus as CO
 from duckdb_behavioral_spark.functions import dedup as D
@@ -23,6 +24,8 @@ EXT_QUERIES = {
     "corpus_decontaminate": CO.q_decontaminate,
     "text_repetition": CO.q_text_repetition,
     "corpus_topk_terms": CO.q_topk_terms,
+    "chunk_documents": CH.q_chunk_documents,
+    "pack_sequences": CH.q_pack_sequences,
     # embeddings utilities
     "embedding_quantize": E.q_embedding_quantize,
     # dedup
@@ -71,6 +74,8 @@ EXT_ORACLES = {
     "corpus_decontaminate": CO.DECONTAMINATE_SQL,
     "text_repetition": CO.REPETITION_SQL,
     "corpus_topk_terms": CO.TOPK_TERMS_SQL,
+    "chunk_documents": CH.CHUNK_DOCUMENTS_SQL,
+    "pack_sequences": CH.PACK_SEQUENCES_SQL,
     "embedding_quantize": E.QUANTIZE_SQL,
     "dedup_exact": D.DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": D.DEDUP_JACCARD_SQL,

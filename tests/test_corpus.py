@@ -103,3 +103,48 @@ def test_quantize_floor_negative_rounds_down(spark):
     r = quantize_int8(df).collect()[0]
     lo = int(r.qvec.split(",")[0])
     assert lo == -39  # floor(-38.1) = -39, not trunc toward zero
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from duckdb_behavioral_spark.functions.chunking import chunk_documents
+
+    # 50 tokens, chunk 32 / overlap 8 -> stride 24: chunks at 0, 24, 48
+    text = " ".join(f"t{i}" for i in range(50))
+    df = _docs(spark, [(1, text), (2, "a b"), (3, "x")])
+    rows = sorted(chunk_documents(df).collect(), key=lambda r: (r.doc_id, r.chunk_idx))
+    d1 = [r for r in rows if r.doc_id == 1]
+    assert [r.chunk_idx for r in d1] == [0, 1, 2]
+    assert [r.n_chunk_tokens for r in d1] == [32, 26, 2]
+    assert d1[1].chunk_text.split(" ")[0] == "t24"  # overlap: starts 8 before t32
+    assert d1[2].chunk_text == "t48 t49"
+    d2 = [r for r in rows if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].n_chunk_tokens == 2
+    d3 = [r for r in rows if r.doc_id == 3]
+    assert len(d3) == 1 and d3[0].chunk_text == "x"
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from duckdb_behavioral_spark.functions.chunking import chunk_documents
+
+    df = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_pack_sequences_layout(spark):
+    from duckdb_behavioral_spark.functions.chunking import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, " ".join(["w"] * 100), "en"),
+         (2, " ".join(["w"] * 200), "en"),
+         (3, " ".join(["w"] * 50), "en"),
+         (4, " ".join(["w"] * 10), "de")],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r.doc_id: r for r in pack_sequences(df, context=256).collect()}
+    # en stream: doc1 starts at 0 (pack 0), doc2 at 100 (pack 0),
+    # doc3 at 300 (pack 1, offset 44); de stream starts fresh
+    assert (rows[1].pack_id, rows[1].pack_offset) == (0, 0)
+    assert (rows[2].pack_id, rows[2].pack_offset) == (0, 100)
+    assert (rows[3].pack_id, rows[3].pack_offset) == (1, 44)
+    assert (rows[4].pack_id, rows[4].pack_offset) == (0, 0)
