@@ -152,6 +152,72 @@ FROM r
 """
 
 
+PATH_PREFIX = 5
+PATH_TOP = 10
+
+
+def q18_session_paths(spark, sf_dir):
+    """Top session paths (user-flow report): sessionize, take each
+    session's first 5 event types in time order as a '>'-joined path,
+    count sessions per path, rank top 10 (ties by path asc).
+
+    Scale shape: the path build is the same one shuffle as the session
+    aggregation (collect_list with map-side partials, sorted per group
+    — per-user timestamps are distinct so the path is deterministic);
+    the count-by-path table is tiny (path-prefix cardinality), so the
+    final rank window is effectively free. The sort lambda work is
+    element-local (lambdas touch only lambda vars).
+    """
+    s = B.sessionize(_events(spark, sf_dir), "ts", "30 minutes", ["user_id"])
+    path = F.array_join(
+        F.slice(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            1,
+            PATH_PREFIX,
+        ),
+        ">",
+    )
+    paths = s.groupBy("user_id", "session_id").agg(path.alias("path"))
+    counts = paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    w = Window.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= PATH_TOP)
+        .select("rank", "path", "n_sessions")
+    )
+
+
+Q18_SQL = f"""
+WITH o AS (
+  SELECT user_id, ts, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), s AS (
+  SELECT user_id, ts, event_type,
+         SUM(CASE WHEN prev_ts IS NOT NULL
+                   AND epoch_us(ts) - epoch_us(prev_ts) > {GAP_30M_US}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) + 1
+           AS session_id
+  FROM o
+), p AS (
+  SELECT user_id, session_id,
+         array_to_string(list(event_type ORDER BY ts)[1:{PATH_PREFIX}], '>') AS path
+  FROM s GROUP BY user_id, session_id
+), c AS (
+  SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY path
+), r AS (
+  SELECT CAST(row_number() OVER (ORDER BY n_sessions DESC, path ASC) AS BIGINT) AS rank,
+         path, n_sessions
+  FROM c
+)
+SELECT rank, path, n_sessions FROM r WHERE rank <= {PATH_TOP}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Q2 — retention
 # ---------------------------------------------------------------------------
@@ -618,6 +684,7 @@ CORE_QUERIES = {
     "q15_funnel_timestamp_dedup": q15_funnel_timestamp_dedup,
     "q16_funnel_allow_reentry": q16_funnel_allow_reentry,
     "q17_session_quantiles": q17_session_quantiles,
+    "q18_session_paths": q18_session_paths,
 }
 
 CORE_ORACLES = {
@@ -638,4 +705,5 @@ CORE_ORACLES = {
     "q15_funnel_timestamp_dedup": Q15_SQL,
     "q16_funnel_allow_reentry": Q16_SQL,
     "q17_session_quantiles": Q17_SQL,
+    "q18_session_paths": Q18_SQL,
 }
