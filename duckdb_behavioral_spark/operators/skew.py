@@ -66,6 +66,43 @@ def salted_agg(
     )
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    n_salt: int = DEFAULT_SALT,
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big side, replicate the
+    small side.
+
+    A shuffle join on a skewed key puts the hot key's entire big-side
+    partition on one task. Salting appends ``salt = hash(row) % n``
+    to the big side's join key and replicates each small-side row
+    ``n_salt`` times (one per salt value), so the hot key's probe work
+    spreads over ``n_salt`` tasks. The replicated small side carries
+    ``|small| × n_salt`` rows — use it when the small side is modest
+    but too big (or too mutable) to broadcast outright; AQE's skew
+    handling covers many cases, but salting is deterministic and
+    works for joins AQE won't split (e.g. under a required
+    distribution).
+
+    Results equal the unsalted join for inner/left joins on the same
+    keys (asserted in tests). Row multiplicity is preserved — each
+    big-side row gets exactly one salt value, each small-side
+    original row matches exactly one replica per big-side partner.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner'|'left'")
+    b = big.withColumn(
+        "__salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salt))
+    )
+    s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    return b.join(s, on + ["__salt"], how).drop("__salt")
+
+
 def salted_retention(
     df: DataFrame, conds: list[str], group_by: list[str], n_salt: int = DEFAULT_SALT,
     out: str = "r",

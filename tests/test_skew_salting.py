@@ -56,3 +56,38 @@ def test_salted_retention_matches_builtin(spark, sf_dir):
 def test_non_decomposable_kind_rejected(spark, skewed):
     with pytest.raises(ValueError, match="non-decomposable"):
         salted_agg(skewed, ["k"], [("collect_list", "v", "xs")])
+
+
+def test_salted_join_matches_plain_inner_and_left(spark):
+    from duckdb_behavioral_spark.operators.skew import salted_join
+
+    # hot key 1 owns 5000 of 5100 big-side rows; key 9 has no dim row
+    big = spark.range(5100).select(
+        F.when(F.col("id") < 5000, F.lit(1)).otherwise((F.col("id") % 10)).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(9)], "k long, name string"
+    )
+    for how in ("inner", "left"):
+        a = sorted(map(tuple, salted_join(big, small, ["k"], how=how).select("k", "v", "name").collect()))
+        b = sorted(map(tuple, big.join(small, ["k"], how).select("k", "v", "name").collect()))
+        assert a == b, how
+
+
+def test_salted_join_preserves_duplicate_multiplicity(spark):
+    from duckdb_behavioral_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, 10), (1, 11)], "k long, v long")
+    # duplicate small-side rows must each match (2 big x 2 dup = 4 rows)
+    small = spark.createDataFrame([(1, "a"), (1, "a")], "k long, name string")
+    got = salted_join(big, small, ["k"]).collect()
+    assert len(got) == 4
+
+
+def test_salted_join_rejects_unsupported_how(spark):
+    from duckdb_behavioral_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([(1, 1)], "k long, v long")
+    with pytest.raises(ValueError):
+        salted_join(df, df, ["k"], how="full")
