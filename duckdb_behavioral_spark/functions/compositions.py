@@ -358,3 +358,113 @@ WHERE lang.lang_pred = 'en'
 
 
 TRAINING_SET_SQL = _training_set_sql()
+
+
+# ---------------------------------------------------------------------------
+# full-pipeline capstone: select -> decontaminate -> chunk -> pack
+# ---------------------------------------------------------------------------
+
+PIPE_TOKENS_LO, PIPE_TOKENS_HI = 20, 90
+PIPE_CONTEXT = 256
+
+
+def q_training_pipeline_pack(spark, sf_dir):
+    """The whole pre-training data path as ONE declared query:
+    exact-dedup to canonical docs -> hold out the eval split and drop
+    contaminated train docs (3-gram overlap) -> token-band quality
+    gate -> overlapping chunking -> concat-then-split packing per
+    language stream. Output is the dataloader manifest: every chunk
+    with its pack id and offset.
+
+    Scale shape: all gating joins are on doc_id (one co-partitioned
+    key); the decontamination probe is a broadcast; chunking is
+    map-side fan-out; packing is one window cumsum per language
+    stream. Nothing in the pipeline is quadratic or driver-bound.
+    """
+    from duckdb_behavioral_spark.functions.chunking import chunk_documents
+    from duckdb_behavioral_spark.functions.corpus import (
+        DECON_EVAL_MOD,
+        decontaminate_ngram,
+    )
+    from duckdb_behavioral_spark.functions.dedup import dedup_exact
+    from duckdb_behavioral_spark.functions.text import quality_score
+    from duckdb_behavioral_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    canon = dedup_exact(docs).select(F.col("canonical_id").alias("doc_id"))
+    ev = docs.where(F.col("doc_id") % DECON_EVAL_MOD == 0)
+    tr = docs.where(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    clean = decontaminate_ngram(tr, ev).where(F.col("contaminated") == 0).select("doc_id")
+    qual = (
+        quality_score(docs)
+        .where(F.col("n_tokens").between(PIPE_TOKENS_LO, PIPE_TOKENS_HI))
+        .select("doc_id")
+    )
+    selected = docs.join(canon, "doc_id").join(clean, "doc_id").join(qual, "doc_id")
+    chunks = chunk_documents(selected).join(
+        selected.select("doc_id", "lang"), "doc_id"
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_chunk_tokens").over(w) - F.col("n_chunk_tokens")
+    return chunks.select(
+        "lang",
+        "doc_id",
+        "chunk_idx",
+        "n_chunk_tokens",
+        F.floor(start / PIPE_CONTEXT).cast("long").alias("pack_id"),
+        (start % PIPE_CONTEXT).cast("long").alias("pack_offset"),
+    )
+
+
+def _training_pipeline_sql():
+    from duckdb_behavioral_spark.functions.chunking import (
+        CHUNK_TOKENS,
+        CHUNK_OVERLAP,
+    )
+    from duckdb_behavioral_spark.functions.corpus import DECONTAMINATE_SQL
+    from duckdb_behavioral_spark.functions.dedup import DEDUP_EXACT_SQL
+    from duckdb_behavioral_spark.functions.text import QUALITY_SQL
+    from duckdb_behavioral_spark.functions.common import sql_tokens
+
+    stride = CHUNK_TOKENS - CHUNK_OVERLAP
+    return f"""
+WITH canon AS (
+  SELECT canonical_id AS doc_id FROM ({DEDUP_EXACT_SQL})
+), clean AS (
+  SELECT doc_id FROM ({DECONTAMINATE_SQL}) WHERE contaminated = 0
+), qual AS (
+  SELECT doc_id FROM ({QUALITY_SQL})
+  WHERE n_tokens BETWEEN {PIPE_TOKENS_LO} AND {PIPE_TOKENS_HI}
+), sel AS (
+  SELECT d.doc_id, d.lang, {sql_tokens('d.text')} AS toks
+  FROM documents d
+  JOIN canon USING (doc_id) JOIN clean USING (doc_id) JOIN qual USING (doc_id)
+), c AS (
+  SELECT doc_id, lang, toks,
+         unnest(range(0, (len(toks) - 1) // {stride} + 1)) AS chunk_idx
+  FROM sel
+), chunks AS (
+  SELECT doc_id, lang, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         CAST(len(toks[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {CHUNK_TOKENS}])
+              AS BIGINT) AS n_chunk_tokens
+  FROM c
+), p AS (
+  SELECT lang, doc_id, chunk_idx, n_chunk_tokens,
+         SUM(n_chunk_tokens) OVER (PARTITION BY lang ORDER BY doc_id, chunk_idx
+                                   ROWS UNBOUNDED PRECEDING) - n_chunk_tokens AS start
+  FROM chunks
+)
+SELECT lang, doc_id, chunk_idx, n_chunk_tokens,
+       CAST(start // {PIPE_CONTEXT} AS BIGINT) AS pack_id,
+       CAST(start % {PIPE_CONTEXT} AS BIGINT) AS pack_offset
+FROM p
+"""
+
+
+TRAINING_PIPELINE_SQL = _training_pipeline_sql()

@@ -63,6 +63,7 @@ EXT_QUERIES = {
     "retention_report_salted": C.q_retention_report_salted,
     "events_pct_of_total": C.q_events_pct_of_total,
     "training_set_select": C.q_training_set_select,
+    "training_pipeline_pack": C.q_training_pipeline_pack,
 }
 
 EXT_ORACLES = {
@@ -106,4 +107,5 @@ EXT_ORACLES = {
     "retention_report_salted": C.RETENTION_REPORT_SQL,
     "events_pct_of_total": C.EVENTS_PCT_SQL,
     "training_set_select": C.TRAINING_SET_SQL,
+    "training_pipeline_pack": C.TRAINING_PIPELINE_SQL,
 }
