@@ -17,12 +17,14 @@ def all_queries():
         from duckdb_behavioral_spark.streaming.parity import (
             streaming_dedup_parity,
             streaming_funnel_parity,
+            streaming_minhash_parity,
             streaming_sessionize_parity,
         )
 
         out["streaming_funnel_parity"] = streaming_funnel_parity
         out["streaming_dedup_parity"] = streaming_dedup_parity
         out["streaming_sessionize_parity"] = streaming_sessionize_parity
+        out["streaming_minhash_parity"] = streaming_minhash_parity
     except ImportError:
         pass
     return out
@@ -42,4 +44,5 @@ def all_oracles():
     out["streaming_funnel_parity"] = out.get("q3_window_funnel")
     out["streaming_dedup_parity"] = out.get("dedup_exact")
     out["streaming_sessionize_parity"] = out.get("q11_session_stats")
+    out["streaming_minhash_parity"] = out.get("dedup_minhash_pairs")
     return out

@@ -82,6 +82,63 @@ def streaming_funnel_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(src, ignore_errors=True)
 
 
+def streaming_minhash_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARED query: replay documents as an interleaved 4-micro-batch
+    stream through row-wise band signatures + bucket-keyed incremental
+    pairing (``streaming_minhash_pairs``); the accumulated candidate
+    pairs, re-aggregated to (doc_a, doc_b, shared_bands), must
+    hash-match the BATCH MinHash-LSH bucket self-join oracle
+    (``dedup_minhash_pairs``). Each unordered pair is emitted exactly
+    once per shared bucket — whichever doc arrives later triggers it —
+    so the pair set is arrival-order-independent; the mod-4 chunking
+    deliberately scatters near-dup groups across batches to prove it.
+    """
+    from duckdb_behavioral_spark.sources import load_table
+    from duckdb_behavioral_spark.streaming.dedup import (
+        rowwise_band_signatures,
+        streaming_minhash_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="sg_mh_src_")
+    try:
+        for i in range(N_CHUNKS):
+            (docs.where(F.col("doc_id") % N_CHUNKS == i)
+             .coalesce(1).write.mode("append").parquet(src))
+
+        stream = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+
+        pairs: list = []
+
+        def fold_batch(bdf: DataFrame, _epoch: int) -> None:
+            pairs.extend(
+                (int(r["band"]), int(r["doc_a"]), int(r["doc_b"]))
+                for r in bdf.collect()
+            )
+
+        q = (
+            streaming_minhash_pairs(rowwise_band_signatures(stream))
+            .writeStream.outputMode("append")
+            .foreachBatch(fold_batch)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = spark.createDataFrame(
+            pairs or [(None, None, None)], "band int, doc_a long, doc_b long"
+        )
+        if not pairs:
+            got = got.where(F.lit(False))
+        return got.groupBy("doc_a", "doc_b").agg(F.count("*").alias("shared_bands"))
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
 def streaming_sessionize_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DECLARED query: replay events as a 6-micro-batch stream through
     ``session_metrics_stream`` (native ``session_window`` state) and

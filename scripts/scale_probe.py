@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Scale probe: measure core-operator wall time at 10x-increasing
+event counts to demonstrate (near-)linear scaling of the chosen
+physical plans. Writes results to stdout as markdown (used for
+SCALE.md).
+
+Synthesizes events deterministically (hash-derived timestamps/types,
+~100 events/user) at n = 10^5, 10^6, 10^7, writes each to /tmp
+parquet once, then times each operator end-to-end (noop sink, full
+materialization). Per-query times include Spark job overhead
+(~0.3-0.9s), so the honest linearity signal is the 10^6 -> 10^7 step.
+
+Usage: python scripts/scale_probe.py [max_exp]   # default 7
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+import duckdb_behavioral_spark as B
+
+SIZES = [10**5, 10**6, 10**7]
+CONDS = ["event_type = 'view'", "event_type = 'click'", "event_type = 'purchase'"]
+
+
+def build_spark():
+    return (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .appName("scale-probe")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def synthesize(spark, n: int, path: str):
+    """~100 events/user; timestamps spread over ~n seconds so session
+    structure stays comparable across scales."""
+    users = max(n // 100, 1)
+    df = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000)
+            + (F.pmod(F.hash("id"), F.lit(n)).cast("long") * 1_000_000)
+            + F.pmod(F.hash("id", "id"), F.lit(1_000_000)).cast("long")
+        ).alias("ts"),
+        F.pmod(F.hash(F.col("id") * 7), F.lit(users)).alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in ("view", "click", "signup", "purchase", "error")]),
+            (F.pmod(F.hash(F.col("id") * 13), F.lit(5)) + 1).cast("int"),
+        ).alias("event_type"),
+    )
+    df.write.mode("overwrite").parquet(path)
+
+
+def probe(spark, path: str) -> dict:
+    ev = spark.read.parquet(path)
+    out = {}
+
+    def run(name, df):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 2)
+
+    run("sessionize", B.sessionize(ev, "ts", "30 minutes", ["user_id"]))
+    run("window_funnel", B.window_funnel(ev, "1 hour", "ts", CONDS, ["user_id"]))
+    run("sequence_match", B.sequence_match(ev, "(?1).*(?2)", "ts",
+                                           [CONDS[0], CONDS[2]], ["user_id"]))
+    run("retention", B.retention(ev, CONDS, ["user_id"]))
+    run(
+        "hourly_rollup",
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type").agg(
+            F.count("*").alias("n")
+        ),
+    )
+    return out
+
+
+def main():
+    max_exp = int(sys.argv[1]) if len(sys.argv) > 1 else 7
+    sizes = [s for s in SIZES if s <= 10**max_exp]
+    spark = build_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    results = {}
+    for n in sizes:
+        path = f"/tmp/scale_probe_{n}"
+        synthesize(spark, n, path)
+        results[n] = probe(spark, path)
+    ops = list(next(iter(results.values())).keys())
+    print("| events | " + " | ".join(ops) + " |")
+    print("|---|" + "---|" * len(ops))
+    for n, r in results.items():
+        print(f"| {n:,} | " + " | ".join(f"{r[o]:.2f}s" for o in ops) + " |")
+    for n in sizes:
+        shutil.rmtree(f"/tmp/scale_probe_{n}", ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -71,3 +71,14 @@ def test_first_seen_within_watermark_drops_near_duplicates(spark, tmp_path):
     # were dropped across batches, k=2 passes
     assert sorted(k for k, _ in seen) == [1, 2]
     assert dict(seen)[1] == T0  # first occurrence won
+
+
+def test_rowwise_signatures_match_batch(spark, sf_dir):
+    from duckdb_behavioral_spark.functions.dedup import minhash_signatures
+    from duckdb_behavioral_spark.sources import load_table
+    from duckdb_behavioral_spark.streaming.dedup import rowwise_band_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, minhash_signatures(docs).collect()))
+    b = sorted(map(tuple, rowwise_band_signatures(docs).collect()))
+    assert a == b
