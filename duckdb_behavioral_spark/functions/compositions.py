@@ -170,6 +170,40 @@ GROUP BY 1
 """
 
 
+def q_events_props_json(spark, sf_dir):
+    """Semi-structured surface: parse the JSON ``props`` column with a
+    TYPED schema (`from_json` — schema known at plan time, no
+    per-row inference; at 100 TB a schema-on-read `get_json_object`
+    per field re-parses the document per extraction) and aggregate the
+    extracted value per event_type. Integer sums only — exact
+    cross-engine."""
+    from duckdb_behavioral_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir)
+    k = F.from_json(F.col("props"), "k LONG")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+EVENTS_PROPS_JSON_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       COUNT(k) AS n_with_k,
+       MIN(k) AS min_k, MAX(k) AS max_k, SUM(k) AS sum_k
+FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+GROUP BY event_type
+"""
+
+
 SETOP_MIN_EVENTS = 12
 
 

@@ -59,6 +59,7 @@ EXT_QUERIES = {
     "events_rollup_cube": C.q_events_rollup_cube,
     "events_type_pivot": C.q_events_type_pivot,
     "users_setops": C.q_users_setops,
+    "events_props_json": C.q_events_props_json,
     "retention_report": C.q_retention_report,
     "retention_report_salted": C.q_retention_report_salted,
     "events_pct_of_total": C.q_events_pct_of_total,
@@ -103,6 +104,7 @@ EXT_ORACLES = {
     "events_rollup_cube": C.EVENTS_ROLLUP_CUBE_SQL,
     "events_type_pivot": C.EVENTS_TYPE_PIVOT_SQL,
     "users_setops": C.USERS_SETOPS_SQL,
+    "events_props_json": C.EVENTS_PROPS_JSON_SQL,
     "retention_report": C.RETENTION_REPORT_SQL,
     "retention_report_salted": C.RETENTION_REPORT_SQL,
     "events_pct_of_total": C.EVENTS_PCT_SQL,
