@@ -415,7 +415,6 @@ def q_training_pipeline_pack(spark, sf_dir):
     map-side fan-out; packing is one window cumsum per language
     stream. Nothing in the pipeline is quadratic or driver-bound.
     """
-    from duckdb_behavioral_spark.functions.chunking import chunk_documents
     from duckdb_behavioral_spark.functions.corpus import (
         DECON_EVAL_MOD,
         decontaminate_ngram,
@@ -435,8 +434,32 @@ def q_training_pipeline_pack(spark, sf_dir):
         .select("doc_id")
     )
     selected = docs.join(canon, "doc_id").join(clean, "doc_id").join(qual, "doc_id")
-    chunks = chunk_documents(selected).join(
-        selected.select("doc_id", "lang"), "doc_id"
+    # Chunk inline (rather than chunk_documents + re-join) so lang
+    # rides along and the selected subtree is scanned once, not twice.
+    # Each gating statistic above necessarily has its own scan shape
+    # (different aggregations over text); a production pipeline
+    # materializes `selected` via sources.write_partitioned before
+    # chunking — kept lazy here so the oracle gate sees one plan.
+    from duckdb_behavioral_spark.functions.chunking import CHUNK_TOKENS, CHUNK_OVERLAP
+    from duckdb_behavioral_spark.functions.common import tokens
+
+    stride = CHUNK_TOKENS - CHUNK_OVERLAP
+    base = selected.select("doc_id", "lang", tokens(F.col("text")).alias("__toks"))
+    n = F.size("__toks")
+    exploded = base.select(
+        "doc_id",
+        "lang",
+        "__toks",
+        F.explode(F.sequence(F.lit(0), F.floor((n - 1) / stride).cast("int"))).alias(
+            "chunk_idx"
+        ),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("chunk_idx") * stride + 1, CHUNK_TOKENS)
+    chunks = exploded.select(
+        "doc_id",
+        "lang",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
     )
     from pyspark.sql import Window
 
