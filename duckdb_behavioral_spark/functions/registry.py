@@ -10,6 +10,7 @@ from duckdb_behavioral_spark.functions import embeddings as E
 from duckdb_behavioral_spark.functions import multimodal as M
 from duckdb_behavioral_spark.functions import sampling as SA
 from duckdb_behavioral_spark.functions import similarity as S
+from duckdb_behavioral_spark.functions import sketches as SK
 from duckdb_behavioral_spark.functions import text as TX
 from duckdb_behavioral_spark.operators import temporal_joins as TJ
 
@@ -36,6 +37,8 @@ EXT_QUERIES = {
     "dedup_minhash_pairs": D.q_dedup_minhash_pairs,
     "dedup_simhash": D.q_dedup_simhash,
     "dedup_embedding_cosine": D.q_dedup_embedding_cosine,
+    # sketches
+    "sketch_hll": SK.q_sketch_hll,
     # sampling
     "sample_stratified": SA.q_sample_stratified,
     "sample_per_stratum_topk": SA.q_sample_per_stratum_topk,
@@ -86,6 +89,7 @@ EXT_ORACLES = {
     "dedup_minhash_pairs": D.MINHASH_PAIRS_SQL,
     "dedup_simhash": D.SIMHASH_SQL,
     "dedup_embedding_cosine": D.COSINE_DUP_SQL,
+    "sketch_hll": SK.SKETCH_HLL_SQL,
     "sample_stratified": SA.SAMPLE_STRATIFIED_SQL,
     "sample_per_stratum_topk": SA.SAMPLE_PER_STRATUM_SQL,
     "ann_cosine_topk": S.ANN_TOPK_SQL,

@@ -1,0 +1,110 @@
+"""HyperLogLog sketch: accuracy, mergeability, scale-shape plan checks."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_behavioral_spark.functions.sketches import (
+    M,
+    RHO_MAX,
+    hll_estimate,
+    hll_linear_count,
+    hll_merge,
+    hll_registers,
+)
+
+
+@pytest.fixture(scope="module")
+def ev(events):
+    return events.select("event_type", "event_id")
+
+
+def _est(df):
+    return {r["event_type"]: r["hll_estimate"] for r in df.collect()}
+
+
+def test_estimate_within_expected_error(spark, ev):
+    out = hll_estimate(
+        hll_registers(ev, key="event_id", group_cols=["event_type"]),
+        group_cols=["event_type"],
+    ).collect()
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("event_id").alias("n"))
+        .collect()
+    }
+    assert {r["event_type"] for r in out} == set(exact)
+    for r in out:
+        n = exact[r["event_type"]]
+        est = r["hll_estimate"]
+        if est < 2.5 * M and r["zero_registers"] > 0:
+            # small-range regime (sf0.001 puts us here): linear counting
+            est = hll_linear_count(M, r["zero_registers"])
+        # 512 registers -> 4.6% std error; ~4 sigma against flakiness
+        assert abs(est - n) <= max(0.20 * n, 8), (r["event_type"], est, n)
+
+
+def test_merge_equals_sketch_of_union(spark, ev):
+    """sketch(A) max-merge sketch(B) must equal sketch(A union B)
+    register-for-register — the property that lets daily sketches
+    roll up without touching raw data."""
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    merged = hll_merge(
+        hll_registers(a, "event_id", ["event_type"]),
+        hll_registers(b, "event_id", ["event_type"]),
+        group_cols=["event_type"],
+    )
+    full = hll_registers(ev, "event_id", ["event_type"])
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_merge_is_idempotent(spark, ev):
+    """Re-merging the same sketch changes nothing (max is idempotent) —
+    safe under at-least-once/replayed pipelines."""
+    regs = hll_registers(ev, "event_id", ["event_type"])
+    twice = hll_merge(regs, regs, group_cols=["event_type"])
+    assert sorted(map(tuple, twice.collect())) == sorted(map(tuple, regs.collect()))
+
+
+def test_register_bounds(spark, ev):
+    regs = hll_registers(ev, "event_id", ["event_type"])
+    bad = regs.where(
+        (F.col("bucket") < 0)
+        | (F.col("bucket") >= M)
+        | (F.col("rho_max") < 1)
+        | (F.col("rho_max") > RHO_MAX)
+    )
+    assert bad.count() == 0
+
+
+def test_sketch_size_is_bounded(spark, ev):
+    """The whole point: per group the sketch is <= m rows no matter
+    how many input rows there are."""
+    regs = hll_registers(ev, "event_id", ["event_type"])
+    over = regs.groupBy("event_type").count().where(F.col("count") > M)
+    assert over.count() == 0
+
+
+def test_plan_partial_agg_no_python(spark, ev):
+    """Register build must be pure JVM (codegen) with map-side partial
+    aggregation — the properties that make it linear at 100 TB."""
+    regs = hll_registers(ev, "event_id", ["event_type"])
+    plan = regs._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max" in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert marker not in plan, marker
+
+
+def test_linear_count_small_range(spark):
+    """Below ~2.5m the raw estimator biases high; linear counting on
+    zero_registers recovers small cardinalities driver-side."""
+    df = spark.range(100).select(
+        F.lit("g").alias("g"), F.col("id").alias("k")
+    )
+    regs = hll_registers(df, key="k", group_cols=["g"])
+    zeros = M - regs.count()
+    lc = hll_linear_count(M, zeros)
+    assert abs(lc - 100) <= 15, lc
+    with pytest.raises(ValueError):
+        hll_linear_count(M, 0)
