@@ -39,6 +39,7 @@ EXT_QUERIES = {
     "dedup_embedding_cosine": D.q_dedup_embedding_cosine,
     # sketches
     "sketch_hll": SK.q_sketch_hll,
+    "sketch_kmv_overlap": SK.q_sketch_kmv_overlap,
     # sampling
     "sample_stratified": SA.q_sample_stratified,
     "sample_per_stratum_topk": SA.q_sample_per_stratum_topk,
@@ -90,6 +91,7 @@ EXT_ORACLES = {
     "dedup_simhash": D.SIMHASH_SQL,
     "dedup_embedding_cosine": D.COSINE_DUP_SQL,
     "sketch_hll": SK.SKETCH_HLL_SQL,
+    "sketch_kmv_overlap": SK.SKETCH_KMV_SQL,
     "sample_stratified": SA.SAMPLE_STRATIFIED_SQL,
     "sample_per_stratum_topk": SA.SAMPLE_PER_STRATUM_SQL,
     "ann_cosine_topk": S.ANN_TOPK_SQL,

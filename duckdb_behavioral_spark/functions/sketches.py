@@ -1,4 +1,5 @@
-"""Mergeable cardinality sketches: HyperLogLog distinct counting.
+"""Mergeable cardinality sketches: HyperLogLog distinct counting and
+KMV (k-minimum-values) set-similarity.
 
 At 100 TB, ``COUNT(DISTINCT key)`` shuffles every distinct key to a
 single reducer per group — the classic scale cliff. A HyperLogLog
@@ -38,6 +39,23 @@ long-range clamp) need ``ln`` whose libm rounding differs across
 engines; the raw estimator keeps the contract exact. Callers needing
 small-range accuracy apply linear counting on ``zero_registers``
 driver-side (see ``hll_linear_count`` / tests).
+
+KMV complements HLL with the operation HLL fundamentally lacks:
+**intersection / Jaccard between sets**. A KMV sketch is the k
+smallest distinct hashes of a set (Bar-Yossef et al., "Counting
+distinct elements in a data stream", RANDOM 2002; Beyer et al.,
+SIGMOD 2007 for the unbiased estimator). Properties that matter at
+100 TB:
+
+- bounded: k rows per group survive, whatever the group size. The
+  rank filter executes as a WindowGroupLimit, so each map partition
+  forwards at most k rows per group into the shuffle.
+- mergeable: k smallest of (k smallest of A) union (k smallest of B)
+  == k smallest of A union B — daily sketches compose.
+- similarity: among the k minima of the merged sketch, the fraction
+  present in both sides is an unbiased Jaccard estimate — entirely
+  integer counting, so the oracle hash-matches it with no float
+  caveats at all.
 """
 
 from __future__ import annotations
@@ -121,7 +139,56 @@ def hll_linear_count(m: int, zero_registers: int) -> float:
     return m * math.log(m / zero_registers)
 
 
-# --- declared query --------------------------------------------------------
+# --- KMV -------------------------------------------------------------------
+
+KMV_K = 64
+HASH_SPACE = 1 << HASH_BITS  # 2^48
+
+
+def _kmv_hash(col: "F.Column") -> "F.Column":
+    h = F.md5(F.concat(F.lit("kmv:"), col.cast("string")))
+    return F.conv(F.substring(h, 1, 12), 16, 10).cast("long")
+
+
+def _sql_kmv_hash(key_expr: str) -> str:
+    return f"('0x' || substr(md5('kmv:' || CAST({key_expr} AS VARCHAR)), 1, 12))::BIGINT"
+
+
+def kmv_sketch(df: DataFrame, key: str, group_cols: list[str], k: int = KMV_K) -> DataFrame:
+    """(group_cols..., h) — the k smallest distinct key-hashes per
+    group. Distinct first (same key never counts twice), then a
+    row_number rank filter; hashes are unique per distinct key (48-bit
+    salted md5 — collisions across a k-set are ~k^2/2^49), so the
+    order is total and the sketch deterministic.
+    """
+    from pyspark.sql import Window
+
+    h = _kmv_hash(F.col(key))
+    w = Window.partitionBy(*group_cols).orderBy(F.col("h").asc())
+    return (
+        df.select(*group_cols, h.alias("h"))
+        .distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_distinct_estimate(sketch: DataFrame, group_cols: list[str], k: int = KMV_K) -> DataFrame:
+    """(group_cols..., kmv_estimate). (k-1) * 2^48 / h_(k) when the
+    sketch is full; a sketch holding fewer than k hashes IS the whole
+    set, so its count is exact. Pure integer division — hash-stable.
+    """
+    return sketch.groupBy(*group_cols).agg(
+        F.when(
+            F.count(F.lit(1)) < k, F.count(F.lit(1))
+        )
+        .otherwise(F.expr(f"cast({k - 1} as bigint) * {HASH_SPACE} div max(h)"))
+        .alias("kmv_estimate")
+    )
+
+
+# --- declared queries ------------------------------------------------------
 
 
 def q_sketch_hll(spark, sf_dir):
@@ -151,6 +218,96 @@ def q_sketch_hll(spark, sf_dir):
     )
 
 
+def q_sketch_kmv_overlap(spark, sf_dir):
+    """Day-over-day audience overlap: KMV-estimated Jaccard between
+    consecutive days' active-user sets, next to the exact value.
+
+    The sketch path never joins the raw sets: per day at most k=64
+    hashes survive (WindowGroupLimit), the pair merge is a k-row
+    union, and the Jaccard estimate is integer counting over the
+    merged top-k — the shape that stays cheap when "daily audience"
+    is 10^9 users. The exact columns (a user-keyed equi-join) are the
+    verifier riding along at test scale.
+    """
+    from pyspark.sql import Window
+
+    from duckdb_behavioral_spark.sources import load_events
+
+    ev = (
+        load_events(spark, sf_dir)
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .where(F.col("day").isNotNull())
+    )
+    sk = kmv_sketch(ev, key="user_id", group_cols=["day"])
+
+    # tag each sketch row into the (day, day+1) pair it serves:
+    # as the LEFT of its own day's pair, as the RIGHT of the previous
+    # day's pair. One union + one grouped max — no self-join of sets.
+    left = sk.select(
+        F.col("day").alias("pair_day"), "h",
+        F.lit(1).alias("in_l"), F.lit(0).alias("in_r"),
+    )
+    right = sk.select(
+        F.date_sub("day", 1).alias("pair_day"), "h",
+        F.lit(0).alias("in_l"), F.lit(1).alias("in_r"),
+    )
+    merged = (
+        left.unionByName(right)
+        .groupBy("pair_day", "h")
+        .agg(F.max("in_l").alias("in_l"), F.max("in_r").alias("in_r"))
+    )
+    # pairs where both endpoint days actually exist
+    pres = merged.groupBy("pair_day").agg(
+        F.max("in_l").alias("__ml"), F.max("in_r").alias("__mr")
+    ).where((F.col("__ml") == 1) & (F.col("__mr") == 1)).select("pair_day")
+
+    w = Window.partitionBy("pair_day").orderBy(F.col("h").asc())
+    topk = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= KMV_K)
+    )
+    jest = topk.groupBy("pair_day").agg(
+        F.expr("sum(in_l * in_r) * 1000 div count(*)").alias("j_kmv_permille")
+    )
+
+    dsets = ev.distinct()
+    sizes = dsets.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        dsets.alias("a")
+        .join(
+            dsets.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.day") == F.date_add(F.col("a.day"), 1)),
+        )
+        .groupBy(F.col("a.day").alias("pair_day"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    kest = kmv_distinct_estimate(sk, ["day"]).withColumnRenamed(
+        "kmv_estimate", "kmv_est_users"
+    )
+
+    sa = sizes.withColumnRenamed("day", "pair_day").withColumnRenamed("n", "n_users")
+    sb = sizes.select(
+        F.date_sub("day", 1).alias("pair_day"), F.col("n").alias("__nb")
+    )
+    return (
+        jest.join(pres, "pair_day")
+        .join(sa, "pair_day")
+        .join(sb, "pair_day")
+        .join(inter, "pair_day", "left")
+        .join(kest.withColumnRenamed("day", "pair_day"), "pair_day")
+        .select(
+            "pair_day",
+            "j_kmv_permille",
+            F.expr(
+                "coalesce(i, 0) * 1000 div (n_users + __nb - coalesce(i, 0))"
+            ).alias("j_exact_permille"),
+            "kmv_est_users",
+            "n_users",
+        )
+    )
+
+
 SKETCH_HLL_SQL = f"""
 WITH h AS (
   SELECT event_type, {_sql_hash48('event_id')} AS h
@@ -174,4 +331,59 @@ ex AS (
 SELECT est.event_type, n_exact, hll_estimate, zero_registers,
        (ABS(hll_estimate - n_exact) * 1000) // n_exact AS err_permille
 FROM est JOIN ex ON est.event_type = ex.event_type
+"""
+
+SKETCH_KMV_SQL = f"""
+WITH d AS (
+  SELECT DISTINCT date_trunc('day', ts)::DATE AS day, user_id
+  FROM events WHERE ts IS NOT NULL),
+hashes AS (
+  SELECT day, {_sql_kmv_hash('user_id')} AS h FROM d),
+sk AS (
+  SELECT day, h FROM (
+    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+    FROM hashes)
+  WHERE rn <= {KMV_K}),
+merged AS (
+  SELECT pair_day, h, MAX(in_l) AS in_l, MAX(in_r) AS in_r FROM (
+    SELECT day AS pair_day, h, 1 AS in_l, 0 AS in_r FROM sk
+    UNION ALL
+    SELECT day - 1 AS pair_day, h, 0 AS in_l, 1 AS in_r FROM sk)
+  GROUP BY 1, 2),
+pres AS (
+  SELECT pair_day FROM merged GROUP BY 1
+  HAVING MAX(in_l) = 1 AND MAX(in_r) = 1),
+topk AS (
+  SELECT * FROM (
+    SELECT pair_day, h, in_l, in_r,
+           row_number() OVER (PARTITION BY pair_day ORDER BY h) AS rn
+    FROM merged)
+  WHERE rn <= {KMV_K}),
+jest AS (
+  SELECT pair_day,
+         (CAST(SUM(in_l * in_r) AS BIGINT) * 1000) // CAST(COUNT(*) AS BIGINT)
+           AS j_kmv_permille
+  FROM topk GROUP BY 1),
+sizes AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+inter AS (
+  SELECT a.day AS pair_day, CAST(COUNT(*) AS BIGINT) AS i
+  FROM d a JOIN d b ON a.user_id = b.user_id AND b.day = a.day + 1
+  GROUP BY 1),
+kest AS (
+  SELECT day,
+         CASE WHEN COUNT(*) < {KMV_K} THEN CAST(COUNT(*) AS BIGINT)
+              ELSE ({KMV_K - 1}::BIGINT * {HASH_SPACE}) // MAX(h) END
+           AS kmv_est_users
+  FROM sk GROUP BY 1)
+SELECT jest.pair_day, j_kmv_permille,
+       (COALESCE(i, 0) * 1000) // (sa.n + sb.n - COALESCE(i, 0))
+         AS j_exact_permille,
+       kmv_est_users,
+       sa.n AS n_users
+FROM jest
+JOIN pres USING (pair_day)
+JOIN sizes sa ON sa.day = jest.pair_day
+JOIN sizes sb ON sb.day = jest.pair_day + 1
+LEFT JOIN inter ON inter.pair_day = jest.pair_day
+JOIN kest ON kest.day = jest.pair_day
 """

@@ -4,12 +4,15 @@ import pytest
 from pyspark.sql import functions as F
 
 from duckdb_behavioral_spark.functions.sketches import (
+    KMV_K,
     M,
     RHO_MAX,
     hll_estimate,
     hll_linear_count,
     hll_merge,
     hll_registers,
+    kmv_distinct_estimate,
+    kmv_sketch,
 )
 
 
@@ -93,6 +96,65 @@ def test_plan_partial_agg_no_python(spark, ev):
     plan = regs._jdf.queryExecution().executedPlan().toString()
     assert "partial_max" in plan, plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert marker not in plan, marker
+
+
+def test_kmv_sketch_bounded_and_sorted(spark, ev):
+    sk = kmv_sketch(ev, key="event_id", group_cols=["event_type"])
+    over = sk.groupBy("event_type").count().where(F.col("count") > KMV_K)
+    assert over.count() == 0
+
+
+def test_kmv_merge_property(spark, ev):
+    """k smallest of (sketch(A) union sketch(B)) == sketch(A union B):
+    the composition rule that lets daily KMVs roll up."""
+    from pyspark.sql import Window
+
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    merged_in = kmv_sketch(a, "event_id", ["event_type"]).unionByName(
+        kmv_sketch(b, "event_id", ["event_type"])
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("h").asc())
+    remerged = (
+        merged_in.distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= KMV_K)
+        .drop("__rn")
+    )
+    full = kmv_sketch(ev, "event_id", ["event_type"])
+    assert sorted(map(tuple, remerged.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_kmv_distinct_estimate_accuracy(spark, ev):
+    est = {
+        r["event_type"]: r["kmv_estimate"]
+        for r in kmv_distinct_estimate(
+            kmv_sketch(ev, "event_id", ["event_type"]), ["event_type"]
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("event_id").alias("n"))
+        .collect()
+    }
+    for t, n in exact.items():
+        if n < KMV_K:
+            assert est[t] == n  # partial sketch stores the whole set
+        else:
+            # std err ~ 1/sqrt(k-2) = 12.7%; generous 4-sigma bound
+            assert abs(est[t] - n) <= 0.5 * n, (t, est[t], n)
+
+
+def test_kmv_plan_window_group_limit(spark, ev):
+    """The rank filter must run as WindowGroupLimit (per-partition
+    top-k before the exchange) and stay UDF-free — at scale each map
+    task forwards at most k rows per group."""
+    sk = kmv_sketch(ev, key="event_id", group_cols=["event_type"])
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan, marker
 
 
