@@ -1,0 +1,287 @@
+"""Conversion attribution, session transition graphs, funnel step
+timings — the reporting layer downstream of the behavioral operators.
+
+Reference scope note: the reference ships the per-user aggregates
+(``/root/reference/src/lib.rs:28-36``); these compositions are the
+reports its documentation builds from them (SURVEY.md §2.5 posture),
+expressed as single-window / single-shuffle Spark plans.
+
+Scale shapes:
+
+- ``last_touch_attribution``: one window over (user, time) — the
+  running ``last(non-null touch)`` carries the latest marketing touch
+  forward to each conversion row. ONE exchange on user_id; no
+  conversion-to-touch self-join (the naive formulation is a range
+  join that explodes on active users).
+- ``session_transitions``: sessionize (one user_id exchange, reused
+  by the lead window — same partitioning, Catalyst plans a single
+  Exchange) then count (from, to) edges; the edge table is
+  O(event_types²), so the percentage window is free.
+- ``funnel_step_timings``: per-user first-completion chain
+  (earliest view, earliest click after it, earliest purchase after
+  that) as three conditional-min aggregations over ONE groupBy —
+  the two-phase trick: the chain anchors (t0, then t1) are windowed
+  running minima computed in the same partitioning, so no self-joins.
+
+Float discipline: outputs are integer counts, integer microsecond
+sums, and single integer/integer divisions — no float sums (see
+functions/sketches.py for the cross-engine rules).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from duckdb_behavioral_spark.functions.timeutil import event_time
+
+__all__ = [
+    "last_touch_attribution",
+    "session_transitions",
+    "funnel_step_timings",
+]
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    touch_types: Sequence[str] = ("view", "click"),
+    conversion_type: str = "purchase",
+    ts: str = "ts",
+    user: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(touch_type, conversions, converting_users): each conversion is
+    credited to the user's latest strictly-earlier touch event;
+    conversions with no prior touch credit ``'(none)'``.
+
+    Ordering within a user is (ts, event_id-free): per-user timestamps
+    are unique in the events model (see queries.q18 docstring), so the
+    running window is deterministic.
+    """
+    tcol = F.col(type_col)
+    touch = F.when(tcol.isin(*touch_types), tcol)
+    w = (
+        Window.partitionBy(user)
+        .orderBy(event_time(ts).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    credited = events.where(F.col(ts).isNotNull()).select(
+        F.col(user).alias("u"),
+        tcol.alias("et"),
+        F.last(touch, ignorenulls=True).over(w).alias("lt"),
+    )
+    return (
+        credited.where(F.col("et") == conversion_type)
+        .groupBy(F.coalesce("lt", F.lit("(none)")).alias("touch_type"))
+        .agg(
+            F.count("*").alias("conversions"),
+            F.count_distinct("u").alias("converting_users"),
+        )
+    )
+
+
+def session_transitions(
+    events: DataFrame,
+    gap="30 minutes",
+    ts: str = "ts",
+    user: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(from_type, to_type, n, pct_of_from): within-session Markov
+    edge counts. A session's last event transitions to ``'(end)'`` so
+    exit mass is visible; pct is each edge's share of its from-state.
+    """
+    from duckdb_behavioral_spark.operators.sessionize import sessionize
+
+    s = sessionize(events, ts, gap, [user])
+    w = Window.partitionBy(user, "session_id").orderBy(event_time(ts).asc())
+    edges = s.select(
+        F.col(type_col).alias("from_type"),
+        F.coalesce(F.lead(type_col).over(w), F.lit("(end)")).alias("to_type"),
+    )
+    counts = edges.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    tot = F.sum("n").over(Window.partitionBy("from_type"))
+    return counts.select(
+        "from_type", "to_type", "n", (F.col("n") / tot).alias("pct_of_from")
+    )
+
+
+def funnel_step_timings(
+    events: DataFrame,
+    steps: Sequence[str] = ("view", "click", "purchase"),
+    ts: str = "ts",
+    user: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """One row per funnel stage: users reaching it via the
+    first-completion chain plus exact transition-time stats from the
+    previous stage (integer µs min/max/sum — ``avg`` is the one
+    division).
+
+    The chain is: t0 = earliest step-0 event; t_i = earliest step-i
+    event strictly after t_{i-1}. Computed with running windows in a
+    single user_id partitioning — no self-joins:
+    ``t0_run`` = min-so-far of step-0 timestamps, then each event can
+    test "am I after the user's t0" *within the same window pass*
+    because min-so-far over time order equals the global t0 for every
+    row at-or-after it. Aggregating the conditional minima per user
+    then yields each stage's anchor.
+    """
+    if len(steps) < 2:
+        raise ValueError("need at least 2 steps")
+    tcol, k = F.col(type_col), len(steps)
+    tu = F.unix_micros(event_time(ts))
+    base = events.where(F.col(ts).isNotNull()).select(
+        F.col(user).alias("u"),
+        tu.alias("t"),
+        *[(tcol == s).alias(f"is{i}") for i, s in enumerate(steps)],
+    )
+    # per-user anchors: t0 = min t where is0; t_i = min t where is_i and
+    # t > t_{i-1}. Window running-min makes t_{i-1} available per row.
+    w = Window.partitionBy("u").orderBy(F.col("t").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cur = base
+    prev_anchor = None
+    for i in range(k):
+        if i == 0:
+            cond = F.col("is0")
+        else:
+            # strictly-after: the running anchor at this row excludes
+            # nothing (frame includes current), but t > anchor enforces
+            # strictness; anchor is NULL until stage i-1 was reached.
+            cond = F.col(f"is{i}") & F.col(f"a{i-1}r").isNotNull() & (
+                F.col("t") > F.col(f"a{i-1}r")
+            )
+        stage_t = F.when(cond, F.col("t"))
+        cur = cur.withColumn(f"a{i}r", F.min(stage_t).over(w))
+        prev_anchor = f"a{i}r"
+    per_user = cur.groupBy("u").agg(
+        *[F.min(F.when(F.col(f"a{i}r").isNotNull(), F.col(f"a{i}r"))).alias(f"t{i}")
+          for i in range(k)]
+    )
+    rows = []
+    for i in range(1, k):
+        gap = F.col(f"t{i}") - F.col(f"t{i-1}")
+        rows.append(
+            per_user.where(F.col(f"t{i}").isNotNull()).agg(
+                F.lit(i).cast("long").alias("stage"),
+                F.lit(steps[i - 1] + ">" + steps[i]).alias("transition"),
+                F.count("*").alias("n_users"),
+                F.min(gap).alias("min_us"),
+                F.max(gap).alias("max_us"),
+                F.sum(gap).alias("sum_us"),
+                (F.sum(gap) / F.count("*")).alias("avg_us"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# --- declared queries -----------------------------------------------------
+
+
+def _ev(spark, sf_dir):
+    from duckdb_behavioral_spark.sources import load_events
+
+    return load_events(spark, sf_dir)
+
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return last_touch_attribution(_ev(spark, sf_dir))
+
+
+ATTRIBUTION_SQL = """
+WITH c AS (
+  SELECT user_id AS u, event_type AS et,
+         last_value(CASE WHEN event_type IN ('view','click') THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT COALESCE(lt, '(none)') AS touch_type,
+       COUNT(*) AS conversions,
+       COUNT(DISTINCT u) AS converting_users
+FROM c WHERE et = 'purchase'
+GROUP BY COALESCE(lt, '(none)')
+"""
+
+
+def q_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_transitions(_ev(spark, sf_dir))
+
+
+_GAP_30M_US = 30 * 60 * 1_000_000
+
+SESSION_TRANSITIONS_SQL = f"""
+WITH o AS (
+  SELECT user_id, ts, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), s AS (
+  SELECT user_id, ts, event_type,
+         SUM(CASE WHEN prev_ts IS NOT NULL
+                   AND epoch_us(ts) - epoch_us(prev_ts) > {_GAP_30M_US}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) + 1
+           AS session_id
+  FROM o
+), e AS (
+  SELECT event_type AS from_type,
+         COALESCE(lead(event_type)
+                    OVER (PARTITION BY user_id, session_id ORDER BY ts),
+                  '(end)') AS to_type
+  FROM s
+), c AS (
+  SELECT from_type, to_type, COUNT(*) AS n FROM e GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS pct_of_from
+FROM c
+"""
+
+
+def q_funnel_step_timings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel_step_timings(_ev(spark, sf_dir))
+
+
+FUNNEL_TIMINGS_SQL = """
+WITH base AS (
+  SELECT user_id AS u, epoch_us(ts) AS t,
+         event_type = 'view' AS is0,
+         event_type = 'click' AS is1,
+         event_type = 'purchase' AS is2
+  FROM events WHERE ts IS NOT NULL
+), r0 AS (
+  SELECT *, MIN(CASE WHEN is0 THEN t END)
+              OVER (PARTITION BY u ORDER BY t ROWS UNBOUNDED PRECEDING) AS a0r
+  FROM base
+), r1 AS (
+  SELECT *, MIN(CASE WHEN is1 AND a0r IS NOT NULL AND t > a0r THEN t END)
+              OVER (PARTITION BY u ORDER BY t ROWS UNBOUNDED PRECEDING) AS a1r
+  FROM r0
+), r2 AS (
+  SELECT *, MIN(CASE WHEN is2 AND a1r IS NOT NULL AND t > a1r THEN t END)
+              OVER (PARTITION BY u ORDER BY t ROWS UNBOUNDED PRECEDING) AS a2r
+  FROM r1
+), pu AS (
+  SELECT u, MIN(a0r) AS t0, MIN(a1r) AS t1, MIN(a2r) AS t2
+  FROM r2 GROUP BY u
+)
+SELECT CAST(1 AS BIGINT) AS stage, 'view>click' AS transition,
+       COUNT(*) AS n_users,
+       MIN(t1 - t0) AS min_us, MAX(t1 - t0) AS max_us,
+       SUM(t1 - t0) AS sum_us,
+       CAST(SUM(t1 - t0) AS DOUBLE) / COUNT(*) AS avg_us
+FROM pu WHERE t1 IS NOT NULL
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'click>purchase', COUNT(*),
+       MIN(t2 - t1), MAX(t2 - t1), SUM(t2 - t1),
+       CAST(SUM(t2 - t1) AS DOUBLE) / COUNT(*)
+FROM pu WHERE t2 IS NOT NULL
+"""

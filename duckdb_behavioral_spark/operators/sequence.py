@@ -46,6 +46,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from duckdb_behavioral_spark.functions.timeutil import event_time
 from duckdb_behavioral_spark.kernels import pattern as P
 from duckdb_behavioral_spark.operators.grouped import condition_bitmask, grouped_scan
 
@@ -136,7 +137,7 @@ def _sequence(df, pattern_str, ts, conds, group_by, out, count_all, use_kernel,
 def _match_window(df, ts, cols, group_by, shape, cidx, out):
     from pyspark.sql import Window
 
-    ts_col = F.col(ts)
+    ts_col = event_time(ts)
     k = len(cidx)
     bools = [F.coalesce(c, F.lit(False)) & ts_col.isNotNull() for c in cols]
     w = Window.partitionBy(*group_by).orderBy(ts_col.asc())
@@ -187,7 +188,7 @@ def _events_window(ev, ts, cols, group_by, cidx, out):
     tie-order-arbitrary row advance."""
     from pyspark.sql import Window
 
-    ts_col = F.col(ts)
+    ts_col = event_time(ts)
     w = Window.partitionBy(*group_by)
     bools = [F.coalesce(c, F.lit(False)) & ts_col.isNotNull() for c in cols]
     cur = ev.select(
@@ -228,7 +229,7 @@ def _match_window_timed(df, ts, cols, group_by, timed, out):
     from pyspark.sql import Window
 
     cidx, bounds = timed
-    ts_col = F.col(ts)
+    ts_col = event_time(ts)
     bools = [F.coalesce(c, F.lit(False)) & ts_col.isNotNull() for c in cols]
     w_prev = (
         Window.partitionBy(*group_by)
@@ -262,7 +263,7 @@ def _event_array(df, ts, cols, group_by):
     NULLing non-qualifying rows (instead of filtering) keeps every
     group present in the output even when its array is empty.
     """
-    ts_col = F.col(ts)
+    ts_col = event_time(ts)
     bools = F.array(*[F.coalesce(c, F.lit(False)) for c in cols])
     keep = ts_col.isNotNull() & F.exists(bools, lambda b: b)
     ev = df.select(
@@ -357,7 +358,7 @@ def _kernel_path(df, steps, ts, cols, group_by, count_all, out):
     # kernel) instead of filtering them: a group whose rows all have
     # NULL timestamps must still appear in the output, matching the
     # window/hof strategies (see _event_array docstring).
-    ts_col = F.col(ts)
+    ts_col = event_time(ts)
     ev = df
 
     def kernel(arrs):
@@ -403,7 +404,7 @@ def sequence_match_events(df, pattern_str, ts, conds, group_by, out="m_ts",
             raise
         return _null_result(df, group_by, out, "array<timestamp>")
     group_by = list(group_by)
-    ts_col = F.col(ts)
+    ts_col = event_time(ts)
 
     shape, cidx = P.classify(steps)
     if shape == P.SHAPE_WILDCARD and not use_kernel:

@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from duckdb_behavioral_spark.functions.timeutil import event_time
 from duckdb_behavioral_spark.kernels.next_node import next_node, parse_base, parse_direction
 from duckdb_behavioral_spark.operators.grouped import condition_bitmask, grouped_scan
 
@@ -46,7 +47,7 @@ def sequence_next_node(
     k = len(cols)
     if not 1 <= k <= 32:
         raise ValueError(f"sequence_next_node takes 1..32 event conditions, got {k}")
-    ts_col = F.col(ts)
+    ts_col = event_time(ts)
     value_col = F.expr(value) if isinstance(value, str) else value
     base_col = F.expr(base_cond) if isinstance(base_cond, str) else base_cond
     ev = df.where(ts_col.isNotNull())

@@ -23,12 +23,13 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from duckdb_behavioral_spark.intervals import to_micros
+from duckdb_behavioral_spark.functions.timeutil import event_time
 
 
 def sessionize_col(ts, gap, partition_by: Sequence) -> Column:
     """Session-id Column for ``withColumn`` composition."""
     gap_us = to_micros(gap)
-    ts_col = F.col(ts) if isinstance(ts, str) else ts
+    ts_col = event_time(ts)
     w = Window.partitionBy(*partition_by).orderBy(ts_col.asc())
     tsu = F.unix_micros(ts_col)
     prev = F.lag(tsu).over(w)

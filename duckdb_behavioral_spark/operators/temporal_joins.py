@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from duckdb_behavioral_spark.functions.timeutil import event_time
+
 __all__ = ["asof_join", "range_join"]
 
 
@@ -52,7 +54,7 @@ def asof_join(
         raise ValueError(f"right_cols collide with left columns: {sorted(overlap)}")
 
     rpay = F.struct(
-        F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols]
+        event_time(right_ts).alias("__rts"), *[F.col(c) for c in right_cols]
     )
     rpay_type = right.select(rpay.alias("p")).schema["p"].dataType
     lpay = F.struct(*[F.col(c) for c in left.columns])
@@ -60,14 +62,14 @@ def asof_join(
 
     r2 = right.where(F.col(right_ts).isNotNull()).select(
         *[F.col(k) for k in keys],
-        F.col(right_ts).alias("__t"),
+        event_time(right_ts).alias("__t"),
         F.lit(1).alias("__is_r"),
         rpay.alias("__rpay"),
         F.lit(None).cast(lpay_type).alias("__lpay"),
     )
     l2 = left.select(
         *[F.col(k) for k in keys],
-        F.col(left_ts).alias("__t"),
+        event_time(left_ts).alias("__t"),
         F.lit(0).alias("__is_r"),
         F.lit(None).cast(rpay_type).alias("__rpay"),
         lpay.alias("__lpay"),
@@ -133,8 +135,8 @@ def range_join(
     else:
         icols = list(intervals.columns)
 
-    pu = F.unix_micros(F.col(point_ts))
-    iu = F.unix_micros(F.col(interval_start))
+    pu = F.unix_micros(event_time(point_ts))
+    iu = F.unix_micros(event_time(interval_start))
     p2 = points.where(F.col(point_ts).isNotNull()).withColumn(
         "__bk", F.floor(pu / F.lit(window_us))
     )
@@ -154,7 +156,7 @@ def range_join(
     cond = [F.col(f"i.{k}") == F.col(f"p.{k}") for k in keys]
     cond.append(F.col("i.__bk") == F.col("p.__bk"))
     cond.append(
-        F.unix_micros(F.col(f"p.{point_ts}")).between(
+        F.unix_micros(event_time(F.col(f"p.{point_ts}"))).between(
             F.col("i.__su"), F.col("i.__su") + F.lit(window_us)
         )
     )

@@ -48,6 +48,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from duckdb_behavioral_spark.functions.timeutil import event_time
 from duckdb_behavioral_spark.intervals import to_micros
 from duckdb_behavioral_spark.kernels.funnel import funnel_max_step, parse_modes
 from duckdb_behavioral_spark.operators.grouped import condition_bitmask, grouped_scan
@@ -133,7 +134,7 @@ def window_funnel(
 def _funnel_window(df, window_us, ts, cols, group_by, k, out, strict_increase=False):
     from pyspark.sql import Window
 
-    ts_col = F.col(ts)
+    ts_col = event_time(ts)
     tsu = F.unix_micros(ts_col)
     base = df.select(
         *group_by,
@@ -182,7 +183,7 @@ def _funnel_window(df, window_us, ts, cols, group_by, k, out, strict_increase=Fa
 
 
 def _funnel_hof(df, window_us, ts, cols, group_by, k, out, cap=None):
-    ts_col = F.col(ts)
+    ts_col = event_time(ts)
     bools = F.array(*[F.coalesce(c, F.lit(False)) for c in cols])
     keep = ts_col.isNotNull() & F.exists(bools, lambda b: b)
     # NULL-out non-qualifying events instead of filtering rows:
@@ -237,7 +238,7 @@ def _funnel_kernel(df, window_us, ts, cols, group_by, k, mode_bits, out, cap=Non
     # NULL-ts rows are masked to 0 (inert) rather than filtered so a
     # group whose rows all have NULL timestamps still surfaces (step 0),
     # matching the window/hof strategies.
-    ts_col = F.col(ts)
+    ts_col = event_time(ts)
 
     def kernel(arrs):
         return (funnel_max_step(arrs["t"], arrs["m"], window_us, k, mode_bits),)

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from duckdb_behavioral_spark.functions.timeutil import event_time
 from duckdb_behavioral_spark.intervals import to_micros
 
 _SENTINEL = -(2**62)
@@ -47,7 +48,7 @@ def stateful_funnel_stream(
     for i, c in enumerate(conds):
         mask = mask + F.when(F.coalesce(F.expr(c), F.lit(False)), F.lit(1 << i)).otherwise(0)
     prepped = events.where(F.col(ts).isNotNull()).select(
-        *keys, F.unix_micros(F.col(ts)).alias("__t"), mask.alias("__m")
+        *keys, F.unix_micros(event_time(ts)).alias("__t"), mask.alias("__m")
     ).where(F.col("__m") != 0)
 
     key_fields = [events.schema[kf] for kf in keys]

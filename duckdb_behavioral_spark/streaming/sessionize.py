@@ -21,6 +21,7 @@ from typing import Callable, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from duckdb_behavioral_spark.functions.timeutil import event_time
 from duckdb_behavioral_spark.intervals import to_micros
 
 
@@ -39,6 +40,10 @@ def session_metrics_stream(
     """
     gap_us = to_micros(gap)  # validates + rejects month intervals
     gap_str = f"{gap_us} microseconds"
+    # normalize in-place (not inside session_window): the watermark is
+    # attached to the column, and the aggregation only inherits it when
+    # it groups on that exact column expression
+    events = events.withColumn(ts, event_time(ts))
     w = F.session_window(F.col(ts), gap_str)
     return (
         events.withWatermark(ts, watermark)
