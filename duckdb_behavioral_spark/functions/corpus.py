@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from duckdb_behavioral_spark.functions.common import (
     shingles3,
+    spread,
     sql_shingles3,
     sql_tokens,
     sql_word_grams,
@@ -164,7 +165,10 @@ def repetition_stats(
     # One text scan: both gram arrays are built in a single projection,
     # tagged, concatenated, and exploded once — one (doc, tag, gram)
     # shuffle with map-side combine serves both signals (the 2-gram
-    # branch and the 3-gram branch reuse the same exchange).
+    # branch and the 3-gram branch reuse the same exchange). spread()
+    # unpins the gram build from a single-split local scan (3x on the
+    # sf0.1 bench; no-op on a real multi-split scan).
+    df = spread(df, id_col)
     tagged = df.select(
         F.col(id_col),
         F.explode(

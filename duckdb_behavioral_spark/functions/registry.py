@@ -11,7 +11,12 @@ from duckdb_behavioral_spark.functions import multimodal as M
 from duckdb_behavioral_spark.functions import sampling as SA
 from duckdb_behavioral_spark.functions import similarity as S
 from duckdb_behavioral_spark.functions import sketches as SK
+from duckdb_behavioral_spark.functions import cms as CM
+from duckdb_behavioral_spark.functions import passages as PG
+from duckdb_behavioral_spark.functions import search as SE
 from duckdb_behavioral_spark.functions import text as TX
+from duckdb_behavioral_spark.operators import attribution as AT
+from duckdb_behavioral_spark.operators import cohorts as CHT
 from duckdb_behavioral_spark.operators import temporal_joins as TJ
 
 EXT_QUERIES = {
@@ -53,6 +58,16 @@ EXT_QUERIES = {
     "multimodal_frames": M.q_multimodal_frames,
     "multimodal_bmp_decode": M.q_multimodal_bmp_decode,
     "multimodal_wav_decode": M.q_multimodal_wav_decode,
+    # cohort / attribution reporting layer
+    "cohort_retention": CHT.q_cohort_retention,
+    "rolling_active_users": CHT.q_rolling_active,
+    "attribution_last_touch": AT.q_attribution_last_touch,
+    "session_transitions": AT.q_session_transitions,
+    "funnel_step_timings": AT.q_funnel_step_timings,
+    # corpus search / passage dedup / frequency sketch
+    "search_bm25_topk": SE.q_bm25_topk,
+    "dedup_passage": PG.q_passage_dup,
+    "sketch_cms_heavy_hitters": CM.q_cms_heavy_hitters,
     # temporal joins
     "asof_view_before_purchase": TJ.q_asof_view_before_purchase,
     "range_views_after_error": TJ.q_range_views_after_error,
@@ -102,6 +117,14 @@ EXT_ORACLES = {
     "multimodal_frames": M.MULTIMODAL_FRAMES_SQL,
     "multimodal_bmp_decode": M.BMP_DECODE_SQL,
     "multimodal_wav_decode": M.WAV_DECODE_SQL,
+    "cohort_retention": CHT.COHORT_RETENTION_SQL,
+    "rolling_active_users": CHT.ROLLING_ACTIVE_SQL,
+    "attribution_last_touch": AT.ATTRIBUTION_SQL,
+    "session_transitions": AT.SESSION_TRANSITIONS_SQL,
+    "funnel_step_timings": AT.FUNNEL_TIMINGS_SQL,
+    "search_bm25_topk": SE.BM25_TOPK_SQL,
+    "dedup_passage": PG.PASSAGE_DUP_SQL,
+    "sketch_cms_heavy_hitters": CM.CMS_HEAVY_HITTERS_SQL,
     "asof_view_before_purchase": TJ.ASOF_SQL,
     "range_views_after_error": TJ.RANGE_SQL,
     "tpch_pricing_flags": C.TPCH_PRICING_SQL,

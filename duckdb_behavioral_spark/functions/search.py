@@ -1,0 +1,188 @@
+"""Full-text relevance search over the documents corpus: inverted
+term statistics + BM25-family scoring + top-k retrieval.
+
+A training-data pipeline needs corpus search for curation (find docs
+matching a probe query, rank near-duplicate candidates, spot-check
+decontamination hits). This builds the classic two-table IR model on
+DataFrames:
+
+- term stats: document frequency per term (one explode + groupBy);
+- per-(doc, term) term frequency;
+- BM25 scoring against a small query term set, top-k by score.
+
+Scale shape: the term-frequency explode is map-side (explode + local
+pre-aggregation), the df table is tiny (vocabulary-sized) and
+broadcast back, and the scored set only contains docs sharing >=1
+query term (inner join on the broadcast query terms — the corpus scan
+prunes everything else). No all-pairs anything; one shuffle on
+(doc_id) for tf, one vocabulary-sized shuffle for df.
+
+Determinism contract (cross-engine oracle hashing): the standard BM25
+idf is ``ln((N - df + 0.5) / (df + 0.5) + 1)`` — but ``ln`` rounding
+is libm-dependent, so this implementation defines its idf as the raw
+odds ratio ``(N - df + 0.5) / (df + 0.5)`` (the same quantity before
+the log; per-term monotone, strictly order-preserving for single-term
+contributions). All remaining arithmetic is +,*,/ on doubles in a
+FIXED parenthesization mirrored in the oracle SQL, and the final
+score sums a fixed small number of per-term columns in textual order
+— no data-dependent float reduction order anywhere (see
+functions/sketches.py for the cross-engine float rules).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_behavioral_spark.functions.common import spread
+
+__all__ = ["term_stats", "bm25_topk"]
+
+K1 = "1.2"
+B = "0.75"
+DEFAULT_QUERY = ("spark", "window", "hash", "join")
+TOP_K = 10
+
+
+def _tokens(text):
+    return F.split(text, " ")
+
+
+def term_stats(docs: DataFrame, text: str = "text", id_col: str = "doc_id"):
+    """(tf, df, meta): per-(doc, term) frequencies, per-term document
+    frequencies, and the 1-row (n_docs, avgdl) corpus summary."""
+    toks = spread(docs, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(F.col(text))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    meta = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(_tokens(F.col(text)))).alias("sum_dl"),
+    )
+    return tf, df_t, meta
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str] = DEFAULT_QUERY,
+    k: int = TOP_K,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` docs for ``query_terms`` under odds-ratio-idf BM25.
+
+    Output: (rank, doc_id, dl, n_hit_terms, score). Ties broken by
+    doc_id ascending. Scoring (fixed parenthesization, mirrored in
+    BM25_TOPK_SQL):
+
+        w(term) = idf * (tf * (K1 + 1)) / (tf + K1 * (1 - B + B * dl / avgdl))
+        idf     = (N - df + 0.5) / (df + 0.5)
+        score   = w(q1) + w(q2) + ... (textual order, absent terms 0)
+    """
+    from pyspark.sql.functions import broadcast
+
+    tf, df_t, meta = term_stats(docs, text, id_col)
+    q = docs.sparkSession.createDataFrame(
+        [(t,) for t in query_terms], "term string"
+    )
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"), F.size(_tokens(F.col(text))).alias("dl")
+    )
+    k1, b = F.expr(f"CAST({K1} AS DOUBLE)"), F.expr(f"CAST({B} AS DOUBLE)")
+    hits = (
+        tf.join(broadcast(q), "term")  # prune the corpus to query terms
+        .join(broadcast(df_t.join(broadcast(q), "term")), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(meta))
+    )
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    w = idf * (F.col("tf") * (k1 + F.lit(1.0))) / (
+        F.col("tf") + k1 * (F.lit(1.0) - b + b * F.col("dl") / avgdl)
+    )
+    per_term = hits.select("doc_id", "dl", "term", w.alias("w"))
+    pivot = per_term.groupBy("doc_id", "dl").agg(
+        F.count("*").alias("n_hit_terms"),
+        *[
+            F.coalesce(F.max(F.when(F.col("term") == t, F.col("w"))), F.lit(0.0)).alias(
+                f"w{i}"
+            )
+            for i, t in enumerate(query_terms)
+        ],
+    )
+    score = F.col("w0")
+    for i in range(1, len(query_terms)):
+        score = score + F.col(f"w{i}")
+    from pyspark.sql import Window
+
+    rw = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        pivot.select("doc_id", "dl", "n_hit_terms", score.alias("score"))
+        .withColumn("rank", F.row_number().over(rw).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("rank", "doc_id", "dl", "n_hit_terms", "score")
+    )
+
+
+# --- declared query -------------------------------------------------------
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_behavioral_spark.sources import load_table
+
+    return bm25_topk(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_w(term: str) -> str:
+    return (
+        f"MAX(CASE WHEN term = '{term}' THEN w END)"
+    )
+
+
+_QTERMS_SQL = ", ".join(f"('{t}')" for t in DEFAULT_QUERY)
+
+BM25_TOPK_SQL = f"""
+WITH q(term) AS (VALUES {_QTERMS_SQL}),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), dft AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), meta AS (
+  SELECT COUNT(*) AS n_docs,
+         SUM(len(string_split(text, ' '))) AS sum_dl
+  FROM documents
+), dl AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+), hits AS (
+  SELECT tf.doc_id, dl.dl, tf.term,
+         ((meta.n_docs - dft.df + CAST(0.5 AS DOUBLE))
+            / (dft.df + CAST(0.5 AS DOUBLE)))
+         * (tf.tf * (CAST({K1} AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+         / (tf.tf + CAST({K1} AS DOUBLE)
+              * (CAST(1.0 AS DOUBLE) - CAST({B} AS DOUBLE)
+                 + CAST({B} AS DOUBLE) * dl.dl
+                     / (CAST(meta.sum_dl AS DOUBLE) / meta.n_docs))) AS w
+  FROM tf
+  JOIN q USING (term)
+  JOIN dft USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN meta
+), pv AS (
+  SELECT doc_id, dl, COUNT(*) AS n_hit_terms,
+         {" + ".join(f"COALESCE({_sql_w(t)}, CAST(0.0 AS DOUBLE))" for t in DEFAULT_QUERY)}
+           AS score
+  FROM hits GROUP BY doc_id, dl
+), r AS (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+           AS rank,
+         doc_id, dl, n_hit_terms, score
+  FROM pv
+)
+SELECT rank, doc_id, dl, n_hit_terms, score FROM r WHERE rank <= {TOP_K}
+"""

@@ -276,12 +276,12 @@ WITH base AS (
 SELECT CAST(1 AS BIGINT) AS stage, 'view>click' AS transition,
        COUNT(*) AS n_users,
        MIN(t1 - t0) AS min_us, MAX(t1 - t0) AS max_us,
-       SUM(t1 - t0) AS sum_us,
+       CAST(SUM(t1 - t0) AS BIGINT) AS sum_us,
        CAST(SUM(t1 - t0) AS DOUBLE) / COUNT(*) AS avg_us
 FROM pu WHERE t1 IS NOT NULL
 UNION ALL
 SELECT CAST(2 AS BIGINT), 'click>purchase', COUNT(*),
-       MIN(t2 - t1), MAX(t2 - t1), SUM(t2 - t1),
+       MIN(t2 - t1), MAX(t2 - t1), CAST(SUM(t2 - t1) AS BIGINT),
        CAST(SUM(t2 - t1) AS DOUBLE) / COUNT(*)
 FROM pu WHERE t2 IS NOT NULL
 """

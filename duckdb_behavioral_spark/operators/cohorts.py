@@ -128,8 +128,8 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 COHORT_RETENTION_SQL = """
 WITH pu AS (
   SELECT user_id AS u,
-         min(date_trunc('week', ts)) AS cohort_week,
-         list(DISTINCT date_trunc('week', ts)) AS wks
+         min(CAST(date_trunc('week', ts) AS TIMESTAMP)) AS cohort_week,
+         list(DISTINCT CAST(date_trunc('week', ts) AS TIMESTAMP)) AS wks
   FROM events WHERE ts IS NOT NULL GROUP BY user_id
 ), x AS (
   SELECT cohort_week, unnest(wks) AS wk FROM pu
@@ -157,7 +157,7 @@ def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ROLLING_ACTIVE_SQL = """
 WITH pairs AS (
-  SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS d
+  SELECT DISTINCT user_id AS u, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
   FROM events WHERE ts IS NOT NULL
 ), dau AS (
   SELECT d, COUNT(*) AS dau FROM pairs GROUP BY d
