@@ -13,6 +13,7 @@ from duckdb_behavioral_spark.functions import similarity as S
 from duckdb_behavioral_spark.functions import sketches as SK
 from duckdb_behavioral_spark.functions import cms as CM
 from duckdb_behavioral_spark.functions import passages as PG
+from duckdb_behavioral_spark.functions import reports as RP
 from duckdb_behavioral_spark.functions import search as SE
 from duckdb_behavioral_spark.functions import text as TX
 from duckdb_behavioral_spark.operators import attribution as AT
@@ -68,6 +69,9 @@ EXT_QUERIES = {
     "search_bm25_topk": SE.q_bm25_topk,
     "dedup_passage": PG.q_passage_dup,
     "sketch_cms_heavy_hitters": CM.q_cms_heavy_hitters,
+    # operational reports
+    "events_hourly_anomaly": RP.q_hourly_anomalies,
+    "user_rfm_segments": RP.q_user_rfm,
     # temporal joins
     "asof_view_before_purchase": TJ.q_asof_view_before_purchase,
     "range_views_after_error": TJ.q_range_views_after_error,
@@ -125,6 +129,8 @@ EXT_ORACLES = {
     "search_bm25_topk": SE.BM25_TOPK_SQL,
     "dedup_passage": PG.PASSAGE_DUP_SQL,
     "sketch_cms_heavy_hitters": CM.CMS_HEAVY_HITTERS_SQL,
+    "events_hourly_anomaly": RP.HOURLY_ANOMALY_SQL,
+    "user_rfm_segments": RP.USER_RFM_SQL,
     "asof_view_before_purchase": TJ.ASOF_SQL,
     "range_views_after_error": TJ.RANGE_SQL,
     "tpch_pricing_flags": C.TPCH_PRICING_SQL,
