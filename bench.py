@@ -67,6 +67,21 @@ def main() -> int:
     # Warm up the JVM + parquet footer caches outside the timed region.
     load_events(spark, sf_dir).count()
 
+    def drop_persisted() -> None:
+        # Several queries pin intermediate results with lazy
+        # localCheckpoint barriers (dedup, kmv, bm25...). Those blocks
+        # stay in the block manager until unpersisted; across a 70+
+        # query suite the accumulation builds execution-memory/GC
+        # pressure that slowed LATER queries 5-8x (measured: the same
+        # query 3s in a fresh session, 25s late in the suite). Each
+        # bench query is independent — drop everything between them.
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for rid in list(jmap.keySet().toArray()):
+                jmap.get(rid).unpersist()
+        except Exception:
+            pass
+
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_REPEAT", "1")))
     per_query: dict[str, float] = {}
     for name in names:
@@ -76,6 +91,7 @@ def main() -> int:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             per_query[name] = round(time.perf_counter() - t0, 4)
+        drop_persisted()
 
     total = round(sum(per_query.values()), 4)
     print(

@@ -12,6 +12,7 @@ from duckdb_behavioral_spark.functions import sampling as SA
 from duckdb_behavioral_spark.functions import similarity as S
 from duckdb_behavioral_spark.functions import sketches as SK
 from duckdb_behavioral_spark.functions import cms as CM
+from duckdb_behavioral_spark.functions import mixing as MX
 from duckdb_behavioral_spark.functions import passages as PG
 from duckdb_behavioral_spark.functions import reports as RP
 from duckdb_behavioral_spark.functions import search as SE
@@ -33,6 +34,7 @@ EXT_QUERIES = {
     "corpus_topk_terms": CO.q_topk_terms,
     "chunk_documents": CH.q_chunk_documents,
     "pack_sequences": CH.q_pack_sequences,
+    "mix_corpus": MX.q_mix_corpus,
     # embeddings utilities
     "embedding_quantize": E.q_embedding_quantize,
     # dedup
@@ -101,6 +103,7 @@ EXT_ORACLES = {
     "corpus_topk_terms": CO.TOPK_TERMS_SQL,
     "chunk_documents": CH.CHUNK_DOCUMENTS_SQL,
     "pack_sequences": CH.PACK_SEQUENCES_SQL,
+    "mix_corpus": MX.MIX_CORPUS_SQL,
     "embedding_quantize": E.QUANTIZE_SQL,
     "dedup_exact": D.DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": D.DEDUP_JACCARD_SQL,

@@ -238,7 +238,11 @@ def q_sketch_kmv_overlap(spark, sf_dir):
         .select(F.to_date("ts").alias("day"), "user_id")
         .where(F.col("day").isNotNull())
     )
-    sk = kmv_sketch(ev, key="user_id", group_cols=["day"])
+    # barrier: sk feeds three consumers (left/right tags + per-day
+    # estimate) and dsets two (sizes + intersection self-join) — without
+    # it each consumer re-runs the sketch/distinct subtree and AQE
+    # serializes the duplicate stages (4.6s -> ~2s at sf0.1)
+    sk = kmv_sketch(ev, key="user_id", group_cols=["day"]).localCheckpoint(eager=False)
 
     # tag each sketch row into the (day, day+1) pair it serves:
     # as the LEFT of its own day's pair, as the RIGHT of the previous
@@ -270,7 +274,7 @@ def q_sketch_kmv_overlap(spark, sf_dir):
         F.expr("sum(in_l * in_r) * 1000 div count(*)").alias("j_kmv_permille")
     )
 
-    dsets = ev.distinct()
+    dsets = ev.distinct().localCheckpoint(eager=False)
     sizes = dsets.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         dsets.alias("a")

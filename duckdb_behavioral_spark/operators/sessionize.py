@@ -29,9 +29,15 @@ from duckdb_behavioral_spark.functions.timeutil import event_time
 def sessionize_col(ts, gap, partition_by: Sequence) -> Column:
     """Session-id Column for ``withColumn`` composition."""
     gap_us = to_micros(gap)
-    ts_col = event_time(ts)
+    # ORDER BY the raw column attribute, cast only inside unix_micros:
+    # a cast in the window order key is extracted into per-window _w
+    # projections, and the two windows then sort on DIFFERENT attribute
+    # copies — the planner re-sorts between them instead of sharing one
+    # sort (plan-asserted in tests/test_plans.py). NTZ and TIMESTAMP
+    # order identically, so sorting the uncast column is equivalent.
+    ts_col = F.col(ts) if isinstance(ts, str) else ts
     w = Window.partitionBy(*partition_by).orderBy(ts_col.asc())
-    tsu = F.unix_micros(ts_col)
+    tsu = F.unix_micros(event_time(ts_col))
     prev = F.lag(tsu).over(w)
     boundary = F.when(prev.isNotNull() & ((tsu - prev) > F.lit(gap_us)), 1).otherwise(0)
     running = F.sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
