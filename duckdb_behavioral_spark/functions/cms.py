@@ -155,3 +155,13 @@ WITH cells AS (
 )
 SELECT rank, key, exact, est, overestimate FROM r WHERE rank <= {TOP_K}
 """
+
+
+# batch sketch grid as plain SQL — also the oracle for the streaming
+# fold-parity gate (registry: streaming_cms_parity)
+CMS_SKETCH_SQL = f"""
+WITH cells AS (
+  {_CELL_ROWS}
+)
+SELECT row, bucket, COUNT(*) AS cnt FROM cells GROUP BY row, bucket
+"""

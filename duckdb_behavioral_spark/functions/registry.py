@@ -18,6 +18,8 @@ from duckdb_behavioral_spark.functions import reports as RP
 from duckdb_behavioral_spark.functions import search as SE
 from duckdb_behavioral_spark.functions import text as TX
 from duckdb_behavioral_spark.operators import attribution as AT
+from duckdb_behavioral_spark.operators import concurrency as CCY
+from duckdb_behavioral_spark.operators import graph as GR
 from duckdb_behavioral_spark.operators import cohorts as CHT
 from duckdb_behavioral_spark.operators import temporal_joins as TJ
 
@@ -67,6 +69,8 @@ EXT_QUERIES = {
     "attribution_last_touch": AT.q_attribution_last_touch,
     "session_transitions": AT.q_session_transitions,
     "funnel_step_timings": AT.q_funnel_step_timings,
+    "session_concurrency": CCY.q_session_concurrency,
+    "transition_pagerank": GR.q_transition_pagerank,
     # corpus search / passage dedup / frequency sketch
     "search_bm25_topk": SE.q_bm25_topk,
     "dedup_passage": PG.q_passage_dup,
@@ -129,6 +133,8 @@ EXT_ORACLES = {
     "attribution_last_touch": AT.ATTRIBUTION_SQL,
     "session_transitions": AT.SESSION_TRANSITIONS_SQL,
     "funnel_step_timings": AT.FUNNEL_TIMINGS_SQL,
+    "session_concurrency": CCY.SESSION_CONCURRENCY_SQL,
+    "transition_pagerank": GR.TRANSITION_PAGERANK_SQL,
     "search_bm25_topk": SE.BM25_TOPK_SQL,
     "dedup_passage": PG.PASSAGE_DUP_SQL,
     "sketch_cms_heavy_hitters": CM.CMS_HEAVY_HITTERS_SQL,

@@ -90,3 +90,166 @@ def connected_components(
         if changed == 0:
             return labels
     raise ConvergenceError(f"connected_components did not converge in {max_iter} rounds")
+
+
+# --- PageRank (fixed-point integer arithmetic) -----------------------------
+
+PR_SCALE = 1_000_000_000  # ranks in nano-units: 1.0 == 10^9
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as a ratio
+PR_ITERS = 3
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    n_iter: int = PR_ITERS,
+) -> DataFrame:
+    """(node, rank_nano): weighted PageRank after ``n_iter`` rounds,
+    in exact fixed-point integer arithmetic.
+
+    Floats make iterative rank updates irreproducible (parallel float
+    sums round differently per partitioning — and differently per
+    engine), so ranks live in integer nano-units and every update is
+
+        rank' = (1-d)/N + d * inflow
+              = PR_SCALE*(DEN-NUM) DIV (DEN*N)
+                + NUM * inflow DIV DEN            (all BIGINT)
+
+    with per-edge contributions ``rank * w DIV out_w`` (integer
+    truncation loses at most one nano-unit per edge, identically in
+    every engine — Spark ``DIV`` and DuckDB ``//`` both truncate
+    non-negative values). Dangling mass is dropped (standard
+    simplification; ranks then sum to slightly under 1).
+
+    Scale shape per round: one join rank->edges on src (edge table
+    checkpointed once, rank table small side broadcast when it fits),
+    one grouped integer SUM with map-side partials onto dst. Lineage
+    cut per round. Same iteration discipline as ``kmeans_centroids``
+    (functions/similarity.py) — the oracle unrolls the identical
+    rounds in SQL.
+    """
+    w_col = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    e = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d"), w_col.alias("__w")
+    )
+    out_w = e.groupBy("__s").agg(F.sum("__w").alias("__ow"))
+    e = (
+        e.join(out_w, "__s")
+        .select("__s", "__d", "__w", "__ow")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .union(e.select(F.col("__d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()  # scalar; the only driver-side value
+    base = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // (PR_DAMP_DEN * n_nodes)
+    rank = nodes.select(
+        "node", F.lit(PR_SCALE // n_nodes).cast("long").alias("r")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            e.join(rank, e["__s"] == rank["node"])
+            .select(
+                F.col("__d").alias("node"),
+                F.expr("r * __w DIV __ow").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        rank = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"{PR_DAMP_NUM} * coalesce(inflow, 0) DIV {PR_DAMP_DEN}"
+                    )
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return rank.select("node", F.col("r").alias("rank_nano"))
+
+
+# --- declared query: PageRank over the session-transition graph -----------
+
+
+def q_transition_pagerank(spark, sf_dir):
+    """Event-type importance in the within-session flow graph:
+    PageRank over the session_transitions edges (end-of-session
+    pseudo-edges excluded), weights = transition counts."""
+    from duckdb_behavioral_spark.operators.attribution import session_transitions
+    from duckdb_behavioral_spark.sources import load_events
+
+    tr = session_transitions(load_events(spark, sf_dir))
+    edges = tr.where(F.col("to_type") != "(end)").select(
+        F.col("from_type").alias("src"),
+        F.col("to_type").alias("dst"),
+        F.col("n").alias("w"),
+    )
+    return pagerank(edges, weight="w").select(
+        F.col("node").alias("event_type"), "rank_nano"
+    )
+
+
+_GAP_30M_US = 30 * 60 * 1_000_000
+
+
+def _pr_iter_sql(prev: str, it: str) -> str:
+    return f"""{it} AS (
+  SELECT nodes.node,
+         CAST((CAST({PR_SCALE} AS BIGINT) * {PR_DAMP_DEN - PR_DAMP_NUM}
+                 // ({PR_DAMP_DEN} * nn.n))
+              + ({PR_DAMP_NUM} * COALESCE(inf.i, 0) // {PR_DAMP_DEN})
+              AS BIGINT) AS r
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (SELECT d AS node, SUM(r * w // ow) AS i
+             FROM e2 JOIN {prev} ON {prev}.node = e2.s GROUP BY d) inf
+    ON inf.node = nodes.node
+)"""
+
+
+TRANSITION_PAGERANK_SQL = f"""
+WITH o AS (
+  SELECT user_id, ts, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), s AS (
+  SELECT user_id, ts, event_type,
+         SUM(CASE WHEN prev_ts IS NOT NULL
+                   AND epoch_us(ts) - epoch_us(prev_ts) > {_GAP_30M_US}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) + 1
+           AS session_id
+  FROM o
+), tr AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id, session_id ORDER BY ts)
+           AS to_type
+  FROM s
+), edges AS (
+  SELECT from_type AS s, to_type AS d, COUNT(*) AS w
+  FROM tr WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+), ow AS (
+  SELECT s, SUM(w) AS ow FROM edges GROUP BY s
+), e2 AS (
+  SELECT edges.s, edges.d, edges.w, ow.ow FROM edges JOIN ow USING (s)
+), nodes AS (
+  SELECT DISTINCT s AS node FROM edges
+  UNION
+  SELECT DISTINCT d AS node FROM edges
+), nn AS (
+  SELECT COUNT(*) AS n FROM nodes
+), r0 AS (
+  SELECT node, CAST({PR_SCALE} AS BIGINT) // nn.n AS r FROM nodes CROSS JOIN nn
+), {_pr_iter_sql("r0", "it1")},
+{_pr_iter_sql("it1", "it2")},
+{_pr_iter_sql("it2", "it3")}
+SELECT node AS event_type, r AS rank_nano FROM it3
+"""

@@ -15,6 +15,7 @@ def all_queries():
         pass
     try:
         from duckdb_behavioral_spark.streaming.parity import (
+            streaming_cms_parity,
             streaming_dedup_parity,
             streaming_funnel_parity,
             streaming_minhash_parity,
@@ -25,6 +26,7 @@ def all_queries():
         out["streaming_dedup_parity"] = streaming_dedup_parity
         out["streaming_sessionize_parity"] = streaming_sessionize_parity
         out["streaming_minhash_parity"] = streaming_minhash_parity
+        out["streaming_cms_parity"] = streaming_cms_parity
     except ImportError:
         pass
     return out
@@ -45,4 +47,7 @@ def all_oracles():
     out["streaming_dedup_parity"] = out.get("dedup_exact")
     out["streaming_sessionize_parity"] = out.get("q11_session_stats")
     out["streaming_minhash_parity"] = out.get("dedup_minhash_pairs")
+    from duckdb_behavioral_spark.functions.cms import CMS_SKETCH_SQL
+
+    out["streaming_cms_parity"] = CMS_SKETCH_SQL
     return out

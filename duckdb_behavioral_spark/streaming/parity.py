@@ -266,3 +266,58 @@ def streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def streaming_cms_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARED query: replay events as a 4-micro-batch stream,
+    build a count-min sketch per batch, and fold the grids by
+    CELL-WISE ADDITION — the CMS's defining merge property. The folded
+    grid must hash-match the batch ``cms_sketch`` oracle (the sketch
+    CTE of the heavy-hitters derivation): increments are commutative
+    integer sums, so chunking cannot change any cell.
+
+    Chunks interleave on ``event_id % 4`` (NOT time-ordered) to prove
+    arrival-order independence — the stronger claim streaming funnel
+    (which contracts time-ordered arrival) cannot make.
+    """
+    from collections import defaultdict
+
+    from duckdb_behavioral_spark.functions.cms import cms_sketch
+    from duckdb_behavioral_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir).select("event_id", "user_id")
+    src = tempfile.mkdtemp(prefix="sg_cms_src_")
+    try:
+        for i in range(N_CHUNKS):
+            (ev.where(F.col("event_id") % N_CHUNKS == i)
+             .coalesce(1).write.mode("append").parquet(src))
+
+        stream = spark.readStream.schema("event_id long, user_id long").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+
+        cells: dict = defaultdict(int)
+
+        def fold_batch(bdf: DataFrame, _epoch: int) -> None:
+            for r in cms_sketch(bdf, "user_id").collect():
+                cells[(r["row"], r["bucket"])] += r["cnt"]
+
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(fold_batch)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        rows = [(int(r), int(b), int(c)) for (r, b), c in cells.items()]
+        got = spark.createDataFrame(
+            rows or [(None, None, None)], "row int, bucket long, cnt long"
+        )
+        if not rows:
+            got = got.where(F.lit(False))
+        return got
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
