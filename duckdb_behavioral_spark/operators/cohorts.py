@@ -6,20 +6,22 @@ aggregates — ``/root/reference/src/lib.rs:28-36``; cohort reports are
 the standard composition layer a user of the reference builds on top,
 per SURVEY.md §2.5 extension posture).
 
-Scale shapes:
+Scale shapes (probed at 10M events — scripts/scale_probe.py):
 
-- ``cohort_retention_matrix``: ONE exchange on ``user_id``.
-  ``groupBy(user).agg(min(week), collect_set(week))`` folds the
-  distinct-weeks set map-side (weeks per user is bounded by the
-  calendar, not by event volume), then the exploded (cohort, offset)
-  re-aggregation is a tiny second shuffle over O(users x weeks) rows.
-  No per-user window, no self-join. Each user appears at most once
-  per (cohort, offset), so the retained count is a plain COUNT(*) —
-  no COUNT(DISTINCT) expand at scale.
-- ``rolling_active_users``: each distinct (user, day) contributes to
-  the 7 window-end days it is visible from — a map-side fan-out of
-  x7, then distinct + count per day. Linear in distinct pairs; no
-  range self-join (which would re-scan 7 days of rows per day).
+- ``cohort_retention_matrix``: distinct (user, week) pairs (codegen
+  hash agg with map-side partials), window-min per user for the
+  cohort anchor, then a tiny (cohort, offset) re-aggregation. Each
+  user appears at most once per (cohort, offset), so the retained
+  count is a plain COUNT(*) — no COUNT(DISTINCT) expand, no
+  self-join, and deliberately no collect_set (ObjectHashAggregate
+  sort-fallback made that shape 50x slower at 10M).
+- ``rolling_active_users``: NO x7 fan-out (the naive explode
+  shuffles window_days x the pair count — 72s at 10M, growing with
+  the window width). Instead each user's active days compress into
+  coverage runs (sessionize-on-days), runs emit +1/-1 sweep deltas
+  that aggregate map-side to day grain, and a tiny O(days)
+  cumulative sum + as-of match produce the rolling count: two
+  pair-level shuffles total, window-width-independent (22s at 10M).
 
 Float discipline (oracle-hash rules, see functions/sketches.py):
 counts are integers; the only floats are single divisions of two
@@ -47,13 +49,19 @@ def cohort_retention_matrix(
     Spark and DuckDB). offset 0 row doubles as the cohort size.
     """
     wk = F.date_trunc("week", F.col(ts))
-    per_user = (
+    # distinct pairs (codegen hash agg), then window-min for the cohort
+    # anchor. A collect_set formulation is one exchange fewer on paper,
+    # but ObjectHashAggregate falls back to SORT-based aggregation past
+    # spark.sql.execution.objectHashAggregate.sortBased.fallbackThreshold
+    # (default 128) keys per partition — measured 50x slower than this
+    # shape at 10M events (scripts/scale_probe.py).
+    uw = (
         events.where(F.col(ts).isNotNull())
         .select(F.col(user).alias("u"), wk.alias("wk"))
-        .groupBy("u")
-        .agg(F.min("wk").alias("cohort_week"), F.collect_set("wk").alias("wks"))
+        .distinct()
     )
-    x = per_user.select("cohort_week", F.explode("wks").alias("wk"))
+    cohort = F.min("wk").over(Window.partitionBy("u"))
+    x = uw.select("wk", cohort.alias("cohort_week"))
     m = (
         x.groupBy(
             "cohort_week",
@@ -96,23 +104,72 @@ def rolling_active_users(
         .distinct()
     )
     dau = pairs.groupBy("d").agg(F.count("*").alias("dau"))
-    vis = F.array(
-        *[F.col("d") + F.expr(f"INTERVAL {i} DAY") for i in range(window_days)]
-    )
-    wau = (
-        pairs.select("u", F.explode(vis).alias("day"))
-        .distinct()
-        .groupBy("day")
-        .agg(F.count("*").alias("wau"))
-    )
-    return (
-        dau.join(wau, dau["d"] == wau["day"])
-        .select(
-            F.col("d").alias("day"),
-            "dau",
-            "wau",
-            (F.col("dau") / F.col("wau")).alias("stickiness"),
+
+    # Rolling-distinct WITHOUT the x{window_days} fan-out (the naive
+    # explode shuffles window_days x pairs rows — measured 72s at 10M
+    # events, and it grows with the window width):
+    # 1. compress each user's active days into COVERAGE RUNS — a user
+    #    active on day d is "visible" through d+W-1, so active days
+    #    less than W apart merge into one interval [start, end+W-1]
+    #    (sessionize on days, gap = W). Per user ONE row per run.
+    # 2. each run emits +1 at its start day and -1 at end+W — a sweep
+    #    delta stream that aggregates map-side to day grain (tiny).
+    # 3. cumulative-sum the day-grain deltas (O(days) rows through the
+    #    serial stage) = rolling active count wherever it changes;
+    #    as-of-match each DAU day to the latest delta day at-or-before
+    #    it (union + running last over the tiny day tables).
+    gap_ok = F.datediff(F.col("d"), F.lag("d").over(
+        Window.partitionBy("u").orderBy(F.col("d").asc())
+    ))
+    runs = (
+        pairs.withColumn(
+            "__new", F.when(gap_ok.isNull() | (gap_ok > window_days - 1), 1).otherwise(0)
         )
+        .withColumn(
+            "__run",
+            F.sum("__new").over(
+                Window.partitionBy("u")
+                .orderBy(F.col("d").asc())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("u", "__run")
+        .agg(F.min("d").alias("s"), F.max("d").alias("e"))
+    )
+    deltas = (
+        runs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("s").alias("dd"), F.lit(1).alias("dl")),
+                    F.struct(
+                        (F.col("e") + F.expr(f"INTERVAL {window_days} DAY")).alias("dd"),
+                        F.lit(-1).alias("dl"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.dd").alias("dd"))
+        .agg(F.sum("p.dl").alias("dl"))
+    )
+    one = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("t").asc(), F.col("__is_c").desc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged = (
+        deltas.select(F.col("dd").alias("t"), F.lit(1).alias("__is_c"),
+                      F.col("dl").alias("__dl"), F.lit(None).cast("long").alias("dau"))
+        .unionByName(
+            dau.select(F.col("d").alias("t"), F.lit(0).alias("__is_c"),
+                       F.lit(0).cast("long").alias("__dl"), F.col("dau")))
+        # delta rows sort before the dau probe at equal day, so the
+        # running sum at a dau row includes its own day's +1s
+        .withColumn("wau", F.sum("__dl").over(one))
+        .where(F.col("__is_c") == 0)
+    )
+    return merged.select(
+        F.col("t").alias("day"),
+        "dau",
+        F.col("wau").cast("long").alias("wau"),
+        (F.col("dau") / F.col("wau")).alias("stickiness"),
     )
 
 
@@ -155,19 +212,43 @@ def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_active_users(load_events(spark, sf_dir))
 
 
-ROLLING_ACTIVE_SQL = """
+_W = 7  # must match rolling_active_users(window_days=7)
+
+ROLLING_ACTIVE_SQL = f"""
 WITH pairs AS (
   SELECT DISTINCT user_id AS u, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
   FROM events WHERE ts IS NOT NULL
 ), dau AS (
   SELECT d, COUNT(*) AS dau FROM pairs GROUP BY d
-), contrib AS (
-  SELECT DISTINCT u, d + x * INTERVAL 1 DAY AS day
-  FROM pairs, generate_series(0, 6) AS t(x)
-), wau AS (
-  SELECT day, COUNT(*) AS wau FROM contrib GROUP BY day
+), g AS (
+  SELECT u, d,
+         CASE WHEN lag(d) OVER (PARTITION BY u ORDER BY d) IS NULL
+               OR date_diff('day', lag(d) OVER (PARTITION BY u ORDER BY d), d)
+                  > {_W - 1}
+              THEN 1 ELSE 0 END AS nw
+  FROM pairs
+), r AS (
+  SELECT u, d,
+         SUM(nw) OVER (PARTITION BY u ORDER BY d ROWS UNBOUNDED PRECEDING) AS run
+  FROM g
+), runs AS (
+  SELECT u, run, MIN(d) AS s, MAX(d) AS e FROM r GROUP BY u, run
+), deltas AS (
+  SELECT dd, CAST(SUM(dl) AS BIGINT) AS dl FROM (
+    SELECT s AS dd, 1 AS dl FROM runs
+    UNION ALL
+    SELECT e + {_W} * INTERVAL 1 DAY AS dd, -1 AS dl FROM runs
+  ) GROUP BY dd
+), merged AS (
+  SELECT t, is_c, dau,
+         SUM(dl) OVER (ORDER BY t ASC, is_c DESC ROWS UNBOUNDED PRECEDING) AS wau
+  FROM (
+    SELECT dd AS t, 1 AS is_c, dl, CAST(NULL AS BIGINT) AS dau FROM deltas
+    UNION ALL
+    SELECT d AS t, 0 AS is_c, CAST(0 AS BIGINT) AS dl, dau FROM dau
+  )
 )
-SELECT dau.d AS day, dau.dau, wau.wau,
-       CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
-FROM dau JOIN wau ON dau.d = wau.day
+SELECT t AS day, dau, CAST(wau AS BIGINT) AS wau,
+       CAST(dau AS DOUBLE) / wau AS stickiness
+FROM merged WHERE is_c = 0
 """

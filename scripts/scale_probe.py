@@ -84,6 +84,26 @@ def probe(spark, path: str) -> dict:
             F.count("*").alias("n")
         ),
     )
+    # round-3 reporting layer
+    from duckdb_behavioral_spark.functions.cms import heavy_hitters
+    from duckdb_behavioral_spark.operators.attribution import last_touch_attribution
+    from duckdb_behavioral_spark.operators.cohorts import (
+        cohort_retention_matrix,
+        rolling_active_users,
+    )
+    from duckdb_behavioral_spark.operators.concurrency import session_concurrency
+
+    run("last_touch", last_touch_attribution(ev))
+    run("cohort_matrix", cohort_retention_matrix(ev))
+    run("rolling_active", rolling_active_users(ev))
+    run("cms_heavy_hitters", heavy_hitters(ev, "user_id"))
+    sess = (
+        B.sessionize(ev, "ts", "30 minutes", ["user_id"])
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+        .where(F.col("session_id").isNotNull())
+    )
+    run("session_concurrency", session_concurrency(sess))
     return out
 
 

@@ -142,3 +142,72 @@ def test_ivf_centroids_fixed_size_and_broadcast(spark):
     assert "BroadcastExchange" in plan
     # assignment collapses the NCENT fan-out map-side before the shuffle
     assert "partial_max_by" in plan
+
+
+# --- round-3 reporting/search layer ---------------------------------------
+
+
+def test_cohort_matrix_two_exchanges_no_join(spark, sf):
+    # one user_id exchange + one tiny (cohort, offset) re-agg exchange;
+    # the formulation must NOT self-join or COUNT DISTINCT (no Expand)
+    from duckdb_behavioral_spark.operators.cohorts import q_cohort_retention
+
+    plan = plan_of(q_cohort_retention(spark, sf))
+    assert plan.count("Exchange hashpartitioning") <= 3  # user, agg, window
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Expand" not in plan  # plain COUNT(*), not count-distinct expand
+
+
+def test_last_touch_single_exchange(spark, sf):
+    from duckdb_behavioral_spark.operators.attribution import (
+        q_attribution_last_touch,
+    )
+
+    plan = plan_of(q_attribution_last_touch(spark, sf))
+    # window on user_id, then the tiny touch-type agg; no join anywhere
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_bm25_broadcasts_and_single_corpus_scan(spark, sf):
+    from duckdb_behavioral_spark.functions.search import q_bm25_topk
+
+    plan = plan_of(q_bm25_topk(spark, sf))
+    # df/meta/query-term sides all broadcast; corpus side scans once
+    # (tf is checkpointed: later consumers read Scan ExistingRDD)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") <= 1
+
+
+def test_cms_sketch_partial_aggregation(spark, sf):
+    # the grid must fold map-side: partial_count before the exchange
+    from duckdb_behavioral_spark.functions.cms import cms_sketch
+    from duckdb_behavioral_spark.sources import load_events
+
+    plan = plan_of(cms_sketch(load_events(spark, sf), "user_id"))
+    assert re.search(r"partial_count", plan)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_mix_corpus_broadcast_budgets_single_window(spark, sf):
+    from duckdb_behavioral_spark.functions.mixing import q_mix_corpus
+
+    plan = plan_of(q_mix_corpus(spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_concurrency_serial_stage_is_hour_grain(spark, sf):
+    # the single-partition window must be fed by the per-hour TOTALS
+    # (tiny), not the raw boundary events: exactly one SinglePartition
+    # exchange, placed after the hour aggregation
+    from duckdb_behavioral_spark.operators.concurrency import (
+        q_session_concurrency,
+    )
+
+    plan = plan_of(q_session_concurrency(spark, sf))
+    assert plan.count("Exchange SinglePartition") == 1
+    i_agg = plan.index("hashpartitioning(hour")
+    i_single = plan.index("Exchange SinglePartition")
+    assert i_single < i_agg  # executedPlan prints top-down: serial stage consumes the hour agg
