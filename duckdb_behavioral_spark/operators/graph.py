@@ -147,6 +147,10 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()  # scalar; the only driver-side value
+    if n_nodes == 0:
+        return nodes.select(
+            "node", F.lit(0).cast("long").alias("rank_nano")
+        )  # empty graph: empty result, no div-by-zero
     base = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // (PR_DAMP_DEN * n_nodes)
     rank = nodes.select(
         "node", F.lit(PR_SCALE // n_nodes).cast("long").alias("r")
