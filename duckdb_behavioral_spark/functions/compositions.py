@@ -10,7 +10,7 @@ between engines).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 import duckdb_behavioral_spark as B
@@ -525,3 +525,125 @@ FROM p
 
 
 TRAINING_PIPELINE_SQL = _training_pipeline_sql()
+
+
+Q3_CUTOFF = "1998-06-01"
+Q3_SEGMENT = "BUILDING"
+Q3_TOP = 10
+
+
+def q_tpch_q3_topk(spark, sf_dir):
+    """TPC-H Q3 shape: top unshipped-order revenue for one market
+    segment — the canonical selective multi-join.
+
+    Plan posture: the segment filter prunes customer BEFORE the join
+    (predicate pushdown to the scan), customer/orders join on custkey,
+    lineitem joins on orderkey (its own natural key — co-partitioned
+    at scale if both are bucketed by orderkey). Revenue is
+    ``SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10)))``
+    — the per-row product is one IEEE double op (identical everywhere),
+    the SUM is decimal (exact, commutative, map-side partials), cast
+    to DOUBLE once at the end: the float total is bit-identical at any
+    parallelism and hash-matches the oracle.
+    """
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit(Q3_CUTOFF).cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit(Q3_CUTOFF).cast("timestamp")
+    )
+    rev = F.sum(
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .cast("decimal(30,10)")
+    )
+    agg = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev.cast("double").alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= Q3_TOP)
+        .select("rank", "l_orderkey", "o_orderdate", "o_orderpriority", "revenue")
+    )
+
+
+TPCH_Q3_SQL = f"""
+WITH agg AS (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                       AS DECIMAL(30,10))) AS DOUBLE) AS revenue
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE c_mktsegment = '{Q3_SEGMENT}'
+    AND o_orderdate < TIMESTAMP '{Q3_CUTOFF} 00:00:00'
+    AND l_shipdate > TIMESTAMP '{Q3_CUTOFF} 00:00:00'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+), r AS (
+  SELECT CAST(row_number() OVER (ORDER BY revenue DESC, l_orderkey ASC)
+              AS BIGINT) AS rank,
+         l_orderkey, o_orderdate, o_orderpriority, revenue
+  FROM agg
+)
+SELECT rank, l_orderkey, o_orderdate, o_orderpriority, revenue
+FROM r WHERE rank <= {Q3_TOP}
+"""
+
+
+Q5_REGION = "ASIA"
+
+
+def q_tpch_q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: local-supplier revenue by nation inside one
+    region — the 6-table star join.
+
+    Plan posture: region/nation are broadcast (a few rows), supplier
+    and customer join the fact chain on their keys, and the defining
+    Q5 constraint ``c_nationkey = s_nationkey`` (customer served by a
+    LOCAL supplier) applies as a post-join filter on already-joined
+    attributes — no extra join. Revenue uses the exact-decimal SUM
+    (see q_tpch_q3_topk).
+    """
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == Q5_REGION)
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.sum(
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .cast("decimal(30,10)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(rev.cast("double").alias("revenue"),
+             F.count("*").alias("n_lineitems"))
+    )
+
+
+TPCH_Q5_SQL = f"""
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                     AS DECIMAL(30,10))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey AND r_name = '{Q5_REGION}'
+GROUP BY n_name
+"""

@@ -84,6 +84,8 @@ EXT_QUERIES = {
     # host-surface compositions
     "tpch_pricing_flags": C.q_tpch_pricing_flags,
     "orders_by_nation": C.q_orders_by_nation,
+    "tpch_q3_topk": C.q_tpch_q3_topk,
+    "tpch_q5_region_revenue": C.q_tpch_q5_region_revenue,
     "events_hourly_rollup": C.q_events_hourly_rollup,
     "events_rollup_cube": C.q_events_rollup_cube,
     "events_type_pivot": C.q_events_type_pivot,
@@ -144,6 +146,8 @@ EXT_ORACLES = {
     "range_views_after_error": TJ.RANGE_SQL,
     "tpch_pricing_flags": C.TPCH_PRICING_SQL,
     "orders_by_nation": C.ORDERS_BY_NATION_SQL,
+    "tpch_q3_topk": C.TPCH_Q3_SQL,
+    "tpch_q5_region_revenue": C.TPCH_Q5_SQL,
     "events_hourly_rollup": C.EVENTS_HOURLY_SQL,
     "events_rollup_cube": C.EVENTS_ROLLUP_CUBE_SQL,
     "events_type_pivot": C.EVENTS_TYPE_PIVOT_SQL,

@@ -211,3 +211,21 @@ def test_concurrency_serial_stage_is_hour_grain(spark, sf):
     i_agg = plan.index("hashpartitioning(hour")
     i_single = plan.index("Exchange SinglePartition")
     assert i_single < i_agg  # executedPlan prints top-down: serial stage consumes the hour agg
+
+
+def test_tpch_q5_broadcasts_dims_and_pushes_filters(spark, sf):
+    from duckdb_behavioral_spark.functions.compositions import (
+        q_tpch_q5_region_revenue,
+    )
+
+    plan = plan_of(q_tpch_q5_region_revenue(spark, sf))
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region
+    # the region-name filter reaches the region scan, not a post-join Filter
+    assert re.search(r"PushedFilters: \[.*EqualTo\(r_name,ASIA\)", plan)
+
+
+def test_tpch_q3_segment_filter_pushed(spark, sf):
+    from duckdb_behavioral_spark.functions.compositions import q_tpch_q3_topk
+
+    plan = plan_of(q_tpch_q3_topk(spark, sf))
+    assert re.search(r"PushedFilters: \[.*EqualTo\(c_mktsegment,BUILDING\)", plan)
