@@ -78,6 +78,8 @@ EXT_QUERIES = {
     # operational reports
     "events_hourly_anomaly": RP.q_hourly_anomalies,
     "user_rfm_segments": RP.q_user_rfm,
+    "events_hourly_ohlc": RP.q_hourly_ohlc,
+    "events_daily_trend": RP.q_daily_trend,
     # temporal joins
     "asof_view_before_purchase": TJ.q_asof_view_before_purchase,
     "range_views_after_error": TJ.q_range_views_after_error,
@@ -142,6 +144,8 @@ EXT_ORACLES = {
     "sketch_cms_heavy_hitters": CM.CMS_HEAVY_HITTERS_SQL,
     "events_hourly_anomaly": RP.HOURLY_ANOMALY_SQL,
     "user_rfm_segments": RP.USER_RFM_SQL,
+    "events_hourly_ohlc": RP.HOURLY_OHLC_SQL,
+    "events_daily_trend": RP.DAILY_TREND_SQL,
     "asof_view_before_purchase": TJ.ASOF_SQL,
     "range_views_after_error": TJ.RANGE_SQL,
     "tpch_pricing_flags": C.TPCH_PRICING_SQL,

@@ -210,3 +210,125 @@ SELECT user_id, recency_days, frequency, monetary,
          AS segment
 FROM base
 """
+
+
+def hourly_ohlc(
+    events: DataFrame,
+    ts: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """(event_type, hour, open, high, low, close, n): per-hour OHLC
+    bars of the event value — the time-series downsampling shape.
+
+    open/close are ``min_by``/``max_by`` on the timestamp (ties
+    impossible: per-user timestamps are unique and values ride along);
+    the four picks + count compute in ONE grouped aggregation with
+    map-side partials — no window, no sort, one exchange on the
+    (type, hour) key. min_by/max_by mirror DuckDB's arg_min/arg_max
+    exactly; no arithmetic touches the doubles, so hashes match.
+    """
+    hour = F.date_trunc("hour", event_time(ts))
+    v = F.col(value_col)
+    return (
+        events.where(F.col(ts).isNotNull() & v.isNotNull())
+        .groupBy(F.col(type_col).alias("event_type"), hour.alias("hour"))
+        .agg(
+            F.min_by(v, F.col(ts)).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, F.col(ts)).alias("close"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def daily_trend(
+    events: DataFrame, ts: str = "ts", type_col: str = "event_type"
+) -> DataFrame:
+    """(event_type, n_days, slope_num, slope_den, trend): daily-count
+    least-squares slope per event type, in exact integer arithmetic.
+
+    With x = day index (days since the type's first day) and y = daily
+    count, the OLS slope is (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) — both
+    sides integers, so instead of dividing we RETURN the fraction and
+    classify: trend = 'up' when the numerator is positive, 'down' when
+    negative, 'flat' at zero. No floats anywhere; one day-grain rollup
+    (tiny) + one per-type aggregation.
+    """
+    day = F.date_trunc("day", event_time(ts))
+    daily = (
+        events.where(F.col(ts).isNotNull())
+        .groupBy(F.col(type_col).alias("event_type"), day.alias("d"))
+        .agg(F.count("*").alias("y"))
+    )
+    x = F.datediff(
+        F.col("d"), F.min("d").over(Window.partitionBy("event_type"))
+    ).cast("long")
+    based = daily.select("event_type", x.alias("x"), "y")
+    agg = based.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = agg["n_days"] * agg["sxy"] - agg["sx"] * agg["sy"]
+    den = agg["n_days"] * agg["sxx"] - agg["sx"] * agg["sx"]
+    return agg.select(
+        "event_type",
+        "n_days",
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        F.when(num > 0, F.lit("up"))
+        .when(num < 0, F.lit("down"))
+        .otherwise(F.lit("flat"))
+        .alias("trend"),
+    )
+
+
+def q_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hourly_ohlc(_ev(spark, sf_dir))
+
+
+HOURLY_OHLC_SQL = """
+SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+       arg_min(value, ts) AS open,
+       MAX(value) AS high, MIN(value) AS low,
+       arg_max(value, ts) AS close,
+       COUNT(*) AS n
+FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+GROUP BY event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP)
+"""
+
+
+def q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return daily_trend(_ev(spark, sf_dir))
+
+
+DAILY_TREND_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+         COUNT(*) AS y
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)
+), based AS (
+  SELECT event_type,
+         CAST(date_diff('day', MIN(d) OVER (PARTITION BY event_type), d)
+              AS BIGINT) AS x,
+         y
+  FROM daily
+), agg AS (
+  SELECT event_type, COUNT(*) AS n_days,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM based GROUP BY event_type
+)
+SELECT event_type, n_days,
+       CAST(n_days * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n_days * sxx - sx * sx AS BIGINT) AS slope_den,
+       CASE WHEN n_days * sxy - sx * sy > 0 THEN 'up'
+            WHEN n_days * sxy - sx * sy < 0 THEN 'down'
+            ELSE 'flat' END AS trend
+FROM agg
+"""

@@ -147,15 +147,17 @@ def test_ivf_centroids_fixed_size_and_broadcast(spark):
 # --- round-3 reporting/search layer ---------------------------------------
 
 
-def test_cohort_matrix_two_exchanges_no_join(spark, sf):
-    # one user_id exchange + one tiny (cohort, offset) re-agg exchange;
-    # the formulation must NOT self-join or COUNT DISTINCT (no Expand)
+def test_cohort_matrix_hash_aggs_no_join(spark, sf):
+    # distinct pairs + user window-min + two tiny re-aggs; the
+    # formulation must NOT self-join, COUNT DISTINCT (no Expand), or
+    # fall into ObjectHashAggregate (the collect_set sort-fallback trap)
     from duckdb_behavioral_spark.operators.cohorts import q_cohort_retention
 
     plan = plan_of(q_cohort_retention(spark, sf))
-    assert plan.count("Exchange hashpartitioning") <= 3  # user, agg, window
+    assert plan.count("Exchange hashpartitioning") <= 4
     assert "SortMergeJoin" not in plan and "BroadcastNestedLoop" not in plan
     assert "Expand" not in plan  # plain COUNT(*), not count-distinct expand
+    assert "ObjectHashAggregate" not in plan
 
 
 def test_last_touch_single_exchange(spark, sf):

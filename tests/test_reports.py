@@ -79,3 +79,36 @@ def test_rfm_quartiles_partition_evenly(spark):
     from collections import Counter
 
     assert Counter(r["r"] for r in out) == Counter({1: 2, 2: 2, 3: 2, 4: 2})
+
+
+def test_ohlc_picks_by_time_not_value(spark):
+    rows = [
+        (1, d("2024-01-01 10:05:00"), "view", 5.0),
+        (1, d("2024-01-01 10:01:00"), "view", 9.0),   # earliest -> open
+        (1, d("2024-01-01 10:50:00"), "view", 2.0),   # latest -> close
+        (1, d("2024-01-01 10:30:00"), "view", 11.0),  # high
+    ]
+    from duckdb_behavioral_spark.functions.reports import hourly_ohlc
+
+    out = hourly_ohlc(ev(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["open"], r["high"], r["low"], r["close"], r["n"]) == (9.0, 11.0, 2.0, 2.0, 4)
+
+
+def test_trend_direction_and_exact_fraction(spark):
+    rows = []
+    # 'view': 1,2,3 events on days 0,1,2 -> slope 1 (num=den)
+    for day, cnt in [(0, 1), (1, 2), (2, 3)]:
+        for i in range(cnt):
+            rows.append((1, d("2024-01-01 00:00:00") + timedelta(days=day, minutes=i), "view", 0.0))
+    # 'click': 3,1 on days 0,1 -> down
+    for day, cnt in [(0, 3), (1, 1)]:
+        for i in range(cnt):
+            rows.append((1, d("2024-01-01 00:00:00") + timedelta(days=day, minutes=i), "click", 0.0))
+    from duckdb_behavioral_spark.functions.reports import daily_trend
+
+    out = {r["event_type"]: r for r in daily_trend(ev(spark, rows)).collect()}
+    v = out["view"]
+    assert v["trend"] == "up" and v["slope_num"] / v["slope_den"] == 1.0
+    assert out["click"]["trend"] == "down"
