@@ -59,9 +59,16 @@ def session_concurrency(sessions: DataFrame) -> DataFrame:
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the INCLUSIVE (closed-interval) concurrency at a row's instant:
+    # after this hour-prefix, sessions ending exactly here still count,
+    # so a -1 row's pre-decrement value is run + 1. Without this, an
+    # hour containing only session ENDS reports the post-decrement
+    # count and misses its true peak (caught by the randomized
+    # brute-force cross-check).
+    incl = F.col("run") + F.when(F.col("d") < 0, 1).otherwise(0)
     local = pts.withColumn("run", F.sum("d").over(local_w))
     totals = local.groupBy("hour").agg(
-        F.sum("d").alias("htot"), F.max("run").alias("hmax")
+        F.sum("d").alias("htot"), F.max(incl).alias("hmax")
     )
     carry_w = (
         Window.partitionBy(F.lit(1))
@@ -114,7 +121,9 @@ WITH o AS (
                       ROWS UNBOUNDED PRECEDING) AS run
   FROM pts
 ), tot AS (
-  SELECT hour, SUM(d) AS htot, MAX(run) AS hmax FROM lr GROUP BY hour
+  SELECT hour, SUM(d) AS htot,
+         MAX(run + CASE WHEN d < 0 THEN 1 ELSE 0 END) AS hmax
+  FROM lr GROUP BY hour
 )
 SELECT hour,
        CAST(COALESCE(SUM(htot) OVER (ORDER BY hour ASC
