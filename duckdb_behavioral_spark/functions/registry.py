@@ -66,6 +66,7 @@ EXT_QUERIES = {
     # cohort / attribution reporting layer
     "cohort_retention": CHT.q_cohort_retention,
     "rolling_active_users": CHT.q_rolling_active,
+    "cohort_funnel": CHT.q_cohort_funnel,
     "attribution_last_touch": AT.q_attribution_last_touch,
     "session_transitions": AT.q_session_transitions,
     "funnel_step_timings": AT.q_funnel_step_timings,
@@ -134,6 +135,7 @@ EXT_ORACLES = {
     "multimodal_wav_decode": M.WAV_DECODE_SQL,
     "cohort_retention": CHT.COHORT_RETENTION_SQL,
     "rolling_active_users": CHT.ROLLING_ACTIVE_SQL,
+    "cohort_funnel": CHT.COHORT_FUNNEL_SQL,
     "attribution_last_touch": AT.ATTRIBUTION_SQL,
     "session_transitions": AT.SESSION_TRANSITIONS_SQL,
     "funnel_step_timings": AT.FUNNEL_TIMINGS_SQL,

@@ -92,10 +92,10 @@ def rolling_active_users(
     actives, and the DAU/WAU stickiness ratio, for each day that has
     any activity.
 
-    The trailing-distinct count is computed by fanning each distinct
-    (user, day) out to the ``window_days`` days it stays visible for,
-    then de-duplicating — shuffle volume is ``window_days`` x the
-    distinct-pair count, independent of raw event volume.
+    The trailing-distinct count comes from run-compressed interval
+    sweeping (see the inline steps below), not a per-day fan-out:
+    shuffle volume is two pair-level exchanges regardless of
+    ``window_days``.
     """
     day = F.date_trunc("day", F.col(ts))
     pairs = (
@@ -251,4 +251,93 @@ WITH pairs AS (
 SELECT t AS day, dau, CAST(wau AS BIGINT) AS wau,
        CAST(dau AS DOUBLE) / wau AS stickiness
 FROM merged WHERE is_c = 0
+"""
+
+
+# --- cohort x funnel overlay ----------------------------------------------
+
+_H1_US = 3_600 * 1_000_000
+
+
+def q_cohort_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion BY signup cohort — the overlay report every
+    growth team builds: for each first-signup-week cohort, how far its
+    users get through view->click->purchase (1h window).
+
+    Shape: the funnel (one user_id exchange, window DP) and the cohort
+    anchor (conditional-min aggregate on the SAME user_id key) join
+    co-partitioned — AQE plans the join without a third exchange of
+    the big side; the per-cohort rollup is calendar-sized. Conversion
+    pcts are single integer/integer divisions.
+    """
+    import duckdb_behavioral_spark as B
+    from duckdb_behavioral_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir)
+    wf = B.window_funnel(
+        ev, "1 hour", "ts",
+        ["event_type = 'view'", "event_type = 'click'", "event_type = 'purchase'"],
+        ["user_id"],
+    )
+    cohort = (
+        ev.where((F.col("event_type") == "signup") & F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week"))
+    )
+    return (
+        cohort.join(wf, "user_id")
+        .groupBy("cohort_week")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.when(F.col("step") >= 1, 1).otherwise(0)).alias("n_step1"),
+            F.sum(F.when(F.col("step") >= 2, 1).otherwise(0)).alias("n_step2"),
+            F.sum(F.when(F.col("step") >= 3, 1).otherwise(0)).alias("n_step3"),
+        )
+        .select(
+            "cohort_week",
+            "n_users",
+            "n_step1",
+            "n_step2",
+            "n_step3",
+            (F.col("n_step3") / F.col("n_users")).alias("conversion_pct"),
+        )
+    )
+
+
+COHORT_FUNNEL_SQL = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+s1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+s2 AS (SELECT DISTINCT a.user_id
+       FROM e a JOIN e b ON a.user_id = b.user_id
+       WHERE a.event_type = 'view' AND b.event_type = 'click'
+         AND b.t > a.t AND b.t - a.t <= {_H1_US}),
+s3 AS (SELECT DISTINCT a.user_id
+       FROM e a JOIN e b ON a.user_id = b.user_id
+                JOIN e c ON b.user_id = c.user_id
+       WHERE a.event_type = 'view' AND b.event_type = 'click'
+         AND c.event_type = 'purchase'
+         AND b.t > a.t AND c.t > b.t AND c.t - a.t <= {_H1_US}),
+wf AS (
+  SELECT u.user_id,
+         CASE WHEN s3.user_id IS NOT NULL THEN 3
+              WHEN s2.user_id IS NOT NULL THEN 2
+              WHEN s1.user_id IS NOT NULL THEN 1
+              ELSE 0 END AS step
+  FROM (SELECT DISTINCT user_id FROM events) u
+  LEFT JOIN s1 ON u.user_id = s1.user_id
+  LEFT JOIN s2 ON u.user_id = s2.user_id
+  LEFT JOIN s3 ON u.user_id = s3.user_id
+), cohort AS (
+  SELECT user_id, MIN(CAST(date_trunc('week', ts) AS TIMESTAMP)) AS cohort_week
+  FROM events WHERE event_type = 'signup' AND ts IS NOT NULL
+  GROUP BY user_id
+)
+SELECT cohort_week, COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN step >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_step1,
+       CAST(SUM(CASE WHEN step >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_step2,
+       CAST(SUM(CASE WHEN step >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_step3,
+       CAST(SUM(CASE WHEN step >= 3 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS conversion_pct
+FROM cohort JOIN wf USING (user_id)
+GROUP BY cohort_week
 """
