@@ -18,6 +18,14 @@ streaming mapInPandas group engine.
 from duckdb_behavioral_spark.intervals import to_micros
 from duckdb_behavioral_spark.operators import (
     asof_join,
+    cohort_retention_matrix,
+    connected_components,
+    funnel_step_timings,
+    last_touch_attribution,
+    pagerank,
+    rolling_active_users,
+    session_concurrency,
+    session_transitions,
     condition_bitmask,
     grouped_scan,
     range_join,
@@ -39,6 +47,14 @@ __version__ = "0.1.0"
 
 __all__ = [
     "behavioral_sql",
+    "cohort_retention_matrix",
+    "rolling_active_users",
+    "last_touch_attribution",
+    "session_transitions",
+    "funnel_step_timings",
+    "session_concurrency",
+    "connected_components",
+    "pagerank",
     "rewrite_behavioral_sql",
     "to_micros",
     "asof_join",
