@@ -144,7 +144,6 @@ def funnel_step_timings(
         Window.unboundedPreceding, Window.currentRow
     )
     cur = base
-    prev_anchor = None
     for i in range(k):
         if i == 0:
             cond = F.col("is0")
@@ -157,7 +156,6 @@ def funnel_step_timings(
             )
         stage_t = F.when(cond, F.col("t"))
         cur = cur.withColumn(f"a{i}r", F.min(stage_t).over(w))
-        prev_anchor = f"a{i}r"
     per_user = cur.groupBy("u").agg(
         *[F.min(F.when(F.col(f"a{i}r").isNotNull(), F.col(f"a{i}r"))).alias(f"t{i}")
           for i in range(k)]
