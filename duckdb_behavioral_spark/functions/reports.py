@@ -217,27 +217,37 @@ def hourly_ohlc(
     ts: str = "ts",
     type_col: str = "event_type",
     value_col: str = "value",
+    tiebreak_col: str = "event_id",
 ) -> DataFrame:
     """(event_type, hour, open, high, low, close, n): per-hour OHLC
     bars of the event value — the time-series downsampling shape.
 
-    open/close are ``min_by``/``max_by`` on the timestamp (ties
-    impossible: per-user timestamps are unique and values ride along);
-    the four picks + count compute in ONE grouped aggregation with
-    map-side partials — no window, no sort, one exchange on the
-    (type, hour) key. min_by/max_by mirror DuckDB's arg_min/arg_max
-    exactly; no arithmetic touches the doubles, so hashes match.
+    open/close are ``min_by``/``max_by`` on a zero-padded
+    ``(epoch_us, tiebreak)`` string key: current testdata timestamps
+    are globally unique, but the data regenerates per round, and a
+    bare-timestamp arg pick is NONDETERMINISTIC under ties — the
+    composite key stays deterministic for any input. (A struct order
+    key would avoid the string build, but DuckDB's arg_min only
+    accepts scalar orderables.) The four picks + count compute in ONE
+    grouped aggregation with map-side partials — no window, no sort,
+    one exchange on the (type, hour) key.
     """
     hour = F.date_trunc("hour", event_time(ts))
     v = F.col(value_col)
+    tb = (
+        F.col(tiebreak_col)
+        if tiebreak_col in events.columns
+        else F.lit(0)  # no tiebreak column: caller warrants unique ts
+    )
+    key = F.format_string("%020d%012d", F.unix_micros(event_time(ts)), tb)
     return (
         events.where(F.col(ts).isNotNull() & v.isNotNull())
         .groupBy(F.col(type_col).alias("event_type"), hour.alias("hour"))
         .agg(
-            F.min_by(v, F.col(ts)).alias("open"),
+            F.min_by(v, key).alias("open"),
             F.max(v).alias("high"),
             F.min(v).alias("low"),
-            F.max_by(v, F.col(ts)).alias("close"),
+            F.max_by(v, key).alias("close"),
             F.count("*").alias("n"),
         )
     )
@@ -293,9 +303,9 @@ def q_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HOURLY_OHLC_SQL = """
 SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
-       arg_min(value, ts) AS open,
+       arg_min(value, printf('%020d%012d', epoch_us(ts), event_id)) AS open,
        MAX(value) AS high, MIN(value) AS low,
-       arg_max(value, ts) AS close,
+       arg_max(value, printf('%020d%012d', epoch_us(ts), event_id)) AS close,
        COUNT(*) AS n
 FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
 GROUP BY event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP)
