@@ -41,11 +41,14 @@ from duckdb_behavioral_spark.operators import (
     sessionize_col,
     window_funnel,
 )
+from duckdb_behavioral_spark.plans import assert_scalable, audit_plan
 from duckdb_behavioral_spark.sql_surface import behavioral_sql, rewrite_behavioral_sql
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "audit_plan",
+    "assert_scalable",
     "behavioral_sql",
     "cohort_retention_matrix",
     "rolling_active_users",

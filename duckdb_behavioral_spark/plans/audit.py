@@ -1,0 +1,120 @@
+"""Physical-plan audit: flag the anti-patterns that kill a query at
+100 TB before it ever runs there.
+
+tests/test_plans.py pins the plan shape of individual declared
+queries; this module makes the same checks available to USERS as a
+library call — run ``assert_scalable(df)`` in CI against your own
+compositions and catch regressions the moment a refactor introduces
+them:
+
+- **CartesianProduct / BroadcastNestedLoopJoin** — the planner's
+  fallback for non-equi or mis-hinted joins; O(n*m) and the single
+  most common cause of "worked at sf0.01, died in prod".
+- **Row-at-a-time Python UDFs** (``BatchEvalPython``) — serialize the
+  hot path through pickle one row at a time; Arrow-batched pandas
+  UDFs (``ArrowEvalPython``) are reported separately since they're
+  the sanctioned escape hatch.
+- **Single-partition exchanges** (``Exchange SinglePartition``) —
+  a serial stage; fine for calendar-sized inputs (the sweep carry-in
+  pattern), fatal when fed raw rows. Reported with a count so callers
+  decide.
+- **Exchange count** — each is a shuffle; the audit reports the
+  number so tests can pin "this operator shuffles once".
+- **Unpruned scans** — scans whose ReadSchema carries more columns
+  than a threshold suggest a missing select/column-pruning barrier.
+
+String-parsing the executed plan is deliberate: it works on any
+DataFrame without private APIs, and the node names asserted here are
+stable across the Spark 3.x/4.x line.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+__all__ = ["audit_plan", "assert_scalable", "PlanReport", "PlanAuditError"]
+
+
+class PlanAuditError(RuntimeError):
+    """A scale anti-pattern was found in the physical plan."""
+
+
+@dataclass
+class PlanReport:
+    exchanges: int = 0
+    single_partition_exchanges: int = 0
+    cartesian_products: int = 0
+    broadcast_nested_loop_joins: int = 0
+    broadcast_cross_joins: int = 0  # explicit crossJoin(broadcast(...)): scalar attach
+    python_row_udfs: int = 0
+    arrow_python_evals: int = 0
+    sort_merge_joins: int = 0
+    broadcast_hash_joins: int = 0
+    scans: list = field(default_factory=list)  # [(format, n_columns)]
+    plan: str = ""
+
+    @property
+    def scale_killers(self) -> list[str]:
+        out = []
+        if self.cartesian_products:
+            out.append(f"{self.cartesian_products}x CartesianProduct")
+        if self.broadcast_nested_loop_joins:
+            out.append(
+                f"{self.broadcast_nested_loop_joins}x BroadcastNestedLoopJoin"
+            )
+        if self.python_row_udfs:
+            out.append(f"{self.python_row_udfs}x row-at-a-time Python UDF")
+        return out
+
+
+def audit_plan(df: DataFrame) -> PlanReport:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    r = PlanReport(plan=plan)
+    r.exchanges = plan.count("Exchange hashpartitioning")
+    r.single_partition_exchanges = plan.count("Exchange SinglePartition")
+    r.cartesian_products = plan.count("CartesianProduct")
+    # an EXPLICIT crossJoin(broadcast(tiny)) prints as
+    # "BroadcastNestedLoopJoin ..., Cross" — the standard way to attach
+    # a 1-row aggregate (corpus stats, budgets) to every row, and scale-
+    # safe when the build side is tiny. The FALLBACK for a non-equi
+    # join prints a join condition ("..., Inner, (a < b)") — that one
+    # is the killer. Count them separately.
+    bnl_all = re.findall(r"BroadcastNestedLoopJoin[^\n]*", plan)
+    r.broadcast_cross_joins = sum(1 for x in bnl_all if x.rstrip().endswith("Cross"))
+    r.broadcast_nested_loop_joins = len(bnl_all) - r.broadcast_cross_joins
+    r.python_row_udfs = plan.count("BatchEvalPython")
+    r.arrow_python_evals = plan.count("ArrowEvalPython") + plan.count(
+        "MapInPandas"
+    ) + plan.count("FlatMapGroupsInPandas")
+    r.sort_merge_joins = plan.count("SortMergeJoin")
+    r.broadcast_hash_joins = plan.count("BroadcastHashJoin")
+    for m in re.finditer(r"(?:Scan|FileScan) (\w+).*?ReadSchema: struct<([^>]*)>", plan):
+        cols = [c for c in m.group(2).split(",") if ":" in c]
+        r.scans.append((m.group(1), len(cols)))
+    return r
+
+
+def assert_scalable(
+    df: DataFrame,
+    max_exchanges: int | None = None,
+    allow_single_partition: bool = True,
+    allow_arrow_python: bool = True,
+) -> PlanReport:
+    """Raise :class:`PlanAuditError` when the plan carries a scale
+    killer; return the report otherwise."""
+    r = audit_plan(df)
+    problems = list(r.scale_killers)
+    if not allow_arrow_python and r.arrow_python_evals:
+        problems.append(f"{r.arrow_python_evals}x Arrow Python eval")
+    if not allow_single_partition and r.single_partition_exchanges:
+        problems.append(
+            f"{r.single_partition_exchanges}x Exchange SinglePartition"
+        )
+    if max_exchanges is not None and r.exchanges > max_exchanges:
+        problems.append(f"{r.exchanges} exchanges > budget {max_exchanges}")
+    if problems:
+        raise PlanAuditError("; ".join(problems))
+    return r

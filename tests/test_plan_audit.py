@@ -1,0 +1,95 @@
+"""plans.audit: the user-facing scale linter must catch exactly the
+anti-patterns the declared queries avoid."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_behavioral_spark.plans import (
+    PlanAuditError,
+    assert_scalable,
+    audit_plan,
+)
+
+
+def test_clean_aggregation_passes(spark):
+    df = (
+        spark.range(1000)
+        .groupBy((F.col("id") % 10).alias("k"))
+        .agg(F.count("*").alias("n"))
+    )
+    r = assert_scalable(df, max_exchanges=1)
+    assert r.exchanges == 1 and not r.scale_killers
+
+
+def test_cartesian_flagged(spark):
+    # both sides above the broadcast threshold -> CartesianProduct
+    a = spark.range(3_000_000)
+    b = spark.range(3_000_000).withColumnRenamed("id", "jd")
+    bad = a.crossJoin(b)
+    with pytest.raises(PlanAuditError, match="Cartesian|NestedLoop"):
+        assert_scalable(bad)
+
+
+def test_tiny_broadcast_cross_is_sanctioned(spark):
+    # the scalar-attach idiom: crossJoin(broadcast(1-row agg))
+    meta = spark.range(100).agg(F.count("*").alias("n"))
+    ok = spark.range(100).crossJoin(F.broadcast(meta))
+    r = assert_scalable(ok)
+    assert r.broadcast_cross_joins == 1 and not r.scale_killers
+
+
+def test_non_equi_join_flagged_as_bnl(spark):
+    a = spark.range(100)
+    b = spark.range(100).withColumnRenamed("id", "jd")
+    bad = a.join(b, a["id"] < b["jd"])
+    with pytest.raises(PlanAuditError, match="NestedLoop|Cartesian"):
+        assert_scalable(bad)
+
+
+def test_row_python_udf_flagged_but_arrow_allowed(spark):
+    from pyspark.sql.functions import pandas_udf, udf
+
+    slow = udf(lambda x: x + 1, "bigint")
+    bad = spark.range(100).select(slow("id").alias("y"))
+    with pytest.raises(PlanAuditError, match="row-at-a-time"):
+        assert_scalable(bad)
+
+    @pandas_udf("long")
+    def fast(s):
+        return s + 1
+
+    ok = spark.range(100).select(fast("id").alias("y"))
+    r = assert_scalable(ok)  # Arrow path sanctioned by default
+    assert r.arrow_python_evals >= 1
+
+
+def test_exchange_budget_enforced(spark):
+    df = (
+        spark.range(1000)
+        .groupBy((F.col("id") % 10).alias("k"))
+        .agg(F.count("*").alias("n"))
+        .groupBy((F.col("k") % 3).alias("j"))
+        .agg(F.sum("n").alias("s"))
+    )
+    with pytest.raises(PlanAuditError, match="exchanges > budget"):
+        assert_scalable(df, max_exchanges=1)
+
+
+def test_declared_queries_have_no_scale_killers(spark, sf_dir):
+    # the audit run over a representative slice of the declared suite
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    for name in ("q1_sessionize", "q3_window_funnel", "cohort_retention",
+                 "attribution_last_touch", "search_bm25_topk", "mix_corpus",
+                 "dedup_minhash_pairs", "session_concurrency",
+                 "tpch_q5_region_revenue"):
+        r = audit_plan(qs[name](spark, sf_dir))
+        assert not r.scale_killers, f"{name}: {r.scale_killers}"
+
+
+def test_scan_column_counts_reported(spark, sf_dir):
+    from duckdb_behavioral_spark.queries import q1_sessionize
+
+    r = audit_plan(q1_sessionize(spark, sf_dir))
+    assert r.scans and all(n <= 2 for _, n in r.scans)  # ts + user_id only
