@@ -17,6 +17,7 @@ def all_queries():
         from duckdb_behavioral_spark.streaming.parity import (
             streaming_cms_parity,
             streaming_dedup_parity,
+            streaming_rollup_parity,
             streaming_funnel_parity,
             streaming_minhash_parity,
             streaming_sessionize_parity,
@@ -27,6 +28,7 @@ def all_queries():
         out["streaming_sessionize_parity"] = streaming_sessionize_parity
         out["streaming_minhash_parity"] = streaming_minhash_parity
         out["streaming_cms_parity"] = streaming_cms_parity
+        out["streaming_rollup_parity"] = streaming_rollup_parity
     except ImportError:
         pass
     return out
@@ -50,4 +52,5 @@ def all_oracles():
     from duckdb_behavioral_spark.functions.cms import CMS_SKETCH_SQL
 
     out["streaming_cms_parity"] = CMS_SKETCH_SQL
+    out["streaming_rollup_parity"] = out.get("events_hourly_rollup")
     return out

@@ -321,3 +321,75 @@ def streaming_cms_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         return got
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def streaming_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARED query: replay events as 4 time-ordered micro-batches
+    through the watermarked tumbling rollup (``hourly_rollup_stream``,
+    append mode — a window is emitted once, only after the watermark
+    finalizes it) and compare the finalized windows against the BATCH
+    hourly-rollup oracle. Two far-future sentinel batches advance the
+    watermark past every real window (the second matters because
+    eviction uses the previous batch's watermark); sentinel windows
+    are dropped by their start time.
+
+    Time-quantile chunking means no real event arrives behind the
+    watermark, so append-mode finalization must lose NOTHING — the
+    gate proves both the window math and the no-false-drop property.
+    """
+    from datetime import timedelta
+
+    from pyspark.sql import Window
+
+    from duckdb_behavioral_spark.sources import load_events
+    from duckdb_behavioral_spark.streaming.rollup import hourly_rollup_stream
+
+    ev = load_events(spark, sf_dir).select("ts", "event_type")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sentinels = [max_ts + timedelta(days=d) for d in (1, 2)]
+
+    src = tempfile.mkdtemp(prefix="sg_roll_src_")
+    try:
+        chunked = ev.withColumn("__chunk", F.ntile(N_CHUNKS).over(Window.orderBy("ts")))
+        for i in range(1, N_CHUNKS + 1):
+            (chunked.where(F.col("__chunk") == i).drop("__chunk")
+             .coalesce(1).write.mode("append").parquet(src))
+        for s in sentinels:
+            spark.createDataFrame([(s, "__sentinel__")], "ts timestamp, event_type string") \
+                .coalesce(1).write.mode("append").parquet(src)
+
+        stream = spark.readStream.schema("ts timestamp, event_type string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+
+        rows: list = []
+
+        def fold_batch(bdf: DataFrame, _epoch: int) -> None:
+            rows.extend(
+                (r["window_start"], r["event_type"], int(r["n"]))
+                for r in bdf.collect()
+            )
+
+        q = (
+            hourly_rollup_stream(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(fold_batch)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = spark.createDataFrame(
+            rows or [(None, None, None)],
+            "hour timestamp, event_type string, n long",
+        )
+        if not rows:
+            got = got.where(F.lit(False))
+        return got.where(
+            (F.col("event_type") != "__sentinel__")
+            & (F.col("hour") < F.lit(sentinels[0]))
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
