@@ -126,6 +126,8 @@ WITH base AS (
                                ROWS UNBOUNDED PRECEDING) AS cum_tokens
   FROM base b JOIN budgets g USING (source)
 )
-SELECT doc_id, source, n_tokens, cum_tokens, src_budget
+SELECT doc_id, source, n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST(src_budget AS BIGINT) AS src_budget
 FROM ranked WHERE cum_tokens - n_tokens < src_budget
 """

@@ -1,6 +1,74 @@
-"""Aggregated query/oracle registry across all modules."""
+"""Aggregated query/oracle registry across all modules.
+
+Ordering matters: the driver's correctness gate checks the FIRST 50
+entries of ``queries()`` (insertion order). Rounds 1-3 ordered
+core-first, so 36 declared queries (streaming parity gates, TPC-H,
+the reporting layer, capstones) never received a driver row.
+``DRIVER_PRIORITY`` rotates them into the checked window for round 4;
+q1-q18 and the text/dedup/ann families have three rounds of green
+history and ride local parity (tests/test_oracle_parity.py) this round.
+"""
 
 from __future__ import annotations
+
+# First-50 priority for the driver's correctness window. Order:
+# 1) the 36 queries never driver-checked in rounds 1-3,
+# 2) mix_corpus (round-3 red row - oracle HUGEINT cast fixed, needs
+#    its green row) and q17 (rewritten this round - distributed
+#    quantiles), then the remainder in legacy order fills slot 39-50.
+DRIVER_PRIORITY = [
+    # streaming parity gates (6)
+    "streaming_funnel_parity",
+    "streaming_dedup_parity",
+    "streaming_sessionize_parity",
+    "streaming_minhash_parity",
+    "streaming_cms_parity",
+    "streaming_rollup_parity",
+    # host-surface compositions / TPC-H / capstones (14)
+    "tpch_pricing_flags",
+    "orders_by_nation",
+    "tpch_q3_topk",
+    "tpch_q5_region_revenue",
+    "events_hourly_rollup",
+    "events_rollup_cube",
+    "events_type_pivot",
+    "users_setops",
+    "events_props_json",
+    "retention_report",
+    "retention_report_salted",
+    "events_pct_of_total",
+    "training_set_select",
+    "training_pipeline_pack",
+    # reporting layer (4)
+    "events_hourly_anomaly",
+    "user_rfm_segments",
+    "events_hourly_ohlc",
+    "events_daily_trend",
+    # cohorts / attribution / concurrency / graph (7)
+    "rolling_active_users",
+    "cohort_funnel",
+    "attribution_last_touch",
+    "session_transitions",
+    "funnel_step_timings",
+    "session_concurrency",
+    "transition_pagerank",
+    # search / passage dedup / CMS (3)
+    "search_bm25_topk",
+    "dedup_passage",
+    "sketch_cms_heavy_hitters",
+    # temporal joins (2)
+    "asof_view_before_purchase",
+    "range_views_after_error",
+    # round-4 re-checks (2)
+    "mix_corpus",
+    "q17_session_quantiles",
+]
+
+
+def _prioritized(d):
+    out = {k: d[k] for k in DRIVER_PRIORITY if k in d}
+    out.update({k: v for k, v in d.items() if k not in out})
+    return out
 
 
 def all_queries():
@@ -31,7 +99,7 @@ def all_queries():
         out["streaming_rollup_parity"] = streaming_rollup_parity
     except ImportError:
         pass
-    return out
+    return _prioritized(out)
 
 
 def all_oracles():
@@ -53,4 +121,4 @@ def all_oracles():
 
     out["streaming_cms_parity"] = CMS_SKETCH_SQL
     out["streaming_rollup_parity"] = out.get("events_hourly_rollup")
-    return out
+    return _prioritized(out)
