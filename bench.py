@@ -94,17 +94,26 @@ def main() -> int:
         drop_persisted()
 
     total = round(sum(per_query.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "behavioral_suite_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "behavioral_suite_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }
+    print(json.dumps(payload))
+    # the driver's BENCH_r{N}.json keeps only a truncated tail of
+    # stdout; persist the full per-query dict so round-over-round
+    # regressions stay diagnosable
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_full.json"),
+            "w",
+        ) as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
     spark.stop()
     return 0
 

@@ -87,6 +87,29 @@ def shingles3(toks: Column) -> Column:
     )
 
 
+def word_grams_indexed(toks_attr: Column, n: int) -> Column:
+    """All word n-grams from a MATERIALIZED token-array column.
+
+    ``transform(sequence(1, sz-n+1), i -> concat_ws(' ',
+    element_at(toks, i), ..., element_at(toks, i+n-1)))`` — one output
+    string per shingle, no intermediate 2..n-1-gram arrays (the
+    shifted-zip_with construction in ``word_grams`` allocates n-1 full
+    intermediate arrays; measured 2.3x slower on the sf0.1 passage
+    stage). The caller MUST pass a bound attribute (project the split
+    into a column first): with a raw expression argument, interpreted
+    HOF evaluation re-computes the expression once per element — the
+    exact trap ``word_grams``'s shifted-array form exists to avoid.
+    """
+    sz = F.size(toks_attr)
+    grams = F.transform(
+        F.sequence(F.lit(1), sz - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks_attr, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(sz >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
 def word_grams(toks: Column, n: int) -> Column:
     """All word n-grams in order, duplicates kept; empty when < n tokens.
 

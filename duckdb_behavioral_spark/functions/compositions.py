@@ -565,12 +565,13 @@ def q_tpch_q3_topk(spark, sf_dir):
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(rev.cast("double").alias("revenue"))
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
-    return (
-        agg.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= Q3_TOP)
-        .select("rank", "l_orderkey", "o_orderdate", "o_orderpriority", "revenue")
-    )
+    from duckdb_behavioral_spark.functions.topk import ranked_topk
+
+    # top-10 via TakeOrderedAndProject — no global sort of the
+    # per-order aggregate
+    return ranked_topk(
+        agg, [F.col("revenue").desc(), F.col("l_orderkey").asc()], Q3_TOP
+    ).select("rank", "l_orderkey", "o_orderdate", "o_orderpriority", "revenue")
 
 
 TPCH_Q3_SQL = f"""

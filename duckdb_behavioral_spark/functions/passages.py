@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from duckdb_behavioral_spark.functions.common import spread, word_grams
+from duckdb_behavioral_spark.functions.common import spread, word_grams_indexed
 
 __all__ = ["passage_dup_stats"]
 
@@ -45,21 +45,30 @@ def passage_dup_stats(
     """(doc_id, n_passages, n_dup_passages, dup_ratio) for every doc
     with at least ``SHINGLE_W`` tokens and >=1 passage shared with
     another document. Passages are distinct-per-doc word 8-grams
-    (``word_grams``: shifted-array zip_with, so the interpreted HOF
-    never re-splits the document per shingle); dup_ratio =
-    n_dup/n_passages (single int/int division)."""
+    built by ``word_grams_indexed`` over a materialized token array
+    (one string per shingle, no intermediate k-gram arrays);
+    dup_ratio = n_dup/n_passages (single int/int division).
+
+    ``pairs`` feeds BOTH the per-shingle doc count and the join back,
+    so it is lazily checkpointed — without the barrier the whole
+    explode+md5+distinct subtree runs twice."""
     toks = F.split(F.col(text), " ")
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit("psg:"), F.col("sh"))), 1, 12), 16, 10
     ).cast("long")
+    base = (
+        spread(docs, id_col)
+        .where(F.size(toks) >= SHINGLE_W)
+        .select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+    )
     pairs = (
-        spread(docs, id_col).where(F.size(toks) >= SHINGLE_W)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(word_grams(toks, SHINGLE_W)).alias("sh"),
+        base.select(
+            "doc_id",
+            F.explode(word_grams_indexed(F.col("__toks"), SHINGLE_W)).alias("sh"),
         )
         .select("doc_id", h.alias("hs"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     per_sh = pairs.groupBy("hs").agg(F.count("*").alias("n_docs"))
     joined = pairs.join(per_sh, "hs")

@@ -10,10 +10,13 @@ test is algebraically squared instead:
     var      = (n*sumsq - sum²)/n² -> V = n*sumsq - sum²  (integer)
     |z| > 3  <=>  D² > 9·V·... :  D²/n² / (V/n²) = D²/V  -> D² > 9·V
 
-so the flag and the reported ``z_sq_permille = 1000·D² / V`` are
-exact BIGINT operations, hash-identical in any engine. (Counts are
-hourly event volumes: D ≤ ~n·max_count keeps everything far below
-int64.)
+D and V are exact BIGINTs; the squared comparison and the reported
+``z_sq_permille = floor(1000 * (D*D / V))`` then run in DOUBLE with
+the SAME parenthesization on both engines — IEEE ops are bit-
+deterministic, and the double form can't silently wrap the way
+``D*D*1000`` in int64 would once hourly volumes push D past ~3e6
+(DuckDB would keep exact HUGEINT there and the engines would
+diverge exactly at the interesting spikes).
 
 RFM's monetary sum is a float sum — summation order differs across
 engines — so it runs as ``SUM(CAST(value AS DECIMAL(30,10)))``:
@@ -23,9 +26,15 @@ end. Same device as the k-means mean updates
 (functions/similarity.py).
 
 Scale shapes: one groupBy each (hour-grain rollup is tiny; per-user
-RFM shuffles once on user_id); the segment quantile thresholds come
-from ntile windows over the small per-user aggregate, with
-deterministic (metric, user_id) tie-breaks so ranks are reproducible.
+RFM shuffles once on user_id). The quartile scores replicate
+``ntile(4) OVER (ORDER BY metric, user_id)`` WITHOUT a global sort of
+the per-user table: for each metric the three ntile boundary ranks
+``b_i = i*(n DIV 4) + LEAST(i, n MOD 4)`` are rank-SELECTED with the
+distributed two-pass machinery in operators/rank_select.py, folded to
+a 1-row broadcast of cut (metric, user_id) pairs, and each user's
+quartile is ``1 + #cuts strictly before it`` in the same total order
+— identical to ntile by construction (ranks are unique because
+user_id tie-breaks). The oracle keeps the single-node ntile form.
 """
 
 from __future__ import annotations
@@ -68,12 +77,24 @@ def hourly_anomalies(
             D.alias("__d"),
             V.alias("__v"),
         )
-        .where((F.col("__v") > 0) & (F.col("__d") * F.col("__d") > Z_SQ_THRESHOLD * F.col("__v")))
+        .where(
+            (F.col("__v") > 0)
+            & (
+                F.col("__d").cast("double") * F.col("__d").cast("double")
+                > F.lit(float(Z_SQ_THRESHOLD)) * F.col("__v").cast("double")
+            )
+        )
         .select(
             "event_type",
             "hour",
             "n_events",
-            F.floor(F.col("__d") * F.col("__d") * 1000 / F.col("__v"))
+            F.floor(
+                F.lit(1000.0)
+                * (
+                    F.col("__d").cast("double") * F.col("__d").cast("double")
+                    / F.col("__v").cast("double")
+                )
+            )
             .cast("long")
             .alias("z_sq_permille"),
         )
@@ -119,29 +140,83 @@ def user_rfm(
         .alias("recency_days"),
         "frequency",
         F.col("__mon").cast("double").alias("monetary"),
-    )
+    ).localCheckpoint(eager=False)  # consumed by 3 rank passes + final join
     # quartiles: recency LOWER is better -> rank ascending then invert
-    r4 = F.ntile(4).over(
-        Window.orderBy(F.col("recency_days").asc(), F.col("user_id").asc())
-    )
-    f4 = F.ntile(4).over(
-        Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
-    )
-    m4 = F.ntile(4).over(
-        Window.orderBy(F.col("monetary").desc(), F.col("user_id").asc())
-    )
-    return base.select(
+    scored = base
+    for metric, ascending in (
+        ("recency_days", True),
+        ("frequency", False),
+        ("monetary", False),
+    ):
+        cuts = _ntile4_cuts(base, metric, ascending)
+        scored = scored.crossJoin(F.broadcast(cuts)).withColumn(
+            f"__q_{metric}", _quartile_of(metric, ascending)
+        ).drop("c1m", "c1u", "c2m", "c2u", "c3m", "c3u")
+    return scored.select(
         "user_id",
         "recency_days",
         "frequency",
         "monetary",
-        (F.lit(5) - r4).cast("long").alias("r"),
-        (F.lit(5) - f4).cast("long").alias("f"),
-        (F.lit(5) - m4).cast("long").alias("m"),
+        (F.lit(5) - F.col("__q_recency_days")).cast("long").alias("r"),
+        (F.lit(5) - F.col("__q_frequency")).cast("long").alias("f"),
+        (F.lit(5) - F.col("__q_monetary")).cast("long").alias("m"),
     ).withColumn(
         "segment",
         F.concat_ws("-", F.col("r"), F.col("f"), F.col("m")),
     )
+
+
+def _ntile4_cuts(base: DataFrame, metric: str, ascending: bool) -> DataFrame:
+    """1-row (c1m, c1u, c2m, c2u, c3m, c3u): the (metric, user_id)
+    pairs sitting at the three ntile(4) boundary ranks under
+    (metric asc|desc, user_id asc) — rank-selected distributed, no
+    global sort (operators/rank_select.py)."""
+    from duckdb_behavioral_spark.operators.rank_select import with_global_rank
+
+    key = [
+        F.col(metric).asc() if ascending else F.col(metric).desc(),
+        F.col("user_id").asc(),
+    ]
+    ranked = with_global_rank(base.select("user_id", metric), key)
+
+    def b(i: int):
+        # ntile(4) boundary: first (n MOD 4) buckets hold n DIV 4 + 1
+        return (
+            F.lit(i) * F.expr("__n DIV 4") + F.least(F.lit(i), F.expr("__n % 4"))
+        ).cast("long")
+
+    is_cut = (
+        (F.col("__grank") == b(1))
+        | (F.col("__grank") == b(2))
+        | (F.col("__grank") == b(3))
+    )
+    return ranked.where(is_cut).agg(
+        *[
+            c
+            for i in (1, 2, 3)
+            for c in (
+                F.max(F.when(F.col("__grank") == b(i), F.col(metric))).alias(
+                    f"c{i}m"
+                ),
+                F.max(F.when(F.col("__grank") == b(i), F.col("user_id"))).alias(
+                    f"c{i}u"
+                ),
+            )
+        ]
+    )
+
+
+def _quartile_of(metric: str, ascending: bool):
+    """ntile(4) bucket = 1 + #boundary cuts strictly before this row
+    in the (metric, user_id) total order."""
+    m, u = F.col(metric), F.col("user_id")
+
+    def after(i: int):
+        cm, cu = F.col(f"c{i}m"), F.col(f"c{i}u")
+        beyond = (m > cm) if ascending else (m < cm)
+        return F.when(beyond | ((m == cm) & (u > cu)), 1).otherwise(0)
+
+    return (F.lit(1) + after(1) + after(2) + after(3)).cast("long")
 
 
 # --- declared queries -----------------------------------------------------
@@ -174,8 +249,11 @@ WITH hourly AS (
   FROM hourly
 )
 SELECT event_type, hour, n_events,
-       CAST(FLOOR(d * d * 1000 / v) AS BIGINT) AS z_sq_permille
-FROM st WHERE v > 0 AND d * d > {Z_SQ_THRESHOLD} * v
+       CAST(FLOOR(1000.0 * (CAST(d AS DOUBLE) * CAST(d AS DOUBLE)
+                            / CAST(v AS DOUBLE))) AS BIGINT) AS z_sq_permille
+FROM st WHERE v > 0
+  AND CAST(d AS DOUBLE) * CAST(d AS DOUBLE)
+        > {float(Z_SQ_THRESHOLD)} * CAST(v AS DOUBLE)
 """
 
 

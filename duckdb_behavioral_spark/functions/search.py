@@ -107,7 +107,8 @@ def bm25_topk(
     dl_w = F.sum("tf").over(Window.partitionBy("doc_id"))
     k1, b = F.expr(f"CAST({K1} AS DOUBLE)"), F.expr(f"CAST({B} AS DOUBLE)")
     hits = (
-        tf.withColumn("dl", dl_w.cast("int"))
+        # long, matching the oracle's BIGINT len(string_split(...))
+        tf.withColumn("dl", dl_w.cast("long"))
         .join(broadcast(q), "term")  # prune the corpus to query terms
         .join(broadcast(df_t.join(broadcast(q), "term")), "term")
         .crossJoin(broadcast(meta))
@@ -130,15 +131,15 @@ def bm25_topk(
     score = F.col("w0")
     for i in range(1, len(query_terms)):
         score = score + F.col(f"w{i}")
-    from pyspark.sql import Window
+    from duckdb_behavioral_spark.functions.topk import ranked_topk
 
-    rw = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return (
-        pivot.select("doc_id", "dl", "n_hit_terms", score.alias("score"))
-        .withColumn("rank", F.row_number().over(rw).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("rank", "doc_id", "dl", "n_hit_terms", "score")
-    )
+    # TakeOrderedAndProject top-k — no global rank window over every
+    # doc matching >= 1 query term
+    return ranked_topk(
+        pivot.select("doc_id", "dl", "n_hit_terms", score.alias("score")),
+        [F.col("score").desc(), F.col("doc_id").asc()],
+        k,
+    ).select("rank", "doc_id", "dl", "n_hit_terms", "score")
 
 
 # --- declared query -------------------------------------------------------

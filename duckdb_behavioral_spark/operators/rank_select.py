@@ -1,0 +1,77 @@
+"""Distributed exact global ranks / order statistics.
+
+The one-liner ``row_number() OVER (ORDER BY key)`` is exact but
+serial: every row moves to a single task. This module computes the
+same 1-based global rank with NO unbounded single-partition stage —
+the classic two-pass rank-selection shape (TeraSort's partitioner +
+prefix-sum offsets):
+
+1. **Range-partition** the rows on the sort key
+   (``repartitionByRange`` — Spark samples split points; equal keys
+   always land in the same partition). The result is lazily
+   ``localCheckpoint``-ed: the two consumers below must see the SAME
+   sampled partitioning, and the barrier also stops recomputation.
+2. **Count per partition** (``spark_partition_id``-grain — at most
+   ``num_partitions`` rows), fold the counts into ONE broadcast row
+   holding ``[(pid, cnt), ...]`` and the total ``n``.
+3. **Rank locally**: each row's global rank = (sum of counts of
+   partitions before its own — an ``aggregate`` over the broadcast
+   array) + its ``row_number`` within its partition. The window is
+   partitioned by pid, so the sort is per-partition and parallel.
+
+Every stage is linear and partition-parallel; the only serial data
+structure is the counts array (cluster-sized, not data-sized).
+
+Rank semantics under ties: ``row_number``-style (ties broken
+arbitrarily within a partition), but the VALUE at any target rank is
+well-defined because equal keys are contiguous in the global range
+order — exactly what order-statistic selection (quantiles, ntile cut
+values) needs.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["with_global_rank"]
+
+
+def with_global_rank(
+    df: DataFrame,
+    sort_cols: Sequence[Column],
+    num_partitions: int | None = None,
+    rank_name: str = "__grank",
+    n_name: str = "__n",
+) -> DataFrame:
+    """``df`` + ``rank_name`` (1-based BIGINT global rank under
+    ``sort_cols``) + ``n_name`` (total row count), computed without a
+    global sort. ``sort_cols`` may carry ``.desc()`` orderings."""
+    sort_cols = list(sort_cols)
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    ranged = (
+        df.repartitionByRange(num_partitions, *sort_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    counts = ranged.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    one = counts.agg(
+        F.collect_list(F.struct("__pid", "__cnt")).alias("__arr"),
+        F.coalesce(F.sum("__cnt"), F.lit(0)).cast("long").alias(n_name),
+    )
+    offset = F.aggregate(
+        F.filter("__arr", lambda x: x["__pid"] < F.col("__pid")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x["__cnt"],
+    )
+    local = F.row_number().over(Window.partitionBy("__pid").orderBy(*sort_cols))
+    return (
+        ranged.crossJoin(F.broadcast(one))
+        .withColumn(rank_name, (offset + local).cast("long"))
+        .drop("__pid", "__arr")
+    )

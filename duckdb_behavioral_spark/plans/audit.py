@@ -15,9 +15,15 @@ them:
   UDFs (``ArrowEvalPython``) are reported separately since they're
   the sanctioned escape hatch.
 - **Single-partition exchanges** (``Exchange SinglePartition``) —
-  a serial stage; fine for calendar-sized inputs (the sweep carry-in
-  pattern), fatal when fed raw rows. Reported with a count so callers
-  decide.
+  a serial stage. The audit CLASSIFIES them: an exchange whose child
+  is a ``TakeOrderedAndProject``/limit (carries <= k rows) or a
+  partial global aggregate (``keys=[]`` — carries one partial row per
+  upstream task) is **bounded** and scale-safe; one fed raw data rows
+  (a global sort/window over an unaggregated table) is the killer and
+  is rejected by default. Calendar-grain serial stages (the sweep
+  carry-in pattern) are input-bounded but indistinguishable from raw
+  in the plan string — callers opt in with
+  ``allow_single_partition=True`` and own the cardinality argument.
 - **Exchange count** — each is a shuffle; the audit reports the
   number so tests can pin "this operator shuffles once".
 - **Unpruned scans** — scans whose ReadSchema carries more columns
@@ -45,7 +51,9 @@ class PlanAuditError(RuntimeError):
 @dataclass
 class PlanReport:
     exchanges: int = 0
-    single_partition_exchanges: int = 0
+    single_partition_exchanges: int = 0  # total (bounded + raw)
+    bounded_single_partition_exchanges: int = 0
+    raw_single_partition_exchanges: int = 0
     cartesian_products: int = 0
     broadcast_nested_loop_joins: int = 0
     broadcast_cross_joins: int = 0  # explicit crossJoin(broadcast(...)): scalar attach
@@ -70,11 +78,44 @@ class PlanReport:
         return out
 
 
+# an Exchange SinglePartition is BOUNDED when its child provably emits
+# a bounded row count: a top-k (TakeOrderedAndProject / limit) or the
+# partial half of a global aggregate (keys=[] -> one row per task).
+_BOUNDED_CHILD = re.compile(
+    r"TakeOrderedAndProject|CollectLimit|GlobalLimit|LocalLimit"
+    # a keys=[] NON-FINAL aggregate (partial_* / merge_* for the
+    # distinct-agg rewrite) emits one row per task into the exchange
+    r"|(?:Hash|Sort|ObjectHash)Aggregate\(keys=\[\], functions=\[(?:partial|merge)"
+)
+# lines that wrap rather than define the child node
+_PASSTHROUGH = re.compile(
+    r"InputAdapter|WholeStageCodegen \(|ShuffleQueryStage|AQEShuffleRead"
+    r"|ReusedExchange|== (?:Initial|Final|Current) Plan ==|^[\s:+|-]*$"
+)
+
+
+def _classify_single_partition(lines: list[str], i: int) -> bool:
+    """True when the Exchange SinglePartition at ``lines[i]`` is
+    bounded (child emits <= k rows / one partial row per task)."""
+    for line in lines[i + 1:]:
+        if _PASSTHROUGH.search(line) and not _BOUNDED_CHILD.search(line):
+            continue
+        return bool(_BOUNDED_CHILD.search(line))
+    return False
+
+
 def audit_plan(df: DataFrame) -> PlanReport:
     plan = df._jdf.queryExecution().executedPlan().toString()
     r = PlanReport(plan=plan)
     r.exchanges = plan.count("Exchange hashpartitioning")
     r.single_partition_exchanges = plan.count("Exchange SinglePartition")
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            if _classify_single_partition(lines, i):
+                r.bounded_single_partition_exchanges += 1
+            else:
+                r.raw_single_partition_exchanges += 1
     r.cartesian_products = plan.count("CartesianProduct")
     # an EXPLICIT crossJoin(broadcast(tiny)) prints as
     # "BroadcastNestedLoopJoin ..., Cross" — the standard way to attach
@@ -100,18 +141,23 @@ def audit_plan(df: DataFrame) -> PlanReport:
 def assert_scalable(
     df: DataFrame,
     max_exchanges: int | None = None,
-    allow_single_partition: bool = True,
+    allow_single_partition: bool = False,
     allow_arrow_python: bool = True,
 ) -> PlanReport:
     """Raise :class:`PlanAuditError` when the plan carries a scale
-    killer; return the report otherwise."""
+    killer; return the report otherwise.
+
+    ``allow_single_partition`` governs RAW single-partition exchanges
+    only (global sort/window over unaggregated rows); bounded ones
+    (top-k, global-agg finals) always pass. Default False: opt in only
+    for serial stages whose input you can argue is calendar-sized."""
     r = audit_plan(df)
     problems = list(r.scale_killers)
     if not allow_arrow_python and r.arrow_python_evals:
         problems.append(f"{r.arrow_python_evals}x Arrow Python eval")
-    if not allow_single_partition and r.single_partition_exchanges:
+    if not allow_single_partition and r.raw_single_partition_exchanges:
         problems.append(
-            f"{r.single_partition_exchanges}x Exchange SinglePartition"
+            f"{r.raw_single_partition_exchanges}x raw Exchange SinglePartition"
         )
     if max_exchanges is not None and r.exchanges > max_exchanges:
         problems.append(f"{r.exchanges} exchanges > budget {max_exchanges}")

@@ -92,25 +92,28 @@ FROM s GROUP BY user_id, session_id
 def q17_session_quantiles(spark, sf_dir):
     """Exact session-duration quantiles (p50/p90/p99) by integer rank
     selection: target rank = (n-1)*permille DIV 1000 + 1, picked with
-    a conditional aggregate over row_number. No float interpolation
-    anywhere, so both engines agree bit-for-bit (Spark's `percentile`
-    and DuckDB's `quantile_cont` interpolate with differently-ordered
-    float ops). The rank needs one global sort of SESSION rows (not
-    events) — fine for a stats report; at 100 TB the scale path is
-    `approx_percentile` on the same durations, traded here for an
-    exactly-checkable answer."""
+    a conditional aggregate over the global rank. No float
+    interpolation anywhere, so both engines agree bit-for-bit
+    (Spark's `percentile` and DuckDB's `quantile_cont` interpolate
+    with differently-ordered float ops).
+
+    The global rank comes from operators/rank_select.py's two-pass
+    distributed selection (range-partition + per-partition offsets) —
+    no single-task sort of the session table; the serial state is one
+    cluster-sized counts array. The oracle keeps its single-node
+    row_number formulation (same ranks by construction)."""
+    from duckdb_behavioral_spark.operators.rank_select import with_global_rank
+
     s = q11_session_stats(spark, sf_dir).where(F.col("session_id").isNotNull())
     d = s.select((F.unix_micros("t1") - F.unix_micros("t0")).alias("dur_us"))
-    w = Window.orderBy("dur_us")
-    ranked = d.select(
-        "dur_us",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy(F.lit(1))).alias("n"),
-    )
+    ranked = with_global_rank(d, [F.col("dur_us").asc()])
 
     def pick(pm):
         return F.max(
-            F.when(F.col("rn") == F.expr(f"(n - 1) * {pm} DIV 1000 + 1"), F.col("dur_us"))
+            F.when(
+                F.col("__grank") == F.expr(f"(__n - 1) * {pm} DIV 1000 + 1"),
+                F.col("dur_us"),
+            )
         )
 
     return ranked.agg(
@@ -182,12 +185,11 @@ def q18_session_paths(spark, sf_dir):
     )
     paths = s.groupBy("user_id", "session_id").agg(path.alias("path"))
     counts = paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
-    w = Window.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= PATH_TOP)
-        .select("rank", "path", "n_sessions")
-    )
+    from duckdb_behavioral_spark.functions.topk import ranked_topk
+
+    return ranked_topk(
+        counts, [F.col("n_sessions").desc(), F.col("path").asc()], PATH_TOP
+    ).select("rank", "path", "n_sessions")
 
 
 Q18_SQL = f"""

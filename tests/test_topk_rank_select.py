@@ -1,0 +1,86 @@
+"""Distributed top-k (functions/topk.py) and two-pass global rank
+selection (operators/rank_select.py): exact parity with the serial
+global-sort formulations they replace, including ties, descending
+orders, and ntile(4) boundary arithmetic."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from duckdb_behavioral_spark.functions.topk import ranked_topk
+from duckdb_behavioral_spark.operators.rank_select import with_global_rank
+
+
+def _df(spark, rows, schema="x long, u long"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_ranked_topk_matches_global_sort(spark):
+    rows = [((i * 37) % 50, i) for i in range(500)]
+    df = _df(spark, rows)
+    got = [
+        (r["rank"], r["x"], r["u"])
+        for r in ranked_topk(df, [F.col("x").desc(), F.col("u").asc()], 7)
+        .orderBy("rank")
+        .collect()
+    ]
+    exp = sorted(rows, key=lambda t: (-t[0], t[1]))[:7]
+    assert got == [(i + 1, x, u) for i, (x, u) in enumerate(exp)]
+
+
+def test_ranked_topk_fewer_rows_than_k(spark):
+    df = _df(spark, [(3, 1), (1, 2)])
+    got = ranked_topk(df, [F.col("x").asc(), F.col("u").asc()], 10).collect()
+    assert sorted((r["rank"], r["x"]) for r in got) == [(1, 1), (2, 3)]
+
+
+def test_global_rank_exact_with_ties(spark):
+    # many duplicate keys: equal keys stay in one range partition, so
+    # any rank assignment within a tie run selects the same VALUE
+    rows = [((i * 13) % 7, i) for i in range(1000)]
+    df = _df(spark, rows)
+    g = with_global_rank(df, [F.col("x").asc(), F.col("u").asc()], 8)
+    got = [(r["x"], r["u"]) for r in g.orderBy("__grank").collect()]
+    assert got == sorted(rows)
+    ranks = [r["__grank"] for r in g.orderBy("__grank").collect()]
+    assert ranks == list(range(1, 1001))
+    assert g.select(F.max("__n")).first()[0] == 1000
+
+
+def test_global_rank_descending(spark):
+    rows = [((i * 13) % 101, i) for i in range(300)]
+    g = with_global_rank(
+        _df(spark, rows), [F.col("x").desc(), F.col("u").asc()], 5
+    )
+    got = [(r["x"], r["u"]) for r in g.orderBy("__grank").collect()]
+    assert got == sorted(rows, key=lambda t: (-t[0], t[1]))
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 8, 103])
+def test_rfm_quartiles_match_ntile(spark, n):
+    # the rank-selected cut-value formulation must equal ntile(4)
+    from duckdb_behavioral_spark.functions.reports import (
+        _ntile4_cuts,
+        _quartile_of,
+    )
+
+    rows = [(((i * 29) % 13), i) for i in range(n)]
+    base = spark.createDataFrame(rows, "m long, user_id long")
+    cuts = _ntile4_cuts(base.withColumnRenamed("m", "metric"), "metric", True)
+    got = {
+        r["user_id"]: r["q"]
+        for r in base.withColumnRenamed("m", "metric")
+        .crossJoin(F.broadcast(cuts))
+        .withColumn("q", _quartile_of("metric", True))
+        .collect()
+    }
+    exp = {
+        r["user_id"]: r["q"]
+        for r in base.select(
+            "user_id",
+            F.ntile(4)
+            .over(Window.orderBy(F.col("m").asc(), F.col("user_id").asc()))
+            .alias("q"),
+        ).collect()
+    }
+    assert got == exp
