@@ -30,10 +30,17 @@ other select items — passes through untouched, so the SURVEY §2.4
 statements run verbatim (tests/test_sql_verbatim.py). The rewrite is
 purely lexical over a balanced-paren scan; it does not parse SQL.
 
-Scope notes: ``sessionize … OVER`` is supported in statements whose
-outer query reads ``FROM <identifier>`` (a table or CTE name) — the
-shape every reference test uses. One statement may contain many
-behavioral aggregate calls but at most one sessionize-OVER.
+Scope notes: ``sessionize … OVER`` supports ``FROM <identifier>`` /
+``FROM (subquery)``, each with an optional ``[AS] alias`` (every
+reference test/example shape, plus aliased and inline-subquery
+variants), and a same-scope ``WHERE`` — which the rewrite moves
+INSIDE the lag derived table, because SQL evaluates window functions
+after the WHERE (leaving it outside would let filtered-out rows
+donate ``__prev_ts`` values the reference never sees). ``JOIN`` /
+``GROUP BY`` in the same SELECT raise a ``ValueError`` pointing at
+the CTE workaround rather than silently computing the window over the
+wrong row set. One statement may contain many behavioral aggregate
+calls but at most one sessionize-OVER.
 """
 
 from __future__ import annotations
@@ -352,8 +359,8 @@ def _rewrite_sessionize(sql: str) -> str:
     out = sql[:lo] + expr + sql[mo.end():]
     # push a lag() derived table under the FROM of the SELECT
     # containing the call — the first FROM after the call at the call's
-    # own paren depth (handles top-level, CTE bodies, and both
-    # FROM <identifier> and FROM (subquery) [alias] sources).
+    # own paren depth (handles top-level, CTE bodies, and FROM
+    # <identifier>/<subquery> with an optional alias).
     # Plain lag (no IGNORE NULLS) mirrors operators/sessionize.py:
     # NULL-ts rows sort first in ascending order, so non-NULL rows only
     # ever see non-NULL predecessors and don't split their neighbors.
@@ -370,7 +377,7 @@ def _rewrite_sessionize(sql: str) -> str:
         raise ValueError("sessionize rewrite: could not locate FROM clause")
     src_lo = m.end()
     if out[src_lo] == "(":
-        # balanced subquery + optional [AS] alias [(col, …)]
+        # balanced subquery
         i, depth = src_lo + 1, 1
         while i < len(out) and depth:
             if out[i] == "'":
@@ -381,29 +388,129 @@ def _rewrite_sessionize(sql: str) -> str:
             elif out[i] == ")":
                 depth -= 1
             i += 1
-        alias = re.match(
-            r"\s*(?:AS\s+)?(?P<name>\w+)\s*(?:\(\s*\w+(?:\s*,\s*\w+)*\s*\))?",
-            out[i:],
-            re.IGNORECASE,
-        )
-        if alias and alias.group("name").lower() in (
-            "where", "group", "order", "having", "limit", "union", "qualify",
-            "window", "join", "on", "left", "right", "inner", "cross",
-        ):
-            alias = None  # clause keyword, not an alias
-        src_hi = i + (alias.end() if alias else 0)
+        src_hi = i
     else:
         ident = re.match(r"\w+", out[src_lo:])
         if not ident:
             raise ValueError("sessionize rewrite: could not parse FROM source")
         src_hi = src_lo + ident.end()
-    src = out[src_lo:src_hi]
+    # optional [AS] alias [(col, …)] — kept INSIDE the derived table
+    # (the lag's ts/keys may be alias-qualified) and reattached OUTSIDE
+    # (the statement's other select items may be too)
+    amo = re.match(
+        r"\s*(?:AS\s+)?(?P<name>\w+)\s*(?:\(\s*\w+(?:\s*,\s*\w+)*\s*\))?",
+        out[src_hi:],
+        re.IGNORECASE,
+    )
+    if amo and amo.group("name").lower() in _CLAUSE_KEYWORDS:
+        amo = None  # clause keyword, not an alias
+    alias = out[src_hi: src_hi + amo.end()] if amo else ""
+    src_hi += amo.end() if amo else 0
+    outer_alias = f" {amo.group('name')}" if amo else ""
+    # scan the rest of this SELECT scope: JOIN / GROUP BY change what
+    # rows the window sees and can't be expressed by this pushdown;
+    # a WHERE must move INSIDE the derived table (SQL evaluates window
+    # functions AFTER the WHERE — leaving it outside would let filtered-
+    # out rows donate __prev_ts values the reference never sees).
+    tail_lo, tail_hi = src_hi, _scope_end(out, src_hi, call_depth)
+    tail = out[tail_lo:tail_hi]
+    masked = _mask_nested(tail)  # blank nested (…) so scans see only this scope
+    if re.search(r"\b(?:JOIN|GROUP\s+BY|HAVING)\b", masked, re.IGNORECASE):
+        raise ValueError(
+            "sessionize … OVER alongside JOIN/GROUP BY in the same SELECT "
+            "is not supported — compute the session ids in a CTE first "
+            "(WITH s AS (SELECT …, sessionize(…) OVER (…) AS sid FROM t) "
+            "SELECT … FROM s JOIN …)"
+        )
+    wmo = re.search(r"\bWHERE\b", masked, re.IGNORECASE)
+    where_inner = ""
+    if wmo:
+        wend_mo = _POST_WHERE_CLAUSES.search(masked, wmo.end())
+        wend = wend_mo.start() if wend_mo else len(tail)
+        where_inner = " " + tail[wmo.start():wend].strip()
+        tail = tail[: wmo.start()] + tail[wend:]
+    src = out[src_lo:src_hi - len(alias)] if alias else out[src_lo:src_hi]
     derived = (
         f"FROM (SELECT *, lag({ts}) "
         f"OVER ({part}ORDER BY {ob}) AS __prev_ts "
-        f"FROM {src})"
+        f"FROM {src}{alias}{where_inner}){outer_alias}"
     )
-    out = out[: m.start()] + derived + out[src_hi:]
+    out = out[: m.start()] + derived + tail + out[tail_hi:]
     if _scan_call(out, "sessionize") is not None:
         raise ValueError("at most one sessionize call per statement is supported")
     return out
+
+
+_CLAUSE_KEYWORDS = frozenset(
+    (
+        "where", "group", "order", "having", "limit", "union", "qualify",
+        "window", "join", "on", "left", "right", "inner", "cross", "full",
+        "except", "intersect",
+    )
+)
+
+# clause heads that end a WHERE condition
+_POST_WHERE_CLAUSES = re.compile(
+    r"\b(?:GROUP\s+BY|HAVING|QUALIFY|WINDOW|ORDER\s+BY|LIMIT|UNION"
+    r"|EXCEPT|INTERSECT)\b",
+    re.IGNORECASE,
+)
+
+
+def _scope_end(sql: str, start: int, depth: int) -> int:
+    """Index where the current SELECT scope ends: the closing paren
+    dropping below the scope's depth, or end of string. Balanced
+    nested groups and string literals are skipped whole."""
+    i = start
+    while i < len(sql):
+        c = sql[i]
+        if c == "'":
+            i = _skip_string(sql, i)
+            continue
+        if c == "(":
+            i = _skip_balanced(sql, i)
+            continue
+        if c == ")":
+            return i  # dropping below the scope's depth
+        i += 1
+    return len(sql)
+
+
+def _mask_nested(sql: str) -> str:
+    """Copy of ``sql`` with nested balanced ``(…)`` groups and string
+    literals blanked, so clause-keyword scans see only this scope."""
+    out = list(sql)
+    i = 0
+    while i < len(sql):
+        c = sql[i]
+        if c == "'":
+            j = _skip_string(sql, i)
+            for k in range(i, min(j, len(sql))):
+                out[k] = " "
+            i = j
+            continue
+        if c == "(":
+            j = _skip_balanced(sql, i)
+            for k in range(i, min(j, len(sql))):
+                out[k] = " "
+            i = j
+            continue
+        i += 1
+    return "".join(out)
+
+
+def _skip_balanced(sql: str, i: int) -> int:
+    """Index just past the balanced paren group opening at ``i``."""
+    depth = 0
+    while i < len(sql):
+        if sql[i] == "'":
+            i = _skip_string(sql, i)
+            continue
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    return i

@@ -1,0 +1,108 @@
+"""sessionize … OVER rewrite scope (sql_surface._rewrite_sessionize):
+aliased sources, inline subqueries, WHERE pushdown semantics, and the
+explicit JOIN/GROUP BY rejection."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_behavioral_spark.sql_surface import behavioral_sql
+
+S = "sessionize(ts, INTERVAL '30 minutes') OVER (PARTITION BY user_id ORDER BY ts)"
+SE = (
+    "sessionize(e.ts, INTERVAL '30 minutes') "
+    "OVER (PARTITION BY e.user_id ORDER BY e.ts)"
+)
+
+
+@pytest.fixture()
+def ev(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:10:00"),
+            (1, "2024-01-01 00:20:00"),
+            (1, "2024-01-01 02:00:00"),
+            (2, "2024-01-01 00:00:00"),
+        ],
+        "user_id long, ts_s string",
+    ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts")
+    df.createOrReplaceTempView("sess_scope_ev")
+    return df
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        f"SELECT user_id, ts, {S} AS sid FROM sess_scope_ev",
+        f"SELECT e.user_id, e.ts, {SE} AS sid FROM sess_scope_ev e",
+        f"SELECT e.user_id, e.ts, {SE} AS sid FROM sess_scope_ev AS e",
+        f"SELECT user_id, ts, {S} AS sid FROM (SELECT * FROM sess_scope_ev) t",
+        "SELECT t.user_id, t.ts, sessionize(t.ts, INTERVAL '30 minutes') "
+        "OVER (PARTITION BY t.user_id ORDER BY t.ts) AS sid "
+        "FROM (SELECT * FROM sess_scope_ev) t",
+        f"WITH f AS (SELECT * FROM sess_scope_ev) "
+        f"SELECT user_id, ts, {S} AS sid FROM f",
+    ],
+    ids=["identifier", "alias", "alias_as", "subquery", "subquery_qualified", "cte"],
+)
+def test_source_shapes_match_operator(spark, ev, sql):
+    import duckdb_behavioral_spark as B
+
+    got = {
+        (r["user_id"], r["ts"], r["sid"])
+        for r in behavioral_sql(spark, sql).collect()
+    }
+    want = {
+        (r["user_id"], r["ts"], r["session_id"])
+        for r in B.sessionize(ev, "ts", "30 minutes", ["user_id"]).collect()
+    }
+    assert got == want
+
+
+def test_where_filters_before_window(spark, ev):
+    # dropping the 00:10 event must RE-derive gaps on the filtered
+    # stream (00:00 -> 00:20 is 20m: same session) — i.e. the WHERE
+    # moves inside the lag derived table
+    import duckdb_behavioral_spark as B
+
+    sql = (
+        f"SELECT user_id, ts, {S} AS sid FROM sess_scope_ev "
+        "WHERE ts <> TIMESTAMP '2024-01-01 00:10:00'"
+    )
+    got = {
+        (r["user_id"], r["ts"], r["sid"])
+        for r in behavioral_sql(spark, sql).collect()
+    }
+    filtered = ev.where(F.col("ts") != F.lit("2024-01-01 00:10:00").cast("timestamp"))
+    want = {
+        (r["user_id"], r["ts"], r["session_id"])
+        for r in B.sessionize(filtered, "ts", "30 minutes", ["user_id"]).collect()
+    }
+    assert got == want
+    sids = sorted(sid for u, _, sid in got if u == 1)
+    assert sids == [1, 1, 2]
+
+
+def test_where_with_nested_subquery_passes(spark, ev):
+    # the JOIN detector must not fire on a JOIN inside a nested
+    # subquery of the WHERE condition
+    sql = (
+        f"SELECT user_id, ts, {S} AS sid FROM sess_scope_ev WHERE user_id IN "
+        "(SELECT a.user_id FROM sess_scope_ev a JOIN sess_scope_ev b "
+        "ON a.user_id = b.user_id)"
+    )
+    assert len(behavioral_sql(spark, sql).collect()) == 5
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        f"SELECT e.user_id, {SE} AS sid FROM sess_scope_ev e "
+        "JOIN sess_scope_ev x ON e.user_id = x.user_id",
+        f"SELECT user_id, {S} AS sid FROM sess_scope_ev GROUP BY user_id, ts",
+    ],
+    ids=["join", "group_by"],
+)
+def test_join_and_group_by_rejected_with_cte_hint(spark, ev, sql):
+    with pytest.raises(ValueError, match="CTE"):
+        behavioral_sql(spark, sql)
