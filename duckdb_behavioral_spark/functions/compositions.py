@@ -198,7 +198,8 @@ EVENTS_PROPS_JSON_SQL = """
 SELECT event_type,
        COUNT(*) AS n,
        COUNT(k) AS n_with_k,
-       MIN(k) AS min_k, MAX(k) AS max_k, SUM(k) AS sum_k
+       MIN(k) AS min_k, MAX(k) AS max_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k
 FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
 GROUP BY event_type
 """
@@ -304,16 +305,23 @@ FROM rr GROUP BY 1, 2, 3
 
 
 def q_events_pct_of_total(spark, sf_dir):
-    """SUM(COUNT(*)) OVER () pct-of-total window (integer permille)."""
+    """SUM(COUNT(*)) OVER () pct-of-total (integer permille).
+
+    The oracle keeps the window form; Spark attaches the total via
+    the scalar-attach idiom — ``crossJoin(broadcast(1-row agg))`` —
+    because an empty-frame window plans as a raw single-partition
+    exchange of the counts table (fine at event_type cardinality,
+    but the idiom generalizes to any group count and keeps the
+    declared suite free of raw serial stages)."""
     from duckdb_behavioral_spark.sources import load_events
 
     ev = load_events(spark, sf_dir)
-    from pyspark.sql import Window
-
     counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
-    total = F.sum("n").over(Window.partitionBy())
-    return counts.select(
-        "event_type", "n", F.floor((F.col("n") * 1000) / total).cast("long").alias("permille")
+    total = counts.agg(F.sum("n").alias("__total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "event_type",
+        "n",
+        F.floor((F.col("n") * 1000) / F.col("__total")).cast("long").alias("permille"),
     )
 
 

@@ -71,16 +71,21 @@ def mix_corpus(
         h.alias("__h"),
     )
     srcs = base.groupBy("source").agg(F.count("*").alias("__n"))
-    tot_w = F.sum(_weight(F.col("source"))).over(Window.partitionBy(F.lit(1)))
-    budgets = srcs.select(
-        "source",
-        F.expr(
-            f"CAST({budget} AS BIGINT) * "
-            f"(CASE WHEN source IN {HEAVY_SOURCES} THEN {HEAVY_W} ELSE {BASE_W} END)"
-        ).alias("__bw"),
-        tot_w.alias("__tw"),
-    ).select(
-        "source", F.expr("__bw DIV __tw").alias("src_budget")
+    # total weight via scalar-attach (crossJoin of a broadcast 1-row
+    # aggregate) rather than an empty-frame window: same value, no
+    # raw single-partition exchange in the plan
+    tot_w = srcs.agg(F.sum(_weight(F.col("source"))).alias("__tw"))
+    budgets = (
+        srcs.crossJoin(F.broadcast(tot_w))
+        .select(
+            "source",
+            F.expr(
+                f"CAST({budget} AS BIGINT) * "
+                f"(CASE WHEN source IN {HEAVY_SOURCES} THEN {HEAVY_W} ELSE {BASE_W} END)"
+            ).alias("__bw"),
+            "__tw",
+        )
+        .select("source", F.expr("__bw DIV __tw").alias("src_budget"))
     )
     w = Window.partitionBy("source").orderBy(F.col("__h").asc(), F.col("doc_id").asc())
     cum = F.sum("n_tokens").over(w)

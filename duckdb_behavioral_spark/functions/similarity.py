@@ -64,6 +64,9 @@ def ann_cosine_topk(
     q = (
         e.where(F.col("cid") < n_queries)
         .select(F.col("cid").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+        # no-op cap (cid unique): plants a GlobalLimit in the build
+        # subtree so plans.audit can PROVE the broadcast side bounded
+        .limit(n_queries)
     )
     joined = e.join(F.broadcast(q), F.col("cid") != F.col("query_id"))
     sim = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
@@ -191,7 +194,10 @@ def _assign_clusters(e: DataFrame, cent: DataFrame) -> DataFrame:
     rank here would shuffle the full fan-out)."""
     csim = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
     return (
-        e.join(F.broadcast(cent))
+        # .limit is a no-op (cent has <= NCENT rows by construction,
+        # even when it arrives as an opaque checkpointed RDD) that
+        # makes the bound visible to the plan auditor
+        e.join(F.broadcast(cent.limit(NCENT)))
         .withColumn("csim", csim)
         .groupBy("cid")
         .agg(
@@ -292,12 +298,12 @@ def ann_ivf_topk(
     assigned = _assign_clusters(e, cent)
     q = assigned.where(F.col("cid") < n_queries).select(
         F.col("cid").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
-    )
+    ).limit(n_queries)  # no-op cap; proves the broadcast bound to the auditor
     # probe: top-NPROBE centroids per query
     qsim = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("ctr_id"))
     probes = (
-        q.join(F.broadcast(cent))
+        q.join(F.broadcast(cent.limit(NCENT)))
         .withColumn("qsim", qsim)
         .withColumn("prnk", F.row_number().over(w_probe))
         .where(F.col("prnk") <= NPROBE)

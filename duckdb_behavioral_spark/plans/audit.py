@@ -9,7 +9,12 @@ them:
 
 - **CartesianProduct / BroadcastNestedLoopJoin** — the planner's
   fallback for non-equi or mis-hinted joins; O(n*m) and the single
-  most common cause of "worked at sf0.01, died in prod".
+  most common cause of "worked at sf0.01, died in prod". Like
+  single-partition exchanges, BNL joins are CLASSIFIED: one whose
+  broadcast build side provably carries <= k rows (a limit / top-k /
+  global-agg in the exchange's subtree — e.g. the ANN pattern
+  ``corpus x broadcast(queries.limit(Q))``) is **bounded** O(n*k)
+  map-side work and passes; an unbounded build side is the killer.
 - **Row-at-a-time Python UDFs** (``BatchEvalPython``) — serialize the
   hot path through pickle one row at a time; Arrow-batched pandas
   UDFs (``ArrowEvalPython``) are reported separately since they're
@@ -55,7 +60,8 @@ class PlanReport:
     bounded_single_partition_exchanges: int = 0
     raw_single_partition_exchanges: int = 0
     cartesian_products: int = 0
-    broadcast_nested_loop_joins: int = 0
+    broadcast_nested_loop_joins: int = 0  # UNBOUNDED build side: the killer
+    bounded_broadcast_nested_loop_joins: int = 0  # build side provably <= k rows
     broadcast_cross_joins: int = 0  # explicit crossJoin(broadcast(...)): scalar attach
     python_row_udfs: int = 0
     arrow_python_evals: int = 0
@@ -94,6 +100,42 @@ _PASSTHROUGH = re.compile(
 )
 
 
+def _node_indent(line: str) -> int:
+    """Tree depth of a plan line = offset where the node text starts
+    (past the ``:  +- |`` tree art)."""
+    i = 0
+    while i < len(line) and line[i] in " :+-|":
+        i += 1
+    return i
+
+
+def _subtree(lines: list[str], i: int) -> list[str]:
+    """Lines strictly inside the subtree rooted at ``lines[i]``."""
+    base = _node_indent(lines[i])
+    out = []
+    for line in lines[i + 1:]:
+        if line.strip() and _node_indent(line) <= base:
+            break
+        out.append(line)
+    return out
+
+
+def _classify_bnl(lines: list[str], i: int) -> bool:
+    """True when the BroadcastNestedLoopJoin at ``lines[i]`` has a
+    provably bounded build side: its BroadcastExchange subtree carries
+    a limit / top-k / keys=[] partial aggregate, so at most k rows are
+    replicated no matter the input size. An unbounded build side means
+    the join degenerates to O(n*m) the moment the "small" side grows —
+    the thing this audit exists to catch. Make boundedness explicit in
+    the query (e.g. ``F.broadcast(centroids.limit(NCENT))``) and this
+    classifier can prove it from the plan alone."""
+    sub = _subtree(lines, i)
+    for j, line in enumerate(sub):
+        if "BroadcastExchange" in line or "BroadcastQueryStage" in line:
+            return any(_BOUNDED_CHILD.search(x) for x in _subtree(sub, j))
+    return False
+
+
 def _classify_single_partition(lines: list[str], i: int) -> bool:
     """True when the Exchange SinglePartition at ``lines[i]`` is
     bounded (child emits <= k rows / one partial row per task)."""
@@ -123,9 +165,15 @@ def audit_plan(df: DataFrame) -> PlanReport:
     # safe when the build side is tiny. The FALLBACK for a non-equi
     # join prints a join condition ("..., Inner, (a < b)") — that one
     # is the killer. Count them separately.
-    bnl_all = re.findall(r"BroadcastNestedLoopJoin[^\n]*", plan)
-    r.broadcast_cross_joins = sum(1 for x in bnl_all if x.rstrip().endswith("Cross"))
-    r.broadcast_nested_loop_joins = len(bnl_all) - r.broadcast_cross_joins
+    for i, line in enumerate(lines):
+        if "BroadcastNestedLoopJoin" not in line:
+            continue
+        if line.rstrip().endswith("Cross"):
+            r.broadcast_cross_joins += 1
+        elif _classify_bnl(lines, i):
+            r.bounded_broadcast_nested_loop_joins += 1
+        else:
+            r.broadcast_nested_loop_joins += 1
     r.python_row_udfs = plan.count("BatchEvalPython")
     r.arrow_python_evals = plan.count("ArrowEvalPython") + plan.count(
         "MapInPandas"
