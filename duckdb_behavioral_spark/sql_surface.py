@@ -74,11 +74,14 @@ def rewrite_behavioral_sql(sql: str) -> str:
     plus two host-dialect gaps the reference's docs/examples rely on:
     DuckDB's 1-based NULL-tolerant list subscript and
     ``EXTRACT(EPOCH FROM <interval>)``."""
+    sql = _rewrite_distinct_on(sql)
     sql = _rewrite_sessionize(sql)
     for fn in _AGG_FNS:
         sql = _rewrite_calls(sql, fn)
     sql = _rewrite_epoch_extract(sql)
     sql = _rewrite_subscripts(sql)
+    sql = _rewrite_len(sql)
+    sql = _rewrite_read_parquet(sql)
     return sql
 
 
@@ -128,6 +131,139 @@ def _rewrite_subscripts(sql: str) -> str:
         pos = m.end()
     out.append(sql[pos:])
     return "".join(out)
+
+
+def _rewrite_len(sql: str) -> str:
+    """DuckDB ``len(list)`` → Spark ``size(list)``.
+
+    The reference's docs index and measure behavioral outputs as
+    DuckDB lists (cookbook.md: ``WHERE len(ts) = 3`` over a
+    ``sequence_match_events`` result). Spark's ``len`` only accepts
+    STRING/BINARY; ``size`` is the array counterpart. Scope: the
+    rewrite is lexical, so ``len`` on a string must be written
+    ``length`` (the portable spelling in both dialects)."""
+    out, pos = [], 0
+    pat = re.compile(r"(?<![\w.])len\s*\(", re.IGNORECASE)
+    for m in pat.finditer(sql):
+        if _in_string(sql, m.start()):
+            continue
+        out.append(sql[pos : m.start()])
+        out.append("size(")
+        pos = m.end()
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+def _rewrite_read_parquet(sql: str) -> str:
+    """DuckDB ``read_parquet('path')`` table function → Spark's
+    direct-path relation ``parquet.`path``` (cookbook.md "Querying
+    Parquet Files Directly"). Globs pass through — both engines
+    expand them in the path."""
+    while True:
+        found = _scan_call(sql, "read_parquet")
+        if found is None:
+            return sql
+        lo, hi, args = found
+        if len(args) != 1:
+            raise ValueError("read_parquet: expected a single path literal")
+        path = _strlit(args[0])
+        sql = sql[:lo] + f"parquet.`{path}`" + sql[hi:]
+
+
+_DISTINCT_ON_RE = re.compile(r"SELECT\s+DISTINCT\s+ON\s*\(", re.IGNORECASE)
+
+
+def _rewrite_distinct_on(sql: str) -> str:
+    """DuckDB/Postgres ``SELECT DISTINCT ON (keys) items FROM src
+    [WHERE ...] ORDER BY cols`` → the first row per key group via a
+    ``row_number`` window (the standard Spark formulation).
+
+    DuckDB keeps the row that sorts first under the query's ORDER BY
+    (cookbook.md "Entry Page Analysis" relies on this to pick each
+    session's first pageview); with no ORDER BY the choice is
+    arbitrary, and the rewrite orders by the keys for determinism.
+    Scope: the DISTINCT ON select's scope (statement or parenthesized
+    subquery) must end at the ORDER BY's end — LIMIT/OFFSET after it
+    is not supported."""
+    while True:
+        m = _DISTINCT_ON_RE.search(sql)
+        if m is None:
+            return sql
+        if _in_string(sql, m.start()):
+            raise ValueError("DISTINCT ON inside a string literal")
+        d0 = _depth_at(sql, m.start())
+        # keys: balanced parens starting at the '('
+        kopen = sql.index("(", m.end() - 1)
+        kclose = _match_paren(sql, kopen)
+        keys = sql[kopen + 1 : kclose].strip()
+        # select items: up to the scope-level FROM
+        kw_from = _scope_keyword(sql, kclose + 1, d0, r"FROM")
+        if kw_from is None:
+            raise ValueError("DISTINCT ON: no FROM in scope")
+        items = sql[kclose + 1 : kw_from[0]].strip()
+        # scope end: where depth drops below d0 (or end of statement)
+        end = _scope_end(sql, kw_from[1], d0)
+        kw_order = _scope_keyword(sql, kw_from[1], d0, r"ORDER\s+BY")
+        if kw_order is not None and kw_order[0] < end:
+            src = sql[kw_from[1] : kw_order[0]].strip()
+            order = sql[kw_order[1] : end].strip()
+        else:
+            src = sql[kw_from[1] : end].strip()
+            order = keys
+        repl = (
+            f"SELECT {items} FROM (SELECT *, row_number() OVER "
+            f"(PARTITION BY {keys} ORDER BY {order}) AS __don_rn "
+            f"FROM {src}) WHERE __don_rn = 1"
+        )
+        sql = sql[: m.start()] + repl + sql[end:]
+
+
+def _match_paren(sql: str, lo: int) -> int:
+    """Index of the ')' matching the '(' at ``lo``."""
+    depth, i = 0, lo
+    while i < len(sql):
+        c = sql[i]
+        if c == "'":
+            i = _skip_string(sql, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise ValueError("unbalanced parentheses")
+
+
+def _scope_keyword(sql: str, start: int, d0: int, kw: str):
+    """First occurrence of ``kw`` at depth ``d0`` from ``start``
+    (outside strings); returns (start_idx, end_idx) or None."""
+    for m in re.finditer(rf"(?<![\w.]){kw}(?![\w.])", sql[start:], re.IGNORECASE):
+        pos = start + m.start()
+        if _in_string(sql, pos) or _depth_at(sql, pos) != d0:
+            continue
+        return pos, start + m.end()
+    return None
+
+
+def _scope_end(sql: str, start: int, d0: int) -> int:
+    """Position where the SELECT scope opened at depth ``d0`` closes:
+    the ')' dropping below d0, or end of string."""
+    i = start
+    while i < len(sql):
+        c = sql[i]
+        if c == "'":
+            i = _skip_string(sql, i)
+            continue
+        if c == "(":
+            # skip the whole nested unit
+            i = _match_paren(sql, i) + 1
+            continue
+        if c == ")":
+            return i
+        i += 1
+    return len(sql)
 
 
 # --- lexical helpers -------------------------------------------------------
