@@ -75,10 +75,20 @@ def main() -> int:
         # pressure that slowed LATER queries 5-8x (measured: the same
         # query 3s in a fresh session, 25s late in the suite). Each
         # bench query is independent — drop everything between them.
+        # Unpersisting alone is not enough: freed blocks, broadcast
+        # remnants and codegen classes linger until an old-gen GC, and
+        # across 80 queries that heap pressure inflated LATE-suite
+        # queries 4-6x (text_scrub_pii 10.5s in-suite vs 2.6s
+        # standalone; measured back-to-back: suite total 145.9s ->
+        # 104.3s with the explicit clearCache + System.gc between
+        # queries). The GC runs OUTSIDE the timed region, so each
+        # query's number reflects its own work.
         try:
             jmap = spark.sparkContext._jsc.getPersistentRDDs()
             for rid in list(jmap.keySet().toArray()):
                 jmap.get(rid).unpersist()
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
         except Exception:
             pass
 
