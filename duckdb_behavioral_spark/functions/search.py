@@ -10,12 +10,15 @@ DataFrames:
 - per-(doc, term) term frequency;
 - BM25 scoring against a small query term set, top-k by score.
 
-Scale shape: the term-frequency explode is map-side (explode + local
-pre-aggregation), the df table is tiny (vocabulary-sized) and
-broadcast back, and the scored set only contains docs sharing >=1
-query term (inner join on the broadcast query terms — the corpus scan
-prunes everything else). No all-pairs anything; one shuffle on
-(doc_id) for tf, one vocabulary-sized shuffle for df.
+Scale shape: ``bm25_topk`` scans the corpus ONCE, computing per-doc
+length and per-query-term frequencies map-side (size-of-filter in
+codegen — one row per doc, never one per (doc, term)); df + corpus
+meta fold into a single broadcast row; scoring is a map-side
+expression over the >=1-hit docs and the top-k is
+TakeOrderedAndProject. Zero doc-grain shuffles, no all-pairs
+anything. ``term_stats`` (the full inverted index: per-(doc, term)
+tf, vocabulary df) stays available for index-building workloads where
+the index itself is the output.
 
 Determinism contract (cross-engine oracle hashing): the standard BM25
 idf is ``ln((N - df + 0.5) / (df + 0.5) + 1)`` — but ``ln`` rounding
@@ -48,6 +51,12 @@ TOP_K = 10
 
 def _tokens(text):
     return F.split(text, " ")
+
+
+def _term_eq(t: str):
+    # single-arg closure: a 2-arg lambda would make F.filter pass the
+    # array INDEX as the second argument
+    return lambda x: x == F.lit(t)
 
 
 def term_stats(docs: DataFrame, text: str = "text", id_col: str = "doc_id"):
@@ -96,47 +105,64 @@ def bm25_topk(
     """
     from pyspark.sql.functions import broadcast
 
-    tf, df_t, meta = term_stats(docs, text, id_col)
-    q = docs.sparkSession.createDataFrame(
-        [(t,) for t in query_terms], "term string"
-    )
-    # dl = SUM(tf) over the doc: same doc_id exchange the final group
-    # needs anyway — no second corpus scan, no dl join
-    from pyspark.sql import Window
-
-    dl_w = F.sum("tf").over(Window.partitionBy("doc_id"))
-    k1, b = F.expr(f"CAST({K1} AS DOUBLE)"), F.expr(f"CAST({B} AS DOUBLE)")
-    hits = (
+    nq = len(query_terms)
+    toks = _tokens(F.col(text))
+    # ONE corpus scan, all map-side: per doc its length and the term
+    # frequency of each of the nq fixed query terms (size-of-filter in
+    # whole-stage codegen). No full-vocabulary inverted index — at
+    # 100 TB you never build (doc, term) for every term to answer a
+    # fixed small query set; term_stats() remains the library op for
+    # when the whole index IS the product.
+    per_doc = spread(docs, id_col).select(
+        F.col(id_col).alias("doc_id"),
         # long, matching the oracle's BIGINT len(string_split(...))
-        tf.withColumn("dl", dl_w.cast("long"))
-        .join(broadcast(q), "term")  # prune the corpus to query terms
-        .join(broadcast(df_t.join(broadcast(q), "term")), "term")
-        .crossJoin(broadcast(meta))
-    )
-    avgdl = F.col("sum_dl") / F.col("n_docs")
-    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    w = idf * (F.col("tf") * (k1 + F.lit(1.0))) / (
-        F.col("tf") + k1 * (F.lit(1.0) - b + b * F.col("dl") / avgdl)
-    )
-    per_term = hits.select("doc_id", "dl", "term", w.alias("w"))
-    pivot = per_term.groupBy("doc_id", "dl").agg(
-        F.count("*").alias("n_hit_terms"),
+        F.size(toks).cast("long").alias("dl"),
         *[
-            F.coalesce(F.max(F.when(F.col("term") == t, F.col("w"))), F.lit(0.0)).alias(
-                f"w{i}"
-            )
+            F.size(F.filter(toks, _term_eq(t))).cast("long").alias(f"tf{i}")
             for i, t in enumerate(query_terms)
         ],
+    ).localCheckpoint(eager=False)  # two consumers: stats + scoring
+    # df/meta fold into ONE broadcast row — vocabulary-free
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(nq)
+        ],
     )
-    score = F.col("w0")
-    for i in range(1, len(query_terms)):
-        score = score + F.col(f"w{i}")
+    any_hit = F.col("tf0") > 0
+    for i in range(1, nq):
+        any_hit = any_hit | (F.col(f"tf{i}") > 0)
+    scored = per_doc.where(any_hit).crossJoin(broadcast(stats))
+    k1, b = F.expr(f"CAST({K1} AS DOUBLE)"), F.expr(f"CAST({B} AS DOUBLE)")
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+
+    def w(i: int):
+        # tf = 0 -> w = +0.0 exactly (0 * finite / positive), the same
+        # value the oracle's COALESCE(MAX(CASE ...), 0.0) produces for
+        # an absent term — scores stay bitwise-equal cross-engine
+        idf = (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5)) / (
+            F.col(f"df{i}") + F.lit(0.5)
+        )
+        return idf * (F.col(f"tf{i}") * (k1 + F.lit(1.0))) / (
+            F.col(f"tf{i}") + k1 * (F.lit(1.0) - b + b * F.col("dl") / avgdl)
+        )
+
+    score = w(0)
+    for i in range(1, nq):
+        score = score + w(i)
+    n_hit = (F.col("tf0") > 0).cast("long")
+    for i in range(1, nq):
+        n_hit = n_hit + (F.col(f"tf{i}") > 0).cast("long")
     from duckdb_behavioral_spark.functions.topk import ranked_topk
 
     # TakeOrderedAndProject top-k — no global rank window over every
     # doc matching >= 1 query term
     return ranked_topk(
-        pivot.select("doc_id", "dl", "n_hit_terms", score.alias("score")),
+        scored.select(
+            "doc_id", "dl", n_hit.alias("n_hit_terms"), score.alias("score")
+        ),
         [F.col("score").desc(), F.col("doc_id").asc()],
         k,
     ).select("rank", "doc_id", "dl", "n_hit_terms", "score")
