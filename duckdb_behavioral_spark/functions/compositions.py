@@ -656,3 +656,115 @@ JOIN region ON n_regionkey = r_regionkey
 WHERE c_nationkey = s_nationkey AND r_name = '{Q5_REGION}'
 GROUP BY n_name
 """
+
+
+Q6_YEAR_LO = "1996-01-01"
+Q6_YEAR_HI = "1997-01-01"
+Q6_DISC_LO = 0.05
+Q6_DISC_HI = 0.07
+Q6_QTY = 24.0
+
+
+def q_tpch_q6_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: forecast-revenue-change — the canonical
+    filter-heavy single-table aggregate.
+
+    Plan posture: every predicate (ship year, discount band, quantity
+    cap) is a scan-level pushed filter; the aggregate is one map-side
+    partial SUM folded into a single row — the whole query is one scan
+    with no shuffle beyond the 1-row exchange. Revenue is the
+    decimal-exact SUM of the per-row double product (see
+    q_tpch_q3_topk's float rules).
+    """
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q6_YEAR_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q6_YEAR_HI).cast("timestamp"))
+        & (F.col("l_discount") >= F.lit(Q6_DISC_LO))
+        & (F.col("l_discount") <= F.lit(Q6_DISC_HI))
+        & (F.col("l_quantity") < F.lit(Q6_QTY))
+    )
+    return li.agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(30,10)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+TPCH_Q6_SQL = f"""
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,10)))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_YEAR_LO} 00:00:00'
+  AND l_shipdate < TIMESTAMP '{Q6_YEAR_HI} 00:00:00'
+  AND l_discount >= {Q6_DISC_LO} AND l_discount <= {Q6_DISC_HI}
+  AND l_quantity < {Q6_QTY}
+"""
+
+
+Q10_DATE_LO = "1996-01-01"
+Q10_DATE_HI = "1996-04-01"
+Q10_TOP = 20
+
+
+def q_tpch_q10_returned_topk(spark, sf_dir):
+    """TPC-H Q10 shape: top customers by revenue lost to returned
+    items in one quarter — selective fact join + dimension enrich +
+    distributed top-k.
+
+    Plan posture: the returnflag filter prunes lineitem and the date
+    band prunes orders at their scans; the customer join shuffles on
+    custkey (the same exchange the group-by needs — co-partitioned);
+    nation is broadcast; the top-20 is TakeOrderedAndProject, never a
+    global sort of the per-customer aggregate. Revenue follows the
+    decimal-exact SUM contract.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q10_DATE_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q10_DATE_HI).cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.sum(
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .cast("decimal(30,10)")
+    )
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(rev.cast("double").alias("revenue"), F.count("*").alias("n_items"))
+    )
+    from duckdb_behavioral_spark.functions.topk import ranked_topk
+
+    return ranked_topk(
+        agg, [F.col("revenue").desc(), F.col("c_custkey").asc()], Q10_TOP
+    ).select("rank", "c_custkey", "c_name", "n_name", "revenue", "n_items")
+
+
+TPCH_Q10_SQL = f"""
+WITH agg AS (
+  SELECT c_custkey, c_name, n_name,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                       AS DECIMAL(30,10))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_items
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '{Q10_DATE_LO} 00:00:00'
+    AND o_orderdate < TIMESTAMP '{Q10_DATE_HI} 00:00:00'
+  GROUP BY c_custkey, c_name, n_name
+), r AS (
+  SELECT CAST(row_number() OVER (ORDER BY revenue DESC, c_custkey ASC)
+              AS BIGINT) AS rank,
+         c_custkey, c_name, n_name, revenue, n_items
+  FROM agg
+)
+SELECT rank, c_custkey, c_name, n_name, revenue, n_items
+FROM r WHERE rank <= {Q10_TOP}
+"""

@@ -53,6 +53,7 @@ EXT_QUERIES = {
     # sampling
     "sample_stratified": SA.q_sample_stratified,
     "sample_per_stratum_topk": SA.q_sample_per_stratum_topk,
+    "sample_weighted": SA.q_sample_weighted,
     # similarity search
     "ann_cosine_topk": S.q_ann_cosine_topk,
     "ann_lsh_buckets": S.q_ann_lsh_buckets,
@@ -89,6 +90,8 @@ EXT_QUERIES = {
     "orders_by_nation": C.q_orders_by_nation,
     "tpch_q3_topk": C.q_tpch_q3_topk,
     "tpch_q5_region_revenue": C.q_tpch_q5_region_revenue,
+    "tpch_q6_revenue": C.q_tpch_q6_revenue,
+    "tpch_q10_returned_topk": C.q_tpch_q10_returned_topk,
     "events_hourly_rollup": C.q_events_hourly_rollup,
     "events_rollup_cube": C.q_events_rollup_cube,
     "events_type_pivot": C.q_events_type_pivot,
@@ -125,6 +128,7 @@ EXT_ORACLES = {
     "sketch_kmv_overlap": SK.SKETCH_KMV_SQL,
     "sample_stratified": SA.SAMPLE_STRATIFIED_SQL,
     "sample_per_stratum_topk": SA.SAMPLE_PER_STRATUM_SQL,
+    "sample_weighted": SA.SAMPLE_WEIGHTED_SQL,
     "ann_cosine_topk": S.ANN_TOPK_SQL,
     "ann_lsh_buckets": S.LSH_BUCKETS_SQL,
     "ann_ivf_topk": S.ANN_IVF_SQL,
@@ -154,6 +158,8 @@ EXT_ORACLES = {
     "orders_by_nation": C.ORDERS_BY_NATION_SQL,
     "tpch_q3_topk": C.TPCH_Q3_SQL,
     "tpch_q5_region_revenue": C.TPCH_Q5_SQL,
+    "tpch_q6_revenue": C.TPCH_Q6_SQL,
+    "tpch_q10_returned_topk": C.TPCH_Q10_SQL,
     "events_hourly_rollup": C.EVENTS_HOURLY_SQL,
     "events_rollup_cube": C.EVENTS_ROLLUP_CUBE_SQL,
     "events_type_pivot": C.EVENTS_TYPE_PIVOT_SQL,

@@ -74,6 +74,27 @@ def sample_per_stratum_topk(
     )
 
 
+def sample_weighted(
+    df: DataFrame,
+    weight_permille,
+    key: str,
+) -> DataFrame:
+    """Weighted Bernoulli: keep a row with probability
+    ``weight_permille``/1000, where the weight is any integer
+    expression of the row (clamped to [0, 1000]). Same salted-hash
+    decision as the flat sampler — deterministic under repartition,
+    retries and engine swaps — but the threshold varies per row, so
+    keep-probability is proportional to the weight. Pure map-side
+    filter: no shuffle, no global pass to normalize weights.
+
+    Training-data use: length- or quality-proportional downsampling
+    (e.g. keep long documents, thin out stubs) without materializing a
+    weighted index.
+    """
+    rate = F.least(F.lit(1000), F.greatest(F.lit(0), weight_permille))
+    return df.where(_sample_hash(F.col(key)) % 1000 < rate)
+
+
 # --- declared queries ------------------------------------------------------
 
 # Downsample English hard (it dominates web corpora), keep most of the
@@ -107,6 +128,34 @@ def _rate_case() -> str:
     )
     return f"CASE lang {whens} ELSE {STRAT_DEFAULT} END"
 
+
+WEIGHT_MULT = 2  # permille weight = n_chars * 2: docs >= 500 chars always kept
+
+
+def q_sample_weighted(spark, sf_dir):
+    """Length-proportional document sampling: keep-probability =
+    min(1, n_chars/500) — stubs are thinned, long docs always kept
+    (the testdata's n_chars spans ~47..558, so both the proportional
+    and the clamped branch are exercised)."""
+    from duckdb_behavioral_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (F.col("n_chars") * F.lit(WEIGHT_MULT)).cast("long")
+    return sample_weighted(docs, rate, key="doc_id").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.least(F.lit(1000), rate).alias("rate_permille"),
+    )
+
+
+SAMPLE_WEIGHTED_SQL = f"""
+SELECT doc_id, lang, n_chars,
+       LEAST(1000, CAST(n_chars * {WEIGHT_MULT} AS BIGINT)) AS rate_permille
+FROM documents
+WHERE {_sql_sample_hash('doc_id')} % 1000
+      < LEAST(1000, GREATEST(0, CAST(n_chars * {WEIGHT_MULT} AS BIGINT)))
+"""
 
 SAMPLE_STRATIFIED_SQL = f"""
 SELECT doc_id, lang, source FROM documents

@@ -17,18 +17,21 @@ from __future__ import annotations
 #    its green row) and q17 (rewritten this round - distributed
 #    quantiles), then the remainder in legacy order fills slot 39-50.
 DRIVER_PRIORITY = [
-    # streaming parity gates (6)
+    # streaming parity gates (7)
     "streaming_funnel_parity",
+    "streaming_enrich_parity",
     "streaming_dedup_parity",
     "streaming_sessionize_parity",
     "streaming_minhash_parity",
     "streaming_cms_parity",
     "streaming_rollup_parity",
-    # host-surface compositions / TPC-H / capstones (14)
+    # host-surface compositions / TPC-H / capstones (16)
     "tpch_pricing_flags",
     "orders_by_nation",
     "tpch_q3_topk",
     "tpch_q5_region_revenue",
+    "tpch_q6_revenue",
+    "tpch_q10_returned_topk",
     "events_hourly_rollup",
     "events_rollup_cube",
     "events_type_pivot",
@@ -62,6 +65,8 @@ DRIVER_PRIORITY = [
     # round-4 re-checks (2)
     "mix_corpus",
     "q17_session_quantiles",
+    # round-4 additions — never driver-checked
+    "sample_weighted",
 ]
 
 
@@ -85,6 +90,7 @@ def all_queries():
         from duckdb_behavioral_spark.streaming.parity import (
             streaming_cms_parity,
             streaming_dedup_parity,
+            streaming_enrich_parity,
             streaming_rollup_parity,
             streaming_funnel_parity,
             streaming_minhash_parity,
@@ -97,6 +103,7 @@ def all_queries():
         out["streaming_minhash_parity"] = streaming_minhash_parity
         out["streaming_cms_parity"] = streaming_cms_parity
         out["streaming_rollup_parity"] = streaming_rollup_parity
+        out["streaming_enrich_parity"] = streaming_enrich_parity
     except ImportError:
         pass
     return _prioritized(out)
@@ -121,4 +128,6 @@ def all_oracles():
 
     out["streaming_cms_parity"] = CMS_SKETCH_SQL
     out["streaming_rollup_parity"] = out.get("events_hourly_rollup")
+    # the streamed stream-static enrichment must equal the batch join
+    out["streaming_enrich_parity"] = out.get("orders_by_nation")
     return _prioritized(out)

@@ -393,3 +393,88 @@ def streaming_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def streaming_enrich_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARED query: stream-STATIC broadcast-join enrichment — the
+    one production streaming pattern the other six gates don't cover.
+    Replay the orders table as a 4-micro-batch stream, join each batch
+    against the static customer->nation dimension chain (nation
+    broadcast, exactly like the batch plan), aggregate per nation, and
+    fold the per-batch partials with commutative merges
+    (count: +, min: min, max: max). The folded result must hash-match
+    the BATCH ``orders_by_nation`` oracle.
+
+    Chunks interleave on ``o_orderkey % 4`` (NOT time-ordered):
+    because every fold is commutative, arrival order must not matter —
+    the same order-independence claim the CMS gate makes, here proven
+    through a stream-static join.
+    """
+    from duckdb_behavioral_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # the static side is resolved ONCE and broadcast into every
+    # micro-batch plan — at scale this is the slowly-changing-dimension
+    # enrichment shape (re-resolve by restarting the query on dim change)
+    dim = F.broadcast(
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "n_name")
+    )
+
+    src = tempfile.mkdtemp(prefix="sg_enrich_src_")
+    try:
+        for i in range(N_CHUNKS):
+            (orders.where(F.col("o_orderkey") % N_CHUNKS == i)
+             .coalesce(1).write.mode("append").parquet(src))
+
+        stream = spark.readStream.schema(
+            "o_orderkey long, o_custkey long, o_totalprice double"
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+
+        state: dict = {}
+
+        def fold_batch(bdf: DataFrame, _epoch: int) -> None:
+            part = (
+                bdf.join(dim, bdf.o_custkey == dim.c_custkey)
+                .groupBy("n_name")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.min("o_totalprice").alias("mn"),
+                    F.max("o_totalprice").alias("mx"),
+                )
+            )
+            for r in part.collect():
+                n, mn, mx = state.get(r["n_name"], (0, None, None))
+                state[r["n_name"]] = (
+                    n + int(r["n"]),
+                    r["mn"] if mn is None else min(mn, r["mn"]),
+                    r["mx"] if mx is None else max(mx, r["mx"]),
+                )
+
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(fold_batch)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        rows = [
+            (name, int(n), float(mn), float(mx))
+            for name, (n, mn, mx) in state.items()
+        ]
+        got = spark.createDataFrame(
+            rows or [(None, None, None, None)],
+            "n_name string, n_orders long, min_total double, max_total double",
+        )
+        if not rows:
+            got = got.where(F.lit(False))
+        return got
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
