@@ -231,3 +231,33 @@ def test_tpch_q3_segment_filter_pushed(spark, sf):
 
     plan = plan_of(q_tpch_q3_topk(spark, sf))
     assert re.search(r"PushedFilters: \[.*EqualTo\(c_mktsegment,BUILDING\)", plan)
+
+
+def test_tpch_q6_filters_pushed_no_shuffle_of_rows(spark, sf):
+    # every Q6 predicate reaches the lineitem scan; the only exchange
+    # is the 1-row partial-aggregate fold
+    from duckdb_behavioral_spark.functions.compositions import q_tpch_q6_revenue
+
+    df = q_tpch_q6_revenue(spark, sf)
+    plan = plan_of(df)
+    # executedPlan().toString() truncates the long filter list — read
+    # the full scan node from the formatted explain
+    fmt = df._sc._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate", fmt)
+    assert re.search(r"PushedFilters: \[.*LessThan\(l_quantity,24\.0\)", fmt)
+    assert plan.count("Exchange") == 1
+    assert "Exchange SinglePartition" in plan  # the 1-row final agg
+
+
+def test_tpch_q10_broadcast_nation_topk_no_global_sort(spark, sf):
+    from duckdb_behavioral_spark.functions.compositions import (
+        q_tpch_q10_returned_topk,
+    )
+
+    plan = plan_of(q_tpch_q10_returned_topk(spark, sf))
+    assert "BroadcastHashJoin" in plan  # nation
+    assert re.search(r"PushedFilters: \[.*EqualTo\(l_returnflag,R\)", plan)
+    # top-20 via per-task heaps, not a global sort of the aggregate
+    assert "TakeOrderedAndProject" in plan

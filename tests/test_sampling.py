@@ -43,3 +43,36 @@ def test_per_stratum_topk_exact_and_stable(spark):
     for _, lang, _ in a:
         counts[lang] = counts.get(lang, 0) + 1
     assert counts == {"en": 10, "de": 10, "fr": 10}
+
+
+def test_weighted_sample_clamps_and_is_stable(spark):
+    from pyspark.sql import functions as F
+
+    from duckdb_behavioral_spark.functions.sampling import sample_weighted
+
+    d = _docs(spark)
+    # weight 1000+ keeps everything, weight <= 0 drops everything
+    assert sample_weighted(d, F.lit(5000), "doc_id").count() == 500
+    assert sample_weighted(d, F.lit(0), "doc_id").count() == 0
+    assert sample_weighted(d, F.lit(-10), "doc_id").count() == 0
+    # stable under repartitioning
+    w = (F.col("n_chars") * 150).cast("long")  # 0..900 permille
+    a = {r["doc_id"] for r in sample_weighted(d.coalesce(1), w, "doc_id").collect()}
+    b = {r["doc_id"] for r in sample_weighted(d.repartition(16), w, "doc_id").collect()}
+    assert a == b
+    assert 0 < len(a) < 500
+    # weight-0 rows can never appear
+    kept_zero = sample_weighted(d, w, "doc_id").where(F.col("n_chars") == 0).count()
+    assert kept_zero == 0
+
+
+def test_weighted_sample_proportionality(spark):
+    from pyspark.sql import functions as F
+
+    from duckdb_behavioral_spark.functions.sampling import sample_weighted
+
+    d = _docs(spark, 2000)
+    # n_chars cycles 0..6 -> weight 0..600 permille, mean 300
+    w = (F.col("n_chars") * 100).cast("long")
+    n = sample_weighted(d, w, "doc_id").count()
+    assert 480 < n < 720  # ~600 expected under uniform hashing
