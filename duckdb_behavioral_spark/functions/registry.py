@@ -59,6 +59,7 @@ EXT_QUERIES = {
     "ann_lsh_buckets": S.q_ann_lsh_buckets,
     "ann_ivf_topk": S.q_ann_ivf_topk,
     "ann_ivf_kmeans_topk": S.q_ann_ivf_kmeans_topk,
+    "ann_pq_topk": S.q_ann_pq_topk,
     # multimodal
     "multimodal_features": M.q_multimodal_features,
     "multimodal_frames": M.q_multimodal_frames,
@@ -133,6 +134,7 @@ EXT_ORACLES = {
     "ann_lsh_buckets": S.LSH_BUCKETS_SQL,
     "ann_ivf_topk": S.ANN_IVF_SQL,
     "ann_ivf_kmeans_topk": S.ANN_IVF_KMEANS_SQL,
+    "ann_pq_topk": S.ANN_PQ_SQL,
     "multimodal_features": M.MULTIMODAL_SQL,
     "multimodal_frames": M.MULTIMODAL_FRAMES_SQL,
     "multimodal_bmp_decode": M.BMP_DECODE_SQL,

@@ -443,3 +443,240 @@ def q_ann_ivf_kmeans_topk(spark, sf_dir):
 
 def q_ann_lsh_buckets(spark, sf_dir):
     return lsh_buckets(_emb(spark, sf_dir))
+
+
+# --- PQ (product quantization) approximate top-k ---------------------------
+
+M_SUB = 8     # subspaces (64 dims -> 8 x 8)
+SUB_D = 8     # dims per subspace
+K_CODES = 16  # codewords per subspace: a code is 8 x 4 bits = 4 bytes
+RERANK = 20   # approximate candidates per query that get exact rerank
+
+
+def _l2sq(a, b):
+    """Index-ordered squared-L2 fold — bitwise identical cross-engine."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+
+def pq_codebook(e: DataFrame) -> DataFrame:
+    """ONE-row codebook DataFrame: columns ``cb0..cb{M-1}``, each a
+    ``K_CODES x SUB_D`` nested array — subspace ``m``'s codewords are
+    the m-th subvectors of the first ``K_CODES`` corpus vectors in
+    salted-hash order (deterministic uniform sample; same init rule as
+    the IVF centroids). O(M*K*SUB_D) = 1024 doubles total, corpus-size
+    independent — broadcastable forever.
+    """
+    h = F.conv(F.substring(F.md5(F.col("cid").cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+    samp = e.withColumn("__h", h).orderBy(F.asc("__h"), F.asc("cid")).limit(K_CODES)
+    # j = 0..K-1 in sample order; the window runs over <= K_CODES rows
+    pairs = samp.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("__h", "cid", "v"))).alias("ps")
+    )
+    def _sub_of(m: int):
+        # single-arg closure (see _sub_l2sq_of for the arity trap)
+        return lambda p: F.slice(p["v"], m * SUB_D + 1, SUB_D)
+
+    return pairs.select(
+        *[
+            F.transform(F.col("ps"), _sub_of(m)).alias(f"cb{m}")
+            for m in range(M_SUB)
+        ]
+    )
+
+
+def _sub_l2sq_of(m: int):
+    # single-arg closure: a 2-arg lambda would make F.transform pass
+    # the array INDEX as the second argument
+    return lambda cw: _l2sq(F.slice(F.col("v"), m * SUB_D + 1, SUB_D), cw)
+
+
+def _pq_code(vcol, m: int):
+    """argmin_j l2sq(subvec_m, cb{m}[j]) — first minimal j on ties
+    (array_position finds the FIRST index holding the exact min)."""
+    sub = F.slice(vcol, m * SUB_D + 1, SUB_D)
+    dists = F.transform(F.col(f"cb{m}"), lambda cw: _l2sq(sub, cw))
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
+
+
+def ann_pq_topk(
+    df: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-compressed ANN with asymmetric distance + exact rerank
+    (Jegou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011).
+
+    Scale story: each 64-double vector compresses to 8 nibble codes
+    (128x smaller), so the approximate scan touches 4 bytes/vector
+    instead of 512 — the difference between an in-memory and a
+    disk-bound corpus at 100 TB. The pipeline: (1) build the
+    O(M*K*SUB_D) codebook (corpus-size-independent, broadcast);
+    (2) encode the corpus map-side; (3) per query, precompute the
+    M x K distance table and score every code by an index-ordered
+    table-lookup fold (ADC) — map-side against the broadcast query
+    table; (4) per-query top-``RERANK`` by approximate distance
+    (WindowGroupLimit bounds the shuffle to R rows per query per map
+    partition); (5) exact squared-L2 rerank of the <= R survivors
+    against the raw vectors, top-``k``. Every fold is index-ordered
+    and every tie breaks on the smaller id, so both engines agree
+    bitwise. Approximate by design: recall vs ``ann_cosine_topk``
+    depends on M/K/RERANK.
+    """
+    e = (
+        df.select(
+            F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .withColumn("nrm", _norm(F.col("v")))
+        .where(F.col("nrm") > 0)
+        .drop("nrm")
+    )
+    cb = pq_codebook(e).limit(1)  # no-op cap: proves the broadcast bound
+    coded = e.crossJoin(F.broadcast(cb)).select(
+        "cid", F.array(*[_pq_code(F.col("v"), m) for m in range(M_SUB)]).alias("cl")
+    )
+    # per-query M x K distance table, built on the broadcast codebook
+    q = e.where(F.col("cid") < n_queries).limit(n_queries)
+    qdt = (
+        q.crossJoin(F.broadcast(cb))
+        .select(
+            F.col("cid").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.array(
+                *[
+                    F.transform(F.col(f"cb{m}"), _sub_l2sq_of(m))
+                    for m in range(M_SUB)
+                ]
+            ).alias("dt"),
+        )
+        .limit(n_queries)
+    )
+    # ADC: index-ordered fold of dt[m][code[m]] over the M subspaces
+    adist = F.aggregate(
+        F.sequence(F.lit(1), F.lit(M_SUB)),
+        F.lit(0.0),
+        lambda s, m: s
+        + F.element_at(
+            F.element_at(F.col("dt"), m.cast("int")),
+            (F.element_at(F.col("cl"), m.cast("int")) + 1).cast("int"),
+        ),
+    )
+    cand = (
+        coded.join(F.broadcast(qdt), F.col("cid") != F.col("query_id"))
+        .select("query_id", "qv", F.col("cid").alias("neighbor_id"), adist.alias("adist"))
+    )
+    w_pre = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    keep = (
+        cand.withColumn("arnk", F.row_number().over(w_pre))
+        .where(F.col("arnk") <= RERANK)
+        .select("query_id", "qv", "neighbor_id")
+    )
+    # exact rerank of the <= RERANK survivors against raw vectors
+    rer = keep.join(e, keep.neighbor_id == e.cid).select(
+        "query_id", "neighbor_id", _l2sq(F.col("qv"), F.col("v")).alias("ex")
+    )
+    w_fin = Window.partitionBy("query_id").orderBy(F.asc("ex"), F.asc("neighbor_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w_fin))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id")
+    )
+
+
+def q_ann_pq_topk(spark, sf_dir):
+    return ann_pq_topk(_emb(spark, sf_dir))
+
+
+def _sql_l2sq_slice(a: str, b: str, am: str, bm: str) -> str:
+    """Squared L2 between subspace ``am``/``bm`` slices of ``a``/``b``
+    (0-based subspace expressions), index-ordered fold."""
+    ai = f"{a}[{am} * {SUB_D} + i]"
+    bi = f"{b}[{bm} * {SUB_D} + i]"
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {SUB_D + 1}), "
+        f"i -> ({ai} - {bi}) * ({ai} - {bi}))), (s, x) -> s + x)"
+    )
+
+
+def _sql_l2sq_full(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (s, x) -> s + x)"
+    )
+
+
+ANN_PQ_SQL = f"""
+WITH e AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT cid, v,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(v, x -> x * x)), (s, x) -> s + x)) AS nrm
+  FROM e
+), n2 AS (
+  SELECT cid, v FROM n WHERE nrm > 0
+), cb AS (
+  SELECT row_number() OVER (
+           ORDER BY ('0x' || substr(md5(CAST(cid AS VARCHAR)), 1, 12))::BIGINT ASC,
+                    cid ASC) - 1 AS j, v
+  FROM n2
+  ORDER BY ('0x' || substr(md5(CAST(cid AS VARCHAR)), 1, 12))::BIGINT ASC, cid ASC
+  LIMIT {K_CODES}
+), codes AS (
+  SELECT cid, list(code ORDER BY m) AS cl FROM (
+    SELECT cid, m, j AS code,
+           row_number() OVER (PARTITION BY cid, m ORDER BY d ASC, j ASC) AS rnk
+    FROM (
+      SELECT n2.cid, r.m, cb.j,
+             {_sql_l2sq_slice('n2.v', 'cb.v', 'r.m', 'r.m')} AS d
+      FROM n2 CROSS JOIN range(0, {M_SUB}) r(m) CROSS JOIN cb))
+  WHERE rnk = 1 GROUP BY cid
+), q AS (
+  SELECT cid AS query_id, v AS qv FROM n2 WHERE cid < {N_QUERIES}
+), qdm AS (
+  SELECT query_id, m, list(d ORDER BY j) AS dr FROM (
+    SELECT q.query_id, r.m, cb.j,
+           {_sql_l2sq_slice('q.qv', 'cb.v', 'r.m', 'r.m')} AS d
+    FROM q CROSS JOIN range(0, {M_SUB}) r(m) CROSS JOIN cb)
+  GROUP BY query_id, m
+), qdt AS (
+  SELECT query_id, list(dr ORDER BY m) AS dt FROM qdm GROUP BY query_id
+), cand AS (
+  SELECT t.query_id, c.cid AS neighbor_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, {M_SUB + 1}),
+                            m -> t.dt[m][c.cl[m] + 1])),
+           (s, x) -> s + x) AS adist
+  FROM codes c CROSS JOIN qdt t
+  WHERE c.cid <> t.query_id
+), keep AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS arnk
+    FROM cand)
+  WHERE arnk <= {RERANK}
+), rer AS (
+  SELECT k.query_id, k.neighbor_id,
+         {_sql_l2sq_full('q.qv', 'n2.v')} AS ex
+  FROM keep k
+  JOIN q ON q.query_id = k.query_id
+  JOIN n2 ON n2.cid = k.neighbor_id
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY ex ASC, neighbor_id ASC) AS rank
+  FROM rer)
+WHERE rank <= {TOP_K}
+"""

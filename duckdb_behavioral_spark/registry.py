@@ -67,6 +67,7 @@ DRIVER_PRIORITY = [
     "q17_session_quantiles",
     # round-4 additions — never driver-checked
     "sample_weighted",
+    "ann_pq_topk",
 ]
 
 
