@@ -175,11 +175,15 @@ def test_bm25_broadcasts_and_single_corpus_scan(spark, sf):
     from duckdb_behavioral_spark.functions.search import q_bm25_topk
 
     plan = plan_of(q_bm25_topk(spark, sf))
-    # df/meta/query-term sides all broadcast; corpus side scans once
-    # (tf is checkpointed: later consumers read Scan ExistingRDD)
-    assert "BroadcastHashJoin" in plan
+    # single-corpus-scan shape: per_doc is checkpointed (ExistingRDD),
+    # the 1-row (n_docs, sum_dl, df_i) stats row joins back as a
+    # broadcast CROSS join (BroadcastNestedLoopJoin over one row — the
+    # correct plan for a scalar broadcast), and the top-k is
+    # TakeOrderedAndProject, not a global rank window
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Scan parquet") <= 1
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_cms_sketch_partial_aggregation(spark, sf):
