@@ -17,6 +17,7 @@ from duckdb_behavioral_spark.functions import passages as PG
 from duckdb_behavioral_spark.functions import reports as RP
 from duckdb_behavioral_spark.functions import search as SE
 from duckdb_behavioral_spark.functions import text as TX
+from duckdb_behavioral_spark.functions import tpch_extra as TE
 from duckdb_behavioral_spark.operators import attribution as AT
 from duckdb_behavioral_spark.operators import concurrency as CCY
 from duckdb_behavioral_spark.operators import graph as GR
@@ -93,6 +94,10 @@ EXT_QUERIES = {
     "tpch_q5_region_revenue": C.q_tpch_q5_region_revenue,
     "tpch_q6_revenue": C.q_tpch_q6_revenue,
     "tpch_q10_returned_topk": C.q_tpch_q10_returned_topk,
+    "tpch_q14_promo": TE.q_tpch_q14_promo,
+    "tpch_q18_large_orders": TE.q_tpch_q18_large_orders,
+    "tpch_q4_late_orders": TE.q_tpch_q4_late_orders,
+    "customers_inactive_antijoin": TE.q_customers_inactive,
     "events_hourly_rollup": C.q_events_hourly_rollup,
     "events_rollup_cube": C.q_events_rollup_cube,
     "events_type_pivot": C.q_events_type_pivot,
@@ -162,6 +167,10 @@ EXT_ORACLES = {
     "tpch_q5_region_revenue": C.TPCH_Q5_SQL,
     "tpch_q6_revenue": C.TPCH_Q6_SQL,
     "tpch_q10_returned_topk": C.TPCH_Q10_SQL,
+    "tpch_q14_promo": TE.TPCH_Q14_SQL,
+    "tpch_q18_large_orders": TE.TPCH_Q18_SQL,
+    "tpch_q4_late_orders": TE.TPCH_Q4_SQL,
+    "customers_inactive_antijoin": TE.CUSTOMERS_INACTIVE_SQL,
     "events_hourly_rollup": C.EVENTS_HOURLY_SQL,
     "events_rollup_cube": C.EVENTS_ROLLUP_CUBE_SQL,
     "events_type_pivot": C.EVENTS_TYPE_PIVOT_SQL,

@@ -68,6 +68,10 @@ DRIVER_PRIORITY = [
     # round-4 additions — never driver-checked
     "sample_weighted",
     "ann_pq_topk",
+    "tpch_q14_promo",
+    "tpch_q18_large_orders",
+    "tpch_q4_late_orders",
+    "customers_inactive_antijoin",
 ]
 
 

@@ -265,3 +265,53 @@ def test_tpch_q10_broadcast_nation_topk_no_global_sort(spark, sf):
     assert re.search(r"PushedFilters: \[.*EqualTo\(l_returnflag,R\)", plan)
     # top-20 via per-task heaps, not a global sort of the aggregate
     assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q4_is_left_semi_no_row_multiplication(spark, sf):
+    # EXISTS must compile to a semi join (stop at first match), not an
+    # inner join + distinct that materializes every matching line
+    from duckdb_behavioral_spark.functions.tpch_extra import q_tpch_q4_late_orders
+
+    plan = plan_of(q_tpch_q4_late_orders(spark, sf))
+    assert "LeftSemi" in plan
+    assert "Aggregate" not in plan.split("LeftSemi")[1].split("Scan")[0]
+
+
+def test_customers_inactive_is_left_anti(spark, sf):
+    # NOT EXISTS must compile to an anti join, never a
+    # BroadcastNestedLoop null-semantics rewrite or a left join + filter
+    from duckdb_behavioral_spark.functions.tpch_extra import q_customers_inactive
+
+    plan = plan_of(q_customers_inactive(spark, sf))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_tpch_q18_having_prunes_before_joins(spark, sf):
+    # the qty HAVING runs on the lineitem aggregate BEFORE orders/
+    # customer join it, and the top-100 is per-task heaps
+    from duckdb_behavioral_spark.functions.tpch_extra import (
+        q_tpch_q18_large_orders,
+    )
+
+    df = q_tpch_q18_large_orders(spark, sf)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    # optimized plan: Filter(sum > T) sits under the joins, directly
+    # over the per-orderkey Aggregate
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    join_pos = opt.find("Join")
+    filt_pos = opt.find("Filter (")
+    agg_pos = opt.rfind("Aggregate")
+    assert -1 < join_pos < opt.find("sum(")  # sum filter below the joins
+    assert agg_pos > join_pos
+
+
+def test_tpch_q14_single_pass_conditional_agg(spark, sf):
+    # promo/total both fold from the SAME joined rows: one lineitem
+    # scan, one part scan, no self-join or union of two aggregates
+    from duckdb_behavioral_spark.functions.tpch_extra import q_tpch_q14_promo
+
+    plan = plan_of(q_tpch_q14_promo(spark, sf))
+    assert plan.count("Scan parquet") == 2
+    assert "Union" not in plan
