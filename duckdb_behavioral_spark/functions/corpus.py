@@ -349,3 +349,77 @@ SELECT r.doc_id, CAST(r.rk AS BIGINT) AS rk, r.term, r.tf, d.df_docs
 FROM ranked r JOIN dfreq d ON r.term = d.term
 WHERE r.rk <= {TOPK_TERMS}
 """
+
+
+def doc_rarity(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document rare-term density: how much of a doc's vocabulary
+    appears NOWHERE else in the corpus.
+
+    Hapax density is a standard curation signal — very high values
+    flag OCR noise, mojibake, and random-string spam (every "term"
+    unique); very low values flag boilerplate assembled entirely from
+    corpus-common words. Output per doc: ``n_terms`` (distinct terms),
+    ``n_hapax`` (those with corpus document-frequency 1), and
+    ``hapax_permille`` = floor(1000 * n_hapax / n_terms) — integer
+    output, cross-engine exact (the single 1000*h/t double op is
+    identical IEEE everywhere; see functions/sketches.py float rules).
+
+    Shape: the same (doc, term) distinct aggregate and term-keyed
+    document-frequency table as ``topk_terms`` — one corpus scan, two
+    vocabulary-keyed shuffles (term cardinality, not token count), a
+    join back on term, and a per-doc re-aggregate. Everything is
+    linear in distinct (doc, term) pairs; no pairwise anything.
+    """
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_docs")
+    )
+    per_doc = (
+        tf.join(dfreq, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum(F.when(F.col("df_docs") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_terms",
+        "n_hapax",
+        F.floor(F.lit(1000.0) * F.col("n_hapax") / F.col("n_terms"))
+        .cast("long")
+        .alias("hapax_permille"),
+    )
+
+
+def q_doc_rarity(spark, sf_dir):
+    return doc_rarity(_docs(spark, sf_dir))
+
+
+DOC_RARITY_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_docs FROM tf GROUP BY term),
+agg AS (
+  SELECT tf.doc_id,
+         CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(SUM(CASE WHEN d.df_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hapax
+  FROM tf JOIN dfreq d ON tf.term = d.term
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, n_terms, n_hapax,
+       CAST(FLOOR(1000.0 * n_hapax / n_terms) AS BIGINT) AS hapax_permille
+FROM agg
+"""

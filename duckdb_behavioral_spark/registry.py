@@ -72,6 +72,7 @@ DRIVER_PRIORITY = [
     "tpch_q18_large_orders",
     "tpch_q4_late_orders",
     "customers_inactive_antijoin",
+    "corpus_doc_rarity",
 ]
 
 
