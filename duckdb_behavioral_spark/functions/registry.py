@@ -18,6 +18,7 @@ from duckdb_behavioral_spark.functions import reports as RP
 from duckdb_behavioral_spark.functions import search as SE
 from duckdb_behavioral_spark.functions import text as TX
 from duckdb_behavioral_spark.functions import tpch_extra as TE
+from duckdb_behavioral_spark.functions import experiments as EX
 from duckdb_behavioral_spark.operators import attribution as AT
 from duckdb_behavioral_spark.operators import concurrency as CCY
 from duckdb_behavioral_spark.operators import graph as GR
@@ -72,6 +73,7 @@ EXT_QUERIES = {
     "rolling_active_users": CHT.q_rolling_active,
     "cohort_funnel": CHT.q_cohort_funnel,
     "attribution_last_touch": AT.q_attribution_last_touch,
+    "ab_funnel_significance": EX.q_ab_funnel_significance,
     "session_transitions": AT.q_session_transitions,
     "funnel_step_timings": AT.q_funnel_step_timings,
     "session_concurrency": CCY.q_session_concurrency,
@@ -150,6 +152,7 @@ EXT_ORACLES = {
     "rolling_active_users": CHT.ROLLING_ACTIVE_SQL,
     "cohort_funnel": CHT.COHORT_FUNNEL_SQL,
     "attribution_last_touch": AT.ATTRIBUTION_SQL,
+    "ab_funnel_significance": EX.AB_FUNNEL_SQL,
     "session_transitions": AT.SESSION_TRANSITIONS_SQL,
     "funnel_step_timings": AT.FUNNEL_TIMINGS_SQL,
     "session_concurrency": CCY.SESSION_CONCURRENCY_SQL,

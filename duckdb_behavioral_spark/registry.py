@@ -73,6 +73,7 @@ DRIVER_PRIORITY = [
     "tpch_q4_late_orders",
     "customers_inactive_antijoin",
     "corpus_doc_rarity",
+    "ab_funnel_significance",
 ]
 
 
