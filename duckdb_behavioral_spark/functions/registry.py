@@ -53,6 +53,7 @@ EXT_QUERIES = {
     # sketches
     "sketch_hll": SK.q_sketch_hll,
     "sketch_kmv_overlap": SK.q_sketch_kmv_overlap,
+    "sketch_quantile_sample": SK.q_quantile_sample,
     # sampling
     "sample_stratified": SA.q_sample_stratified,
     "sample_per_stratum_topk": SA.q_sample_per_stratum_topk,
@@ -136,6 +137,7 @@ EXT_ORACLES = {
     "dedup_embedding_cosine": D.COSINE_DUP_SQL,
     "sketch_hll": SK.SKETCH_HLL_SQL,
     "sketch_kmv_overlap": SK.SKETCH_KMV_SQL,
+    "sketch_quantile_sample": SK.QUANTILE_SAMPLE_SQL,
     "sample_stratified": SA.SAMPLE_STRATIFIED_SQL,
     "sample_per_stratum_topk": SA.SAMPLE_PER_STRATUM_SQL,
     "sample_weighted": SA.SAMPLE_WEIGHTED_SQL,

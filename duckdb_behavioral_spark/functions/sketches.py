@@ -391,3 +391,143 @@ JOIN sizes sb ON sb.day = jest.pair_day + 1
 LEFT JOIN inter ON inter.pair_day = jest.pair_day
 JOIN kest ON kest.day = jest.pair_day
 """
+
+
+# --- deterministic-sample quantiles ---------------------------------------
+
+QSAMPLE_K = 256
+QSAMPLE_PS = (0.5, 0.9, 0.99)
+
+
+def quantile_sample(df: DataFrame, value: str, key: str) -> DataFrame:
+    """One-row quantile readout: sample-estimated p50/p90/p99 of
+    ``value`` next to the EXACT order statistics, from one scan each.
+
+    The estimator completes the sketch family (HLL = distinct, KMV =
+    overlap, CMS = frequency): a k-minimum-hash ROW sample — the
+    ``QSAMPLE_K`` rows whose salted md5 of ``key`` is smallest. Like
+    KMV, the sample is a pure function of the data (no rand()): it is
+    identical across engines/reruns/partitionings, and MERGEABLE —
+    the union's k-min rows are a subset of the parts' k-min rows, so
+    shards/days combine by union + re-limit, which is what makes it a
+    sketch rather than a sample. The empirical quantile picks index
+    ``floor(p * (m-1))`` of the value-sorted sample (lower order
+    statistic — no interpolation, so no float arithmetic beyond one
+    multiply that both engines do identically).
+
+    The exact side uses two-pass rank selection
+    (:mod:`duckdb_behavioral_spark.operators.rank_select`) — global
+    order statistics with NO single-partition sort; the rank window
+    runs per range-partition. Estimate and exact land in the same row
+    so the error is auditable in-place.
+
+    Scale shape: the sample is a distributed TakeOrdered of k tiny
+    rows; the bounded <=k-row ranking window is the same sanctioned
+    shape as ``functions/topk.ranked_topk``. The exact side is two
+    linear passes. Nothing data-sized ever serializes.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("qs:"), F.col(key).cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    samp = (
+        df.select(F.col(value).alias("v"), h.alias("h"))
+        .orderBy(F.col("h").asc(), F.col("v").asc())
+        .limit(QSAMPLE_K)
+    )
+    m_row = samp.agg(F.count("*").cast("long").alias("__m"))
+    from pyspark.sql import Window
+
+    i = F.row_number().over(Window.orderBy(F.col("v").asc(), F.col("h").asc())) - 1
+    ranked = samp.withColumn("__i", i.cast("long")).crossJoin(F.broadcast(m_row))
+    est = ranked.agg(
+        F.max("__m").alias("n_sample"),
+        *[
+            F.max(
+                F.when(
+                    F.col("__i")
+                    == F.floor(F.lit(p) * (F.col("__m") - 1)).cast("long"),
+                    F.col("v"),
+                )
+            ).alias(f"est_p{int(p * 100)}")
+            for p in QSAMPLE_PS
+        ],
+    )
+
+    from duckdb_behavioral_spark.operators.rank_select import with_global_rank
+
+    r = with_global_rank(df.select(F.col(value).alias("v")), [F.col("v").asc()])
+    exact = r.agg(
+        F.max("__n").alias("n_rows"),
+        *[
+            F.max(
+                F.when(
+                    F.col("__grank")
+                    == F.floor(F.lit(p) * (F.col("__n") - 1)).cast("long") + 1,
+                    F.col("v"),
+                )
+            ).alias(f"exact_p{int(p * 100)}")
+            for p in QSAMPLE_PS
+        ],
+    )
+    return est.crossJoin(exact).select(
+        "n_rows",
+        "n_sample",
+        *[
+            c
+            for p in QSAMPLE_PS
+            for c in (f"est_p{int(p * 100)}", f"exact_p{int(p * 100)}")
+        ],
+    )
+
+
+def q_quantile_sample(spark, sf_dir):
+    from duckdb_behavioral_spark.sources import load_events
+
+    return quantile_sample(load_events(spark, sf_dir), "value", "event_id")
+
+
+def _q_est_sql(p: float) -> str:
+    return (
+        f"MAX(CASE WHEN i = CAST(FLOOR({p} * (m - 1)) AS BIGINT) "
+        f"THEN v END) AS est_p{int(p * 100)}"
+    )
+
+
+def _q_exact_sql(p: float) -> str:
+    return (
+        f"MAX(CASE WHEN rk = CAST(FLOOR({p} * (n - 1)) AS BIGINT) + 1 "
+        f"THEN v END) AS exact_p{int(p * 100)}"
+    )
+
+
+QUANTILE_SAMPLE_SQL = f"""
+WITH samp AS (
+  SELECT value AS v,
+         ('0x' || substr(md5('qs:' || CAST(event_id AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM events
+  ORDER BY h ASC, v ASC LIMIT {QSAMPLE_K}
+), m_row AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m FROM samp
+), ranked AS (
+  SELECT v, CAST(row_number() OVER (ORDER BY v ASC, h ASC) - 1 AS BIGINT) AS i
+  FROM samp
+), est AS (
+  SELECT MAX(m) AS n_sample,
+         {", ".join(_q_est_sql(p) for p in QSAMPLE_PS)}
+  FROM ranked CROSS JOIN m_row
+), allr AS (
+  SELECT value AS v,
+         CAST(row_number() OVER (ORDER BY value ASC) AS BIGINT) AS rk,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM events
+), exact AS (
+  SELECT MAX(n) AS n_rows,
+         {", ".join(_q_exact_sql(p) for p in QSAMPLE_PS)}
+  FROM allr
+)
+SELECT n_rows, n_sample,
+       {", ".join(f"est_p{int(p * 100)}, exact_p{int(p * 100)}" for p in QSAMPLE_PS)}
+FROM est CROSS JOIN exact
+"""

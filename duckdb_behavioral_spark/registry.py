@@ -74,6 +74,7 @@ DRIVER_PRIORITY = [
     "customers_inactive_antijoin",
     "corpus_doc_rarity",
     "ab_funnel_significance",
+    "sketch_quantile_sample",
 ]
 
 

@@ -170,3 +170,46 @@ def test_linear_count_small_range(spark):
     assert abs(lc - 100) <= 15, lc
     with pytest.raises(ValueError):
         hll_linear_count(M, 0)
+
+
+# --- deterministic-sample quantiles ---------------------------------------
+
+
+def test_quantile_sample_mergeable_and_deterministic(spark):
+    """The k-min row sample is a sketch: k-min(A ∪ B) ==
+    k-min(k-min(A) ∪ k-min(B)), and re-running it reproduces the
+    identical sample (pure function of the data)."""
+    from duckdb_behavioral_spark.functions.sketches import QSAMPLE_K
+    from pyspark.sql import functions as F
+
+    df = spark.range(5000).select(
+        F.col("id").alias("event_id"), (F.col("id") % 997).cast("double").alias("value")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("qs:"), F.col("event_id").cast("string"))), 1, 12),
+        16, 10,
+    ).cast("long")
+    hashed = df.select("value", h.alias("h"))
+
+    def kmin(d):
+        return d.orderBy(F.col("h").asc(), F.col("value").asc()).limit(QSAMPLE_K)
+
+    a, b = hashed.where(F.col("h") % 2 == 0), hashed.where(F.col("h") % 2 == 1)
+    direct = sorted(map(tuple, kmin(hashed).collect()))
+    merged = sorted(map(tuple, kmin(kmin(a).unionAll(kmin(b))).collect()))
+    assert direct == merged
+    assert direct == sorted(map(tuple, kmin(hashed).collect()))  # rerun
+
+
+def test_quantile_sample_estimates_track_exact(spark, sf_dir):
+    from duckdb_behavioral_spark.functions.sketches import q_quantile_sample
+
+    r = q_quantile_sample(spark, sf_dir).collect()[0]
+    assert r.n_sample <= 256 and r.n_rows >= r.n_sample
+    # exact order statistics are ordered; estimates sit inside the
+    # population range and within a loose relative band of the exact
+    assert r.exact_p50 <= r.exact_p90 <= r.exact_p99
+    assert r.est_p50 <= r.est_p90 <= r.est_p99
+    for p in (50, 90):
+        est, ex = getattr(r, f"est_p{p}"), getattr(r, f"exact_p{p}")
+        assert abs(est - ex) <= 0.35 * max(abs(ex), 1.0), (p, est, ex)
