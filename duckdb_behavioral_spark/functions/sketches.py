@@ -426,16 +426,32 @@ def quantile_sample(df: DataFrame, value: str, key: str) -> DataFrame:
     shape as ``functions/topk.ranked_topk``. The exact side is two
     linear passes. Nothing data-sized ever serializes.
     """
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit("qs:"), F.col(key).cast("string"))), 1, 12),
+    samp = kmin_sample(df, value, key)
+    return quantile_readout(samp, df.select(F.col(value).alias("v")))
+
+
+def qsample_hash(key_col) -> "F.Column":
+    """48-bit salted hash ordering the k-min row sample."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("qs:"), key_col.cast("string"))), 1, 12),
         16,
         10,
     ).cast("long")
-    samp = (
-        df.select(F.col(value).alias("v"), h.alias("h"))
+
+
+def kmin_sample(df: DataFrame, value: str, key: str) -> DataFrame:
+    """The ``QSAMPLE_K`` rows with smallest salted key hash, as
+    (v, h). Mergeable: union parts' samples and re-apply."""
+    return (
+        df.select(F.col(value).alias("v"), qsample_hash(F.col(key)).alias("h"))
         .orderBy(F.col("h").asc(), F.col("v").asc())
         .limit(QSAMPLE_K)
     )
+
+
+def quantile_readout(samp: DataFrame, pop: DataFrame) -> DataFrame:
+    """Estimate quantiles from a (v, h) sample next to exact order
+    statistics of the (v) population ``pop``."""
     m_row = samp.agg(F.count("*").cast("long").alias("__m"))
     from pyspark.sql import Window
 
@@ -457,7 +473,7 @@ def quantile_sample(df: DataFrame, value: str, key: str) -> DataFrame:
 
     from duckdb_behavioral_spark.operators.rank_select import with_global_rank
 
-    r = with_global_rank(df.select(F.col(value).alias("v")), [F.col("v").asc()])
+    r = with_global_rank(pop, [F.col("v").asc()])
     exact = r.agg(
         F.max("__n").alias("n_rows"),
         *[

@@ -25,6 +25,7 @@ DRIVER_PRIORITY = [
     "streaming_minhash_parity",
     "streaming_cms_parity",
     "streaming_rollup_parity",
+    "streaming_quantile_parity",
     # host-surface compositions / TPC-H / capstones (16)
     "tpch_pricing_flags",
     "orders_by_nation",
@@ -59,8 +60,8 @@ DRIVER_PRIORITY = [
     "search_bm25_topk",
     "dedup_passage",
     "sketch_cms_heavy_hitters",
-    # temporal joins (2)
-    "asof_view_before_purchase",
+    # temporal joins (asof already driver-green in rounds 1-3; it
+    # rides local parity so the window stays at 50)
     "range_views_after_error",
     # round-4 re-checks (2)
     "mix_corpus",
@@ -102,6 +103,7 @@ def all_queries():
             streaming_rollup_parity,
             streaming_funnel_parity,
             streaming_minhash_parity,
+            streaming_quantile_parity,
             streaming_sessionize_parity,
         )
 
@@ -112,6 +114,7 @@ def all_queries():
         out["streaming_cms_parity"] = streaming_cms_parity
         out["streaming_rollup_parity"] = streaming_rollup_parity
         out["streaming_enrich_parity"] = streaming_enrich_parity
+        out["streaming_quantile_parity"] = streaming_quantile_parity
     except ImportError:
         pass
     return _prioritized(out)
@@ -138,4 +141,5 @@ def all_oracles():
     out["streaming_rollup_parity"] = out.get("events_hourly_rollup")
     # the streamed stream-static enrichment must equal the batch join
     out["streaming_enrich_parity"] = out.get("orders_by_nation")
+    out["streaming_quantile_parity"] = out.get("sketch_quantile_sample")
     return _prioritized(out)

@@ -478,3 +478,65 @@ def streaming_enrich_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         return got
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def streaming_quantile_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARED query: the k-min quantile sample's mergeability,
+    proven on a live stream. Replay events as 4 micro-batches
+    interleaved on ``event_id % 4`` (NOT time-ordered), take the
+    per-batch k-min (value, hash) sample, and fold the batches by the
+    sketch's merge op — union + re-limit. Because the k smallest
+    hashes of a union are a subset of the parts' k smallest, the
+    folded sample is IDENTICAL to the batch sample regardless of
+    chunking or arrival order; the quantile readout over it must
+    hash-match the batch ``sketch_quantile_sample`` oracle (the exact
+    order-statistic columns come from the full static table, as in
+    the batch query — the streamed artifact is the sample).
+    """
+    from duckdb_behavioral_spark.functions.sketches import (
+        QSAMPLE_K,
+        kmin_sample,
+        quantile_readout,
+    )
+    from duckdb_behavioral_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir).select("event_id", "value")
+    src = tempfile.mkdtemp(prefix="sg_qs_src_")
+    try:
+        for i in range(N_CHUNKS):
+            (ev.where(F.col("event_id") % N_CHUNKS == i)
+             .coalesce(1).write.mode("append").parquet(src))
+
+        stream = spark.readStream.schema("event_id long, value double").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+
+        folded: list = []
+
+        def fold_batch(bdf: DataFrame, _epoch: int) -> None:
+            batch_samp = kmin_sample(bdf, "value", "event_id").collect()
+            folded.extend((float(r["v"]), int(r["h"])) for r in batch_samp)
+            # merge = union + re-limit: keep only the k smallest
+            folded.sort(key=lambda t: (t[1], t[0]))
+            del folded[QSAMPLE_K:]
+
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(fold_batch)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        samp = spark.createDataFrame(
+            [(v, h) for (v, h) in folded] or [(None, None)], "v double, h long"
+        )
+        if not folded:
+            samp = samp.where(F.lit(False))
+        return quantile_readout(
+            samp, load_events(spark, sf_dir).select(F.col("value").alias("v"))
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
