@@ -1,0 +1,55 @@
+"""Degenerate-input gate: every declared batch query must run on a
+ZERO-ROW dataset without raising.
+
+At 100 TB the empty case is not hypothetical — a date filter that
+matches nothing, a new tenant's partition, a replay from an empty
+upstream. Spark 4's ANSI mode turns unguarded 0/0 and casts of
+NaN/Infinity into runtime errors, and driver-side ``collect()`` seeds
+(k-means centroids, broadcast cut values) can crash on empty inputs —
+this sweep pins all of that. Global-aggregate queries may legitimately
+emit a single NULL-ish summary row; everything else must return an
+empty result.
+"""
+
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+# global aggregates that fold to one (NULL-ish) row even on no input
+ONE_ROW_OK = {
+    "tpch_q6_revenue", "tpch_q14_promo", "q17_session_quantiles",
+    "ab_funnel_significance", "sketch_quantile_sample",
+    "funnel_step_timings",
+}
+
+BATCH_QUERIES = sorted(
+    n for n in entrymod.queries() if not n.startswith("streaming_")
+)
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory, sf_dir):
+    d = tmp_path_factory.mktemp("sf_empty")
+    for t in TABLES:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(src):
+            duckdb.sql(
+                f"COPY (SELECT * FROM read_parquet('{src}') LIMIT 0) "
+                f"TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", BATCH_QUERIES)
+def test_query_survives_empty_tables(spark, empty_dir, name):
+    n = entrymod.queries()[name](spark, empty_dir).count()
+    if name in ONE_ROW_OK:
+        assert n <= 2
+    else:
+        assert n == 0
