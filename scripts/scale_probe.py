@@ -104,6 +104,12 @@ def probe(spark, path: str) -> dict:
         .where(F.col("session_id").isNotNull())
     )
     run("session_concurrency", session_concurrency(sess))
+    # round-4 additions
+    from duckdb_behavioral_spark.functions.experiments import ab_funnel_significance
+    from duckdb_behavioral_spark.functions.sketches import quantile_sample
+
+    run("ab_funnel", ab_funnel_significance(ev))
+    run("quantile_sample", quantile_sample(ev, "value", "event_id"))
     return out
 
 
