@@ -60,18 +60,26 @@ def with_global_rank(
         .localCheckpoint(eager=False)
     )
     counts = ranged.groupBy("__pid").agg(F.count("*").alias("__cnt"))
-    one = counts.agg(
-        F.collect_list(F.struct("__pid", "__cnt")).alias("__arr"),
-        F.coalesce(F.sum("__cnt"), F.lit(0)).cast("long").alias(n_name),
+    # prefix offsets + total, computed over the <= num_partitions
+    # count rows (cluster-sized window, not data-sized), then
+    # broadcast-hash-joined back on __pid. This replaces the previous
+    # per-row HOF fold over a counts ARRAY, whose interpreted
+    # evaluation ran once per input row (measured ~2x the whole
+    # operator at 10M rows).
+    wprev = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    offset = F.aggregate(
-        F.filter("__arr", lambda x: x["__pid"] < F.col("__pid")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x["__cnt"],
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(wprev), F.lit(0))
+        .cast("long")
+        .alias("__off"),
+        F.sum("__cnt").over(wall).cast("long").alias(n_name),
     )
     local = F.row_number().over(Window.partitionBy("__pid").orderBy(*sort_cols))
     return (
-        ranged.crossJoin(F.broadcast(one))
-        .withColumn(rank_name, (offset + local).cast("long"))
-        .drop("__pid", "__arr")
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_name, (F.col("__off") + local).cast("long"))
+        .drop("__pid", "__off")
     )
