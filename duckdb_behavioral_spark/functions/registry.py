@@ -102,6 +102,7 @@ EXT_QUERIES = {
     "tpch_q18_large_orders": TE.q_tpch_q18_large_orders,
     "tpch_q4_late_orders": TE.q_tpch_q4_late_orders,
     "customers_inactive_antijoin": TE.q_customers_inactive,
+    "tpch_q19_disjunctive": TE.q_tpch_q19_disjunctive,
     "events_hourly_rollup": C.q_events_hourly_rollup,
     "events_rollup_cube": C.q_events_rollup_cube,
     "events_type_pivot": C.q_events_type_pivot,
@@ -178,6 +179,7 @@ EXT_ORACLES = {
     "tpch_q18_large_orders": TE.TPCH_Q18_SQL,
     "tpch_q4_late_orders": TE.TPCH_Q4_SQL,
     "customers_inactive_antijoin": TE.CUSTOMERS_INACTIVE_SQL,
+    "tpch_q19_disjunctive": TE.TPCH_Q19_SQL,
     "events_hourly_rollup": C.EVENTS_HOURLY_SQL,
     "events_rollup_cube": C.EVENTS_ROLLUP_CUBE_SQL,
     "events_type_pivot": C.EVENTS_TYPE_PIVOT_SQL,

@@ -273,3 +273,80 @@ WHERE NOT EXISTS (
 )
 GROUP BY c_mktsegment
 """
+
+
+# --- Q19 shape: disjunctive multi-clause join filter -----------------------
+
+Q19_CLAUSES = (
+    # (brand, size_lo, size_hi, qty_lo, qty_hi)
+    ("Brand#12", 1, 5, 1.0, 11.0),
+    ("Brand#23", 1, 10, 10.0, 20.0),
+    ("Brand#34", 1, 15, 20.0, 30.0),
+)
+
+
+def q_tpch_q19_disjunctive(spark, sf_dir):
+    """TPC-H Q19 shape: revenue from lineitems matching ANY of three
+    (brand, size-band, quantity-band) clauses — the canonical
+    OR-of-ANDs join filter.
+
+    Plan posture: the filter is a single disjunction evaluated AFTER
+    the partkey equi-join (each clause references both sides, so it
+    cannot be an extra join). What CAN push down, does: the
+    per-side bounds that hold across ALL clauses — quantity <= the
+    max band top and size bands' union — are implied prefilters each
+    scan applies (written explicitly below; Catalyst keeps them at
+    the scans), so the join probes a fraction of both tables and the
+    OR runs on the survivors in codegen. Revenue follows the
+    decimal-exact SUM contract.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    qty_cap = max(c[4] for c in Q19_CLAUSES)
+    qty_floor = min(c[3] for c in Q19_CLAUSES)
+    size_cap = max(c[2] for c in Q19_CLAUSES)
+    brands = [c[0] for c in Q19_CLAUSES]
+    li = li.where(
+        (F.col("l_quantity") >= F.lit(qty_floor))
+        & (F.col("l_quantity") <= F.lit(qty_cap))
+    )
+    part = part.where(
+        F.col("p_brand").isin(brands) & (F.col("p_size") <= F.lit(size_cap))
+        & (F.col("p_size") >= F.lit(1))
+    )
+    clause = None
+    for brand, slo, shi, qlo, qhi in Q19_CLAUSES:
+        c = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size") >= F.lit(slo))
+            & (F.col("p_size") <= F.lit(shi))
+            & (F.col("l_quantity") >= F.lit(qlo))
+            & (F.col("l_quantity") <= F.lit(qhi))
+        )
+        clause = c if clause is None else (clause | c)
+    rev = F.sum(
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .cast("decimal(30,10)")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .where(clause)
+        .agg(rev.cast("double").alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+def _q19_clause_sql(c) -> str:
+    brand, slo, shi, qlo, qhi = c
+    return (
+        f"(p_brand = '{brand}' AND p_size BETWEEN {slo} AND {shi} "
+        f"AND l_quantity >= {qlo} AND l_quantity <= {qhi})"
+    )
+
+
+TPCH_Q19_SQL = f"""
+SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                     AS DECIMAL(30,10))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {" OR ".join(_q19_clause_sql(c) for c in Q19_CLAUSES)}
+"""

@@ -60,6 +60,8 @@ def synthesize(spark, n: int, path: str):
             F.array(*[F.lit(t) for t in ("view", "click", "signup", "purchase", "error")]),
             (F.pmod(F.hash(F.col("id") * 13), F.lit(5)) + 1).cast("int"),
         ).alias("event_type"),
+        (F.pmod(F.hash(F.col("id") * 31), F.lit(100000)).cast("double")
+         / F.lit(100.0)).alias("value"),
     )
     df.write.mode("overwrite").parquet(path)
 
