@@ -60,22 +60,38 @@ def with_global_rank(
         .localCheckpoint(eager=False)
     )
     counts = ranged.groupBy("__pid").agg(F.count("*").alias("__cnt"))
-    # prefix offsets + total, computed over the <= num_partitions
-    # count rows (cluster-sized window, not data-sized), then
-    # broadcast-hash-joined back on __pid. This replaces the previous
-    # per-row HOF fold over a counts ARRAY, whose interpreted
-    # evaluation ran once per input row (measured ~2x the whole
-    # operator at 10M rows).
-    wprev = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    wall = Window.orderBy("__pid").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    # Fold the <= num_partitions count rows into ONE row (keys=[]
+    # global aggregate — the bounded single-partition shape the plan
+    # audit sanctions), run the prefix sum ONCE over that one sorted
+    # array (O(P^2) on a cluster-sized array — trivial, and evaluated
+    # exactly once, unlike the previous per-input-row HOF fold that
+    # was ~2x the whole operator at 10M rows), explode back to
+    # (pid, offset) rows and broadcast-hash-join them onto the data.
+    one = counts.agg(
+        F.array_sort(F.collect_list(F.struct("__pid", "__cnt"))).alias("__arr"),
+        F.coalesce(F.sum("__cnt"), F.lit(0)).cast("long").alias(n_name),
     )
-    offsets = counts.select(
-        "__pid",
-        F.coalesce(F.sum("__cnt").over(wprev), F.lit(0))
-        .cast("long")
-        .alias("__off"),
-        F.sum("__cnt").over(wall).cast("long").alias(n_name),
+    offs = F.when(
+        F.size("__arr") > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__arr")),
+            lambda i: F.struct(
+                F.element_at("__arr", i)["__pid"].alias("__pid"),
+                F.aggregate(
+                    F.slice("__arr", F.lit(1), i - 1),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x["__cnt"],
+                ).alias("__off"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<__pid:int,__off:bigint>>"))
+    offsets = (
+        one.select(F.explode(offs).alias("__o"), F.col(n_name))
+        .select(
+            F.col("__o.__pid").alias("__pid"),
+            F.col("__o.__off").alias("__off"),
+            n_name,
+        )
     )
     local = F.row_number().over(Window.partitionBy("__pid").orderBy(*sort_cols))
     return (
