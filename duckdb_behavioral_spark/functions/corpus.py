@@ -423,3 +423,99 @@ SELECT doc_id, n_terms, n_hapax,
        CAST(FLOOR(1000.0 * n_hapax / n_terms) AS BIGINT) AS hapax_permille
 FROM agg
 """
+
+
+def decontaminate_attributed(
+    train: DataFrame,
+    eval_set: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    eval_id_col: str = "eval_id",
+) -> DataFrame:
+    """Per-eval-document contamination attribution: for every training
+    document sharing >= 1 word-3-gram shingle with the eval set, the
+    single MOST-overlapping eval document and the containment score.
+
+    ``decontaminate_ngram`` answers "is this train doc contaminated?"
+    against the pooled eval shingles; removal pipelines also need
+    "*by which benchmark document*" — to quarantine per benchmark, to
+    audit false positives, and to report leakage per eval task. Output
+    one row per contaminated train doc:
+    ``(doc_id, eval_id, n_grams, matched, containment_permille)``
+    with ``matched`` = distinct shingles shared with THAT eval doc and
+    containment = floor(1000 * matched / n_grams) (integer, exact
+    cross-engine). Ties break toward the smallest eval id.
+
+    Scale shape: the (eval_id, shingle) table is broadcast (benchmark
+    MBs vs corpus TBs); the train side is shingled once map-side,
+    probed by broadcast hash join, and aggregated per (train, eval)
+    pair — the pair count is bounded by train-shingle hits, not
+    |train| x |eval|. The per-train top-1 is a WindowGroupLimit over
+    the pair aggregate (partitioned by train doc — parallel).
+    """
+    from pyspark.sql import Window
+
+    ev = eval_set.select(
+        F.col(id_col).alias(eval_id_col),
+        F.explode(shingles3(tokens(F.col(text)))).alias("__g"),
+    )
+    tr = train.select(F.col(id_col), shingles3(tokens(F.col(text))).alias("__grams"))
+    tr_g = tr.select(
+        F.col(id_col),
+        F.size("__grams").cast("long").alias("n_grams"),
+        F.explode(F.col("__grams")).alias("__g"),
+    )
+    pairs = (
+        tr_g.join(F.broadcast(ev), "__g")
+        .groupBy(id_col, "n_grams", eval_id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("matched"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("matched").desc(), F.col(eval_id_col).asc()
+    )
+    return (
+        pairs.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select(
+            id_col,
+            eval_id_col,
+            "n_grams",
+            "matched",
+            F.floor(F.lit(1000.0) * F.col("matched") / F.col("n_grams"))
+            .cast("long")
+            .alias("containment_permille"),
+        )
+    )
+
+
+def q_decontaminate_attributed(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") % DECON_EVAL_MOD == 0)
+    tr = docs.where(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    return decontaminate_attributed(tr, ev)
+
+
+DECONTAMINATE_ATTR_SQL = f"""
+WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SH} AS grams FROM t),
+ev AS (
+  SELECT doc_id AS eval_id, unnest(grams) AS g
+  FROM sh WHERE doc_id % {DECON_EVAL_MOD} = 0
+), tr AS (
+  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams, unnest(grams) AS g
+  FROM sh WHERE doc_id % {DECON_EVAL_MOD} <> 0
+), pairs AS (
+  SELECT tr.doc_id, tr.n_grams, ev.eval_id,
+         CAST(COUNT(*) AS BIGINT) AS matched
+  FROM tr JOIN ev USING (g)
+  GROUP BY tr.doc_id, tr.n_grams, ev.eval_id
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY matched DESC, eval_id ASC) AS rk
+  FROM pairs
+)
+SELECT doc_id, eval_id, n_grams, matched,
+       CAST(FLOOR(1000.0 * matched / n_grams) AS BIGINT)
+         AS containment_permille
+FROM ranked WHERE rk = 1
+"""

@@ -37,6 +37,7 @@ EXT_QUERIES = {
     "text_repetition": CO.q_text_repetition,
     "corpus_topk_terms": CO.q_topk_terms,
     "corpus_doc_rarity": CO.q_doc_rarity,
+    "corpus_decontaminate_attr": CO.q_decontaminate_attributed,
     "chunk_documents": CH.q_chunk_documents,
     "pack_sequences": CH.q_pack_sequences,
     "mix_corpus": MX.q_mix_corpus,
@@ -125,6 +126,7 @@ EXT_ORACLES = {
     "text_repetition": CO.REPETITION_SQL,
     "corpus_topk_terms": CO.TOPK_TERMS_SQL,
     "corpus_doc_rarity": CO.DOC_RARITY_SQL,
+    "corpus_decontaminate_attr": CO.DECONTAMINATE_ATTR_SQL,
     "chunk_documents": CH.CHUNK_DOCUMENTS_SQL,
     "pack_sequences": CH.PACK_SEQUENCES_SQL,
     "mix_corpus": MX.MIX_CORPUS_SQL,
