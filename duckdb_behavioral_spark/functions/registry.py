@@ -19,6 +19,7 @@ from duckdb_behavioral_spark.functions import search as SE
 from duckdb_behavioral_spark.functions import text as TX
 from duckdb_behavioral_spark.functions import tpch_extra as TE
 from duckdb_behavioral_spark.functions import experiments as EX
+from duckdb_behavioral_spark.functions import sliding as SL
 from duckdb_behavioral_spark.operators import attribution as AT
 from duckdb_behavioral_spark.operators import concurrency as CCY
 from duckdb_behavioral_spark.operators import graph as GR
@@ -105,6 +106,7 @@ EXT_QUERIES = {
     "customers_inactive_antijoin": TE.q_customers_inactive,
     "tpch_q19_disjunctive": TE.q_tpch_q19_disjunctive,
     "events_hourly_rollup": C.q_events_hourly_rollup,
+    "events_sliding_rollup": SL.q_events_sliding_rollup,
     "events_rollup_cube": C.q_events_rollup_cube,
     "events_type_pivot": C.q_events_type_pivot,
     "users_setops": C.q_users_setops,
@@ -183,6 +185,7 @@ EXT_ORACLES = {
     "customers_inactive_antijoin": TE.CUSTOMERS_INACTIVE_SQL,
     "tpch_q19_disjunctive": TE.TPCH_Q19_SQL,
     "events_hourly_rollup": C.EVENTS_HOURLY_SQL,
+    "events_sliding_rollup": SL.SLIDING_ROLLUP_SQL,
     "events_rollup_cube": C.EVENTS_ROLLUP_CUBE_SQL,
     "events_type_pivot": C.EVENTS_TYPE_PIVOT_SQL,
     "users_setops": C.USERS_SETOPS_SQL,
