@@ -132,15 +132,25 @@ def user_rfm(
             ).alias("__mon"),
         )
     )
-    anchor = F.max("__last").over(Window.partitionBy(F.lit(1)))
-    base = per_user.select(
-        "user_id",
-        F.floor((anchor - F.col("__last")) / F.lit(86_400_000_000))
-        .cast("long")
-        .alias("recency_days"),
-        "frequency",
-        F.col("__mon").cast("double").alias("monetary"),
-    ).localCheckpoint(eager=False)  # consumed by 3 rank passes + final join
+    # corpus-max anchor as a 1-row bounded aggregate broadcast onto
+    # the user rows — NOT a partitionBy(lit(1)) window, which is a
+    # single-partition pass over every user (and, sitting behind the
+    # checkpoint barrier, was invisible to the plan audit)
+    anchor_row = per_user.agg(F.max("__last").alias("__anchor"))
+    base = (
+        per_user.crossJoin(F.broadcast(anchor_row))
+        .select(
+            "user_id",
+            F.floor(
+                (F.col("__anchor") - F.col("__last")) / F.lit(86_400_000_000)
+            )
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            F.col("__mon").cast("double").alias("monetary"),
+        )
+        .localCheckpoint(eager=False)  # consumed by 3 rank passes + final join
+    )
     # quartiles: recency LOWER is better -> rank ascending then invert
     scored = base
     for metric, ascending in (
