@@ -33,6 +33,11 @@ them:
   number so tests can pin "this operator shuffles once".
 - **Unpruned scans** — scans whose ReadSchema carries more columns
   than a threshold suggest a missing select/column-pruning barrier.
+- **Checkpoint blind spots** — a lazily localCheckpoint-ed subtree
+  shows up only as ``Scan ExistingRDD``; its upstream plan is NOT
+  audited here. ``existing_rdd_scans`` reports how many such barriers
+  the plan contains so callers can audit the pre-barrier DataFrames
+  separately.
 
 String-parsing the executed plan is deliberate: it works on any
 DataFrame without private APIs, and the node names asserted here are
@@ -67,6 +72,7 @@ class PlanReport:
     arrow_python_evals: int = 0
     sort_merge_joins: int = 0
     broadcast_hash_joins: int = 0
+    existing_rdd_scans: int = 0  # checkpoint barriers: subtrees NOT audited
     scans: list = field(default_factory=list)  # [(format, n_columns)]
     plan: str = ""
 
@@ -180,6 +186,13 @@ def audit_plan(df: DataFrame) -> PlanReport:
     ) + plan.count("FlatMapGroupsInPandas")
     r.sort_merge_joins = plan.count("SortMergeJoin")
     r.broadcast_hash_joins = plan.count("BroadcastHashJoin")
+    # A (lazily) checkpointed subtree appears only as Scan ExistingRDD:
+    # everything upstream of the barrier is INVISIBLE to this audit
+    # (this is how an unbounded partitionBy(lit(1)) window hid inside
+    # user_rfm's anchor until round 4). The count is surfaced so
+    # callers know how much of the plan they have NOT audited — audit
+    # the pre-barrier DataFrames separately.
+    r.existing_rdd_scans = plan.count("Scan ExistingRDD")
     for m in re.finditer(r"(?:Scan|FileScan) (\w+).*?ReadSchema: struct<([^>]*)>", plan):
         cols = [c for c in m.group(2).split(",") if ":" in c]
         r.scans.append((m.group(1), len(cols)))
