@@ -150,3 +150,41 @@ def test_scan_column_counts_reported(spark, sf_dir):
 
     r = audit_plan(q1_sessionize(spark, sf_dir))
     assert r.scans and all(n <= 2 for _, n in r.scans)  # ts + user_id only
+
+
+def test_no_hidden_killers_behind_checkpoint_barriers(spark, sf_dir, monkeypatch):
+    """audit_plan cannot see past a localCheckpoint barrier (the
+    subtree prints as Scan ExistingRDD) — exactly how an unbounded
+    partitionBy(lit(1)) window hid inside user_rfm's anchor until
+    round 4. Re-run the audit on the FULL trees by disabling the
+    barrier, over every checkpoint-using declared query family."""
+    from pyspark.sql import DataFrame
+
+    import duckdb_behavioral_spark.functions.dedup as D
+    import duckdb_behavioral_spark.functions.passages as PG
+    import duckdb_behavioral_spark.functions.reports as RP
+    import duckdb_behavioral_spark.functions.search as SE
+    import duckdb_behavioral_spark.functions.sketches as SK
+    import duckdb_behavioral_spark.operators.temporal_joins as TJ
+    from duckdb_behavioral_spark.plans.audit import audit_plan
+
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
+    cases = {
+        "kmv_overlap": SK.q_sketch_kmv_overlap,
+        "quantile_sample": SK.q_quantile_sample,
+        "passage_dup": PG.q_passage_dup,
+        "bm25_topk": SE.q_bm25_topk,
+        "dedup_jaccard": D.q_dedup_ngram_jaccard,
+        "minhash_pairs": D.q_dedup_minhash_pairs,
+        "embedding_cosine": D.q_dedup_embedding_cosine,
+        "asof_join": TJ.q_asof_view_before_purchase,
+        "user_rfm": RP.q_user_rfm,
+    }
+    for name, fn in cases.items():
+        r = audit_plan(fn(spark, sf_dir))
+        assert r.raw_single_partition_exchanges == 0, (name, r.plan)
+        assert r.cartesian_products == 0, name
+        assert r.broadcast_nested_loop_joins == 0, name
+        assert r.python_row_udfs == 0, name
