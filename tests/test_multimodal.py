@@ -172,3 +172,30 @@ def test_wav_decode_rejects_garbage():
            + b"data" + struct.pack("<I", 0))
     with pytest.raises(ValueError, match="channels"):
         decode_wav(hdr)
+
+
+def test_ppm_roundtrip_comments_and_errors():
+    import numpy as np
+    import pytest as pt
+
+    from duckdb_behavioral_spark.functions.multimodal import (
+        decode_ppm,
+        encode_ppm_rgb,
+    )
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    enc = encode_ppm_rgb(px)
+    assert b"#" in enc  # the encoder emits a header comment
+    d = decode_ppm(enc)
+    assert (d["width"], d["height"]) == (3, 2)
+    assert d["r_sum"] == int(px[:, :, 0].sum())
+    assert d["px_max"] == int(px.max())
+    # extra whitespace + multiple comments must parse identically
+    manual = b"P6\n# a\n#b\n 3  2\n255\n" + px.tobytes()
+    assert decode_ppm(manual) == d
+    with pt.raises(ValueError):
+        decode_ppm(b"P5\n3 2\n255\n" + px.tobytes())  # wrong magic
+    with pt.raises(ValueError):
+        decode_ppm(enc[:-4])  # truncated pixel data
+    with pt.raises(ValueError):
+        decode_ppm(b"P6\n3 2\n65535\n")  # unsupported maxval
