@@ -103,6 +103,7 @@ def all_queries():
             streaming_rollup_parity,
             streaming_funnel_parity,
             streaming_minhash_parity,
+            streaming_join_parity,
             streaming_quantile_parity,
             streaming_sessionize_parity,
         )
@@ -115,6 +116,7 @@ def all_queries():
         out["streaming_rollup_parity"] = streaming_rollup_parity
         out["streaming_enrich_parity"] = streaming_enrich_parity
         out["streaming_quantile_parity"] = streaming_quantile_parity
+        out["streaming_join_parity"] = streaming_join_parity
     except ImportError:
         pass
     return _prioritized(out)
@@ -142,4 +144,7 @@ def all_oracles():
     # the streamed stream-static enrichment must equal the batch join
     out["streaming_enrich_parity"] = out.get("orders_by_nation")
     out["streaming_quantile_parity"] = out.get("sketch_quantile_sample")
+    from duckdb_behavioral_spark.streaming.parity import STREAMING_JOIN_SQL
+
+    out["streaming_join_parity"] = STREAMING_JOIN_SQL
     return _prioritized(out)

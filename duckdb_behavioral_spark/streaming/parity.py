@@ -540,3 +540,101 @@ def streaming_quantile_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+JOIN_WINDOW = "30 minutes"
+
+
+def streaming_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARED query: STREAM-STREAM interval join — the one
+    Structured Streaming pattern the other eight gates don't cover.
+    The view and purchase halves of the events table replay as TWO
+    independent file streams (4 time-ordered micro-batches each);
+    Spark's stream-stream inner join buffers both sides in state and
+    emits each (view, later-purchase-within-30min, same user) pair
+    exactly once as the matching rows arrive — possibly in different
+    micro-batches. The per-user pair counts folded across batches must
+    hash-match the batch self-join oracle.
+
+    Watermarks: both sides carry event-time watermarks (required for
+    stream-stream joins; they bound the join state). The replay is
+    time-ordered, so a 1-hour watermark can never drop a true match —
+    this gate proves JOIN parity; arrival-order independence is the
+    CMS/enrich gates' claim.
+    """
+    from collections import defaultdict
+
+    from duckdb_behavioral_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_type")
+    src_v = tempfile.mkdtemp(prefix="sg_join_v_")
+    src_p = tempfile.mkdtemp(prefix="sg_join_p_")
+    try:
+        from pyspark.sql import Window
+
+        chunked = ev.withColumn(
+            "__chunk", F.ntile(N_CHUNKS).over(Window.orderBy("ts"))
+        )
+        for i in range(1, N_CHUNKS + 1):
+            c = chunked.where(F.col("__chunk") == i)
+            (c.where(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("v_user"), F.col("ts").alias("vts"))
+             .coalesce(1).write.mode("append").parquet(src_v))
+            (c.where(F.col("event_type") == "purchase")
+             .select(F.col("user_id").alias("p_user"), F.col("ts").alias("pts"))
+             .coalesce(1).write.mode("append").parquet(src_p))
+
+        views = (
+            spark.readStream.schema("v_user long, vts timestamp")
+            .option("maxFilesPerTrigger", 1).parquet(src_v)
+            .withWatermark("vts", "1 hour")
+        )
+        purchases = (
+            spark.readStream.schema("p_user long, pts timestamp")
+            .option("maxFilesPerTrigger", 1).parquet(src_p)
+            .withWatermark("pts", "1 hour")
+        )
+        joined = views.join(
+            purchases,
+            F.expr(
+                f"v_user = p_user AND pts > vts "
+                f"AND pts <= vts + INTERVAL {JOIN_WINDOW}"
+            ),
+        )
+
+        counts: dict = defaultdict(int)
+
+        def fold_batch(bdf: DataFrame, _epoch: int) -> None:
+            for r in bdf.groupBy("v_user").count().collect():
+                counts[r["v_user"]] += r["count"]
+
+        q = (
+            joined.writeStream.outputMode("append")
+            .foreachBatch(fold_batch)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        rows = [(int(u), int(n)) for u, n in counts.items()]
+        got = spark.createDataFrame(
+            rows or [(None, None)], "user_id long, n_pairs long"
+        )
+        if not rows:
+            got = got.where(F.lit(False))
+        return got
+    finally:
+        shutil.rmtree(src_v, ignore_errors=True)
+        shutil.rmtree(src_p, ignore_errors=True)
+
+
+STREAMING_JOIN_SQL = """
+SELECT v.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = v.user_id
+ AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+GROUP BY v.user_id
+"""
