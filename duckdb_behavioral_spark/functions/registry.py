@@ -32,6 +32,7 @@ EXT_QUERIES = {
     "text_lang_id": TX.q_text_lang_id,
     "text_fingerprint": TX.q_text_fingerprint,
     "text_quality": TX.q_text_quality,
+    "text_quality_filter": TX.q_text_quality_filter,
     "text_scrub_pii": TX.q_text_scrub_pii,
     # corpus-level text statistics
     "corpus_decontaminate": CO.q_decontaminate,
@@ -124,6 +125,7 @@ EXT_ORACLES = {
     "text_lang_id": TX.LANG_ID_SQL,
     "text_fingerprint": TX.FINGERPRINT_SQL,
     "text_quality": TX.QUALITY_SQL,
+    "text_quality_filter": TX.QUALITY_FILTER_SQL,
     "text_scrub_pii": TX.SCRUB_PII_SQL,
     "corpus_decontaminate": CO.DECONTAMINATE_SQL,
     "text_repetition": CO.REPETITION_SQL,

@@ -237,3 +237,79 @@ SELECT doc_id,
        CAST(len(list_distinct(toks)) * 1000 // len(toks) AS BIGINT) AS distinct_permille
 FROM t
 """
+
+
+# --- composite quality filter (rule engine with reasons) -------------------
+
+# thresholds chosen so each rule fires on part of the synthetic
+# corpus (n_tokens spans 10-99, stopword 0-222 permille, distinct
+# 276-1000 permille at sf0.01) — the filter is exercised, not vacuous
+QF_MIN_TOKENS = 20
+QF_MIN_STOPWORD_PERMILLE = 15
+QF_MIN_DISTINCT_PERMILLE = 400
+QF_TOO_SHORT = 1
+QF_NO_STOPWORDS = 2
+QF_REPETITIOUS = 4
+
+
+def quality_filter(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite keep/drop filter over the integer quality signals,
+    with a REASONS BITMASK — the form a production curation pipeline
+    needs (drop statistics per rule, auditable drops, rule ablations)
+    rather than a bare boolean.
+
+    Rules (bit set = violated): 1 too short, 2 stopword-free (word
+    salad / non-prose), 4 low vocabulary richness (repetitious).
+    ``kept = reason_mask == 0``. Everything is a map-side integer
+    expression over one scan — zero shuffles, trivially scan-bound at
+    any corpus size; thresholds are module constants so ablation =
+    one-line change mirrored in the oracle.
+    """
+    toks = tokens(F.col(text))
+    n = F.size(toks).cast("long")
+    stop_pm = F.floor(
+        (F.size(F.filter(toks, lambda t: t.isin("the", "a"))).cast("long") * 1000) / n
+    )
+    uniq_pm = F.floor((F.size(F.array_distinct(toks)).cast("long") * 1000) / n)
+    mask = (
+        F.when(n < QF_MIN_TOKENS, QF_TOO_SHORT).otherwise(0)
+        + F.when(stop_pm < QF_MIN_STOPWORD_PERMILLE, QF_NO_STOPWORDS).otherwise(0)
+        + F.when(uniq_pm < QF_MIN_DISTINCT_PERMILLE, QF_REPETITIOUS).otherwise(0)
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        stop_pm.cast("long").alias("stopword_permille"),
+        uniq_pm.cast("long").alias("distinct_permille"),
+        mask.cast("long").alias("reason_mask"),
+        (mask == 0).cast("long").alias("kept"),
+    )
+
+
+def q_text_quality_filter(spark, sf_dir):
+    return quality_filter(_docs(spark, sf_dir))
+
+
+QUALITY_FILTER_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+sig AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) * 1000
+              // len(toks) AS BIGINT) AS stopword_permille,
+         CAST(len(list_distinct(toks)) * 1000 // len(toks) AS BIGINT)
+           AS distinct_permille
+  FROM t
+)
+SELECT doc_id, n_tokens, stopword_permille, distinct_permille,
+       CAST((CASE WHEN n_tokens < {QF_MIN_TOKENS} THEN {QF_TOO_SHORT} ELSE 0 END)
+          + (CASE WHEN stopword_permille < {QF_MIN_STOPWORD_PERMILLE}
+                  THEN {QF_NO_STOPWORDS} ELSE 0 END)
+          + (CASE WHEN distinct_permille < {QF_MIN_DISTINCT_PERMILLE}
+                  THEN {QF_REPETITIOUS} ELSE 0 END) AS BIGINT) AS reason_mask,
+       CAST(CASE WHEN n_tokens >= {QF_MIN_TOKENS}
+                  AND stopword_permille >= {QF_MIN_STOPWORD_PERMILLE}
+                  AND distinct_permille >= {QF_MIN_DISTINCT_PERMILLE}
+                 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM sig
+"""
