@@ -105,6 +105,7 @@ def all_queries():
             streaming_minhash_parity,
             streaming_join_parity,
             streaming_quantile_parity,
+            streaming_sink_parity,
             streaming_sessionize_parity,
         )
 
@@ -117,6 +118,7 @@ def all_queries():
         out["streaming_enrich_parity"] = streaming_enrich_parity
         out["streaming_quantile_parity"] = streaming_quantile_parity
         out["streaming_join_parity"] = streaming_join_parity
+        out["streaming_sink_parity"] = streaming_sink_parity
     except ImportError:
         pass
     return _prioritized(out)
@@ -147,4 +149,5 @@ def all_oracles():
     from duckdb_behavioral_spark.streaming.parity import STREAMING_JOIN_SQL
 
     out["streaming_join_parity"] = STREAMING_JOIN_SQL
+    out["streaming_sink_parity"] = out.get("events_hourly_rollup")
     return _prioritized(out)

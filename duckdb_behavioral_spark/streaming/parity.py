@@ -638,3 +638,87 @@ JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
  AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
 GROUP BY v.user_id
 """
+
+
+def streaming_sink_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARED query: the SINK side of a continuous aggregate —
+    exactly-once upsert into a partitioned parquet table via dynamic
+    partition overwrite. The other gates fold results in driver
+    memory; real pipelines materialize them, and the idempotence
+    contract is what makes micro-batch retries safe.
+
+    The hourly rollup runs in UPDATE mode (each batch emits the new
+    cumulative totals of every window the batch touched);
+    ``foreachBatch`` writes each batch partitioned by hour with
+    ``partitionOverwriteMode=dynamic``, so a batch replaces exactly
+    the hour-partitions it carries — an idempotent upsert: re-running
+    a batch rewrites the same partitions with the same totals, and a
+    LATER batch's totals for an hour supersede earlier ones by
+    construction. After the replay, the TABLE ON DISK (not driver
+    state) is read back and must hash-match the batch
+    ``events_hourly_rollup`` oracle.
+    """
+    from duckdb_behavioral_spark.sources import load_events
+    from duckdb_behavioral_spark.streaming.rollup import hourly_rollup_stream
+
+    ev = load_events(spark, sf_dir).select("ts", "event_type")
+    src = tempfile.mkdtemp(prefix="sg_sink_src_")
+    tbl = tempfile.mkdtemp(prefix="sg_sink_tbl_")
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        from pyspark.sql import Window
+
+        chunked = ev.withColumn(
+            "__chunk", F.ntile(N_CHUNKS).over(Window.orderBy("ts"))
+        )
+        for i in range(1, N_CHUNKS + 1):
+            (chunked.where(F.col("__chunk") == i).drop("__chunk")
+             .coalesce(1).write.mode("append").parquet(src))
+
+        stream = spark.readStream.schema(
+            "ts timestamp, event_type string"
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # generous watermark: sink parity proves the upsert contract;
+        # late-data finalization is the rollup gate's claim
+        rolled = hourly_rollup_stream(stream, watermark_delay="10 days")
+
+        def upsert(bdf: DataFrame, _epoch: int) -> None:
+            # partition at the UPDATE granularity — (hour, type):
+            # update mode emits only the changed (window, type) rows,
+            # so an hour-only partition overwrite would drop the
+            # hour's unchanged types. The partition key must match
+            # what a batch can replace.
+            (bdf.withColumn(
+                "hour_str",
+                F.date_format("window_start", "yyyy-MM-dd-HH"),
+            )
+             .write.partitionBy("hour_str", "event_type")
+             .mode("overwrite")
+             .parquet(tbl))
+
+        q = (
+            rolled.writeStream.outputMode("update")
+            .foreachBatch(upsert)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        final = spark.read.parquet(tbl)
+        # one hour may span chunks: dynamic overwrite keeps only the
+        # LAST write per partition, which carries the cumulative total
+        return (
+            final.select(
+                F.col("window_start").alias("hour"), "event_type", "n"
+            )
+            # materialize now: the temp table dir is deleted on return
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(tbl, ignore_errors=True)
