@@ -29,6 +29,7 @@ from duckdb_behavioral_spark.operators import temporal_joins as TJ
 EXT_QUERIES = {
     # text analysis
     "text_token_stats": TX.q_text_token_stats,
+    "text_token_count_bpe": TX.q_token_count_bpe,
     "text_lang_id": TX.q_text_lang_id,
     "text_fingerprint": TX.q_text_fingerprint,
     "text_quality": TX.q_text_quality,
@@ -122,6 +123,7 @@ EXT_QUERIES = {
 
 EXT_ORACLES = {
     "text_token_stats": TX.TOKEN_STATS_SQL,
+    "text_token_count_bpe": TX.TOKEN_BPE_SQL,
     "text_lang_id": TX.LANG_ID_SQL,
     "text_fingerprint": TX.FINGERPRINT_SQL,
     "text_quality": TX.QUALITY_SQL,

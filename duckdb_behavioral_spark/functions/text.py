@@ -313,3 +313,62 @@ SELECT doc_id, n_tokens, stopword_permille, distinct_permille,
                  THEN 1 ELSE 0 END AS BIGINT) AS kept
 FROM sig
 """
+
+
+# --- BPE-ish token counting ------------------------------------------------
+
+# GPT-2-style pre-tokenizer shape: letter runs, single digits,
+# single non-alphanumeric marks. Kept inside the Java-regex ∩ RE2
+# common subset (see the PII patterns above) so Spark and DuckDB
+# split identically.
+BPE_PRETOKEN_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+BPE_CHARS_PER_PIECE = 4  # ~4 chars/subword heuristic (public lore)
+
+
+def token_count_bpe(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace vs BPE-ish token counts per document — the number a
+    training-budget computation actually needs (sequence packing,
+    token-budget mixing, cost estimates run on SUBWORD counts, and
+    whitespace counts under-estimate them badly on long words).
+
+    ``n_pieces`` = matches of the GPT-2-style pre-tokenizer regex
+    (letter runs / single digits / single marks); ``est_subwords``
+    models BPE splitting of each letter-run as ceil(len/4) subwords —
+    integer arithmetic, identical cross-engine. Pure map-side regex +
+    array fold in one scan, no shuffle.
+    """
+    pieces = F.expr(f"regexp_extract_all({text}, '{BPE_PRETOKEN_RE}', 0)")
+    est = F.aggregate(
+        pieces,
+        F.lit(0).cast("long"),
+        lambda a, p: a
+        + F.floor(
+            (F.length(p) + (BPE_CHARS_PER_PIECE - 1)) / BPE_CHARS_PER_PIECE
+        ).cast("long"),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text))).cast("long").alias("n_ws_tokens"),
+        F.size(pieces).cast("long").alias("n_pieces"),
+        est.alias("est_subwords"),
+    )
+
+
+def q_token_count_bpe(spark, sf_dir):
+    return token_count_bpe(_docs(spark, sf_dir))
+
+
+TOKEN_BPE_SQL = f"""
+WITH p AS (
+  SELECT doc_id, {TOKS} AS toks,
+         regexp_extract_all(text, '{BPE_PRETOKEN_RE}') AS pieces
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+       CAST(len(pieces) AS BIGINT) AS n_pieces,
+       CAST(list_sum(list_transform(pieces,
+              x -> (length(x) + {BPE_CHARS_PER_PIECE - 1})
+                     // {BPE_CHARS_PER_PIECE})) AS BIGINT) AS est_subwords
+FROM p
+"""
