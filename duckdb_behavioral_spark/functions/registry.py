@@ -32,6 +32,7 @@ EXT_QUERIES = {
     "text_token_count_bpe": TX.q_token_count_bpe,
     "text_lang_id": TX.q_text_lang_id,
     "text_fingerprint": TX.q_text_fingerprint,
+    "text_winnow_fingerprints": TX.q_winnow_fingerprints,
     "text_quality": TX.q_text_quality,
     "text_quality_filter": TX.q_text_quality_filter,
     "text_scrub_pii": TX.q_text_scrub_pii,
@@ -126,6 +127,7 @@ EXT_ORACLES = {
     "text_token_count_bpe": TX.TOKEN_BPE_SQL,
     "text_lang_id": TX.LANG_ID_SQL,
     "text_fingerprint": TX.FINGERPRINT_SQL,
+    "text_winnow_fingerprints": TX.WINNOW_SQL,
     "text_quality": TX.QUALITY_SQL,
     "text_quality_filter": TX.QUALITY_FILTER_SQL,
     "text_scrub_pii": TX.SCRUB_PII_SQL,

@@ -372,3 +372,88 @@ SELECT doc_id,
                      // {BPE_CHARS_PER_PIECE})) AS BIGINT) AS est_subwords
 FROM p
 """
+
+
+# --- winnowing fingerprint selection (MOSS) --------------------------------
+
+WINNOW_GRAM = 5  # words per k-gram
+WINNOW_WIN = 4  # hashes per selection window
+
+
+def winnow_fingerprints(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the MOSS
+    algorithm): hash every word ``WINNOW_GRAM``-gram, slide a
+    ``WINNOW_WIN``-hash window, keep each window's MINIMUM. The
+    selected set is position-robust — any shared substring of at
+    least gram+win-1 words between two documents GUARANTEES a shared
+    selected fingerprint, which plain every-k-th or full-text hashing
+    can't promise. Output per doc: gram count, number of distinct
+    selected fingerprints, and the smallest (a stable signature).
+
+    Scale shape: everything is per-document array arithmetic in one
+    map-side scan — the O(n_grams * win) fold is bounded by document
+    length, embarrassingly parallel, and shuffles nothing. Hashes are
+    the repo-standard 48-bit md5 slices, so the oracle is exact.
+    """
+    base = df.select(F.col(id_col), tokens(F.col(text)).alias("__toks"))
+    from duckdb_behavioral_spark.functions.common import word_grams_indexed
+
+    grams = word_grams_indexed(F.col("__toks"), WINNOW_GRAM)
+    hs = F.transform(
+        grams,
+        lambda g: F.conv(
+            F.substring(F.md5(F.concat(F.lit("wn:"), g)), 1, 12), 16, 10
+        ).cast("long"),
+    )
+    staged = base.select(
+        F.col(id_col), F.size(grams).cast("long").alias("n_grams"), hs.alias("__hs")
+    )
+    nw = F.size("__hs") - (WINNOW_WIN - 1)
+    sel = F.when(
+        nw > 0,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), nw),
+                lambda i: F.array_min(F.slice("__hs", i, WINNOW_WIN)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return staged.select(
+        F.col(id_col),
+        "n_grams",
+        F.size(sel).cast("long").alias("n_selected"),
+        F.array_min(sel).alias("min_fp"),
+    )
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    return winnow_fingerprints(_docs(spark, sf_dir))
+
+
+WINNOW_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {WINNOW_GRAM} THEN
+           list_transform(range(1, len(toks) - {WINNOW_GRAM - 2}),
+             i -> array_to_string(toks[i:i+{WINNOW_GRAM - 1}], ' '))
+         ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM t
+), h AS (
+  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+         list_transform(grams,
+           x -> ('0x' || substr(md5('wn:' || x), 1, 12))::BIGINT) AS hs
+  FROM g
+), s AS (
+  SELECT doc_id, n_grams,
+         CASE WHEN len(hs) >= {WINNOW_WIN} THEN
+           list_distinct(list_transform(range(1, len(hs) - {WINNOW_WIN - 2}),
+             i -> list_min(hs[i:i+{WINNOW_WIN - 1}])))
+         ELSE CAST([] AS BIGINT[]) END AS sel
+  FROM h
+)
+SELECT doc_id, n_grams,
+       CAST(len(sel) AS BIGINT) AS n_selected,
+       list_min(sel) AS min_fp
+FROM s
+"""
