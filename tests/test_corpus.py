@@ -148,3 +148,66 @@ def test_pack_sequences_layout(spark):
     assert (rows[2].pack_id, rows[2].pack_offset) == (0, 100)
     assert (rows[3].pack_id, rows[3].pack_offset) == (1, 44)
     assert (rows[4].pack_id, rows[4].pack_offset) == (0, 0)
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """The winnowing theorem: two documents sharing a run of at least
+    gram+win-1 (= 8) words MUST share at least one selected
+    fingerprint. Randomized docs with a planted shared run."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from duckdb_behavioral_spark.functions.common import word_grams_indexed, tokens
+    from duckdb_behavioral_spark.functions.text import (
+        WINNOW_GRAM,
+        WINNOW_WIN,
+        winnow_fingerprints,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(50)]
+    run = [rng.choice(vocab) for _ in range(WINNOW_GRAM + WINNOW_WIN - 1)]
+    rows = []
+    for d in range(20):
+        pre = [rng.choice(vocab) for _ in range(rng.randint(0, 30))]
+        post = [rng.choice(vocab) for _ in range(rng.randint(0, 30))]
+        rows.append((d, " ".join(pre + run + post)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # recompute each doc's full selected set (winnow_fingerprints only
+    # emits counts + min) with the same expressions
+    base = df.select("doc_id", tokens(F.col("text")).alias("__toks"))
+    grams = word_grams_indexed(F.col("__toks"), WINNOW_GRAM)
+    hs = F.transform(
+        grams,
+        lambda g: F.conv(
+            F.substring(F.md5(F.concat(F.lit("wn:"), g)), 1, 12), 16, 10
+        ).cast("long"),
+    )
+    staged = base.select("doc_id", hs.alias("__hs"))
+    nw = F.size("__hs") - (WINNOW_WIN - 1)
+    sel = F.when(
+        nw > 0,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), nw),
+                lambda i: F.array_min(F.slice("__hs", i, WINNOW_WIN)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    sets = {
+        r["doc_id"]: set(r["sel"])
+        for r in staged.select("doc_id", sel.alias("sel")).collect()
+    }
+    docs = sorted(sets)
+    for a in docs:
+        for b in docs:
+            if a < b:
+                assert sets[a] & sets[b], (a, b)
+
+    # and the declared op agrees on the counts for the same data
+    out = {r["doc_id"]: r for r in winnow_fingerprints(df).collect()}
+    for d, s in sets.items():
+        assert out[d]["n_selected"] == len(s)
+        assert out[d]["min_fp"] == min(s)
