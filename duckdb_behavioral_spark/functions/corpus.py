@@ -519,3 +519,86 @@ SELECT doc_id, eval_id, n_grams, matched,
          AS containment_permille
 FROM ranked WHERE rk = 1
 """
+
+
+COOC_VOCAB = 64  # co-occurrence restricted to the top-F df terms
+COOC_TOP = 50  # emitted pairs
+
+
+def term_cooccurrence(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top co-occurring term pairs over a BOUNDED vocabulary — word
+    association mining with an explicit scale contract.
+
+    Naive co-occurrence self-joins every document's distinct-term set
+    against itself: O(sum over docs of t_d^2), which a single
+    10k-distinct-term document turns into 50M pairs. The scalable
+    contract caps the vocabulary first: the global top-``COOC_VOCAB``
+    terms by document frequency (distributed TakeOrdered, then a
+    broadcast semi-filter) bound the per-doc pair fan-out at
+    F^2/2 REGARDLESS of document size, so the doc-keyed self-join is
+    linear in the corpus with a fixed constant. Ranking keys are
+    all-integer (pair doc-count desc, then lexicographic) — no float
+    anywhere. Output: (pair_rank, t1, t2, n_docs_both, df_t1, df_t2).
+    """
+    from pyspark.sql.functions import broadcast
+
+    from duckdb_behavioral_spark.functions.topk import ranked_topk
+
+    td = df.select(
+        F.col(id_col).alias("__d"),
+        F.explode(F.array_distinct(tokens(F.col(text)))).alias("term"),
+    )
+    dfreq = td.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df_t"))
+    vocab = (
+        dfreq.orderBy(F.col("df_t").desc(), F.col("term").asc())
+        .limit(COOC_VOCAB)
+    )
+    tdv = td.join(broadcast(vocab), "term")
+    a = tdv.select("__d", F.col("term").alias("t1"), F.col("df_t").alias("df_t1"))
+    b = tdv.select("__d", F.col("term").alias("t2"), F.col("df_t").alias("df_t2"))
+    co = (
+        a.join(b, ["__d"])
+        .where(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "df_t1", "t2", "df_t2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs_both"))
+    )
+    return ranked_topk(
+        co,
+        [F.col("n_docs_both").desc(), F.col("t1").asc(), F.col("t2").asc()],
+        COOC_TOP,
+    ).select(
+        F.col("rank").alias("pair_rank"),
+        "t1", "t2", "n_docs_both", "df_t1", "df_t2",
+    )
+
+
+def q_term_cooccurrence(spark, sf_dir):
+    return term_cooccurrence(_docs(spark, sf_dir))
+
+
+TERM_COOC_SQL = f"""
+WITH td AS (
+  SELECT DISTINCT doc_id AS d, unnest({sql_tokens('text')}) AS term
+  FROM documents
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM td GROUP BY term
+), vocab AS (
+  SELECT term, df_t FROM dfreq ORDER BY df_t DESC, term ASC LIMIT {COOC_VOCAB}
+), tdv AS (
+  SELECT td.d, td.term, vocab.df_t FROM td JOIN vocab USING (term)
+), co AS (
+  SELECT a.term AS t1, a.df_t AS df_t1, b.term AS t2, b.df_t AS df_t2,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_both
+  FROM tdv a JOIN tdv b ON a.d = b.d AND a.term < b.term
+  GROUP BY a.term, a.df_t, b.term, b.df_t
+), r AS (
+  SELECT CAST(row_number() OVER (
+           ORDER BY n_docs_both DESC, t1 ASC, t2 ASC) AS BIGINT) AS pair_rank,
+         t1, t2, n_docs_both, df_t1, df_t2
+  FROM co
+)
+SELECT pair_rank, t1, t2, n_docs_both, df_t1, df_t2
+FROM r WHERE pair_rank <= {COOC_TOP}
+"""

@@ -41,6 +41,7 @@ EXT_QUERIES = {
     "text_repetition": CO.q_text_repetition,
     "corpus_topk_terms": CO.q_topk_terms,
     "corpus_doc_rarity": CO.q_doc_rarity,
+    "corpus_term_cooccurrence": CO.q_term_cooccurrence,
     "corpus_decontaminate_attr": CO.q_decontaminate_attributed,
     "chunk_documents": CH.q_chunk_documents,
     "pack_sequences": CH.q_pack_sequences,
@@ -135,6 +136,7 @@ EXT_ORACLES = {
     "text_repetition": CO.REPETITION_SQL,
     "corpus_topk_terms": CO.TOPK_TERMS_SQL,
     "corpus_doc_rarity": CO.DOC_RARITY_SQL,
+    "corpus_term_cooccurrence": CO.TERM_COOC_SQL,
     "corpus_decontaminate_attr": CO.DECONTAMINATE_ATTR_SQL,
     "chunk_documents": CH.CHUNK_DOCUMENTS_SQL,
     "pack_sequences": CH.PACK_SEQUENCES_SQL,
