@@ -64,6 +64,7 @@ EXT_QUERIES = {
     "sample_stratified": SA.q_sample_stratified,
     "sample_per_stratum_topk": SA.q_sample_per_stratum_topk,
     "sample_weighted": SA.q_sample_weighted,
+    "dataset_split": SA.q_dataset_split,
     # similarity search
     "ann_cosine_topk": S.q_ann_cosine_topk,
     "ann_lsh_buckets": S.q_ann_lsh_buckets,
@@ -155,6 +156,7 @@ EXT_ORACLES = {
     "sample_stratified": SA.SAMPLE_STRATIFIED_SQL,
     "sample_per_stratum_topk": SA.SAMPLE_PER_STRATUM_SQL,
     "sample_weighted": SA.SAMPLE_WEIGHTED_SQL,
+    "dataset_split": SA.DATASET_SPLIT_SQL,
     "ann_cosine_topk": S.ANN_TOPK_SQL,
     "ann_lsh_buckets": S.LSH_BUCKETS_SQL,
     "ann_ivf_topk": S.ANN_IVF_SQL,

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from duckdb_behavioral_spark.functions.common import sql_tokens, tokens
+
 
 def _sample_hash(key_col) -> "F.Column":
     h = F.md5(F.concat(F.lit("sample:"), key_col.cast("string")))
@@ -170,4 +172,79 @@ SELECT doc_id, lang, n_chars FROM (
            ORDER BY {_sql_sample_hash('doc_id')} ASC, doc_id ASC) AS rn
   FROM documents)
 WHERE rn <= {PER_STRATUM_K}
+"""
+
+
+# --- deterministic dataset split -------------------------------------------
+
+SPLIT_SALT = "split:"
+# permille bands: [0, 900) train, [900, 950) val, [950, 1000) test
+SPLIT_TRAIN_HI = 900
+SPLIT_VAL_HI = 950
+
+
+def split_assign(key_col) -> "F.Column":
+    """'train' / 'val' / 'test' from the salted 48-bit hash permille
+    of the row key — a pure function of the key: stable across runs,
+    engines, partitionings and table growth (a doc keeps its split
+    when the corpus doubles, which rand()-based splits cannot
+    promise, and which is what prevents eval contamination when a
+    pipeline is re-run incrementally)."""
+    pm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(SPLIT_SALT), key_col.cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    return (
+        F.when(pm < SPLIT_TRAIN_HI, F.lit("train"))
+        .when(pm < SPLIT_VAL_HI, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def dataset_split_summary(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-split counts and token totals for the 900/50/50 assignment
+    — the audit table a split step emits. One map-side projection +
+    a 3-group aggregate; nothing data-sized shuffles."""
+    toks = tokens(F.col(text))
+    return (
+        df.select(
+            split_assign(F.col(id_col)).alias("split"),
+            F.size(toks).cast("long").alias("__n"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__n").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def q_dataset_split(spark, sf_dir):
+    from duckdb_behavioral_spark.sources import load_table
+
+    return dataset_split_summary(load_table(spark, sf_dir, "documents"))
+
+
+DATASET_SPLIT_SQL = f"""
+WITH s AS (
+  SELECT CASE
+           WHEN ('0x' || substr(md5('{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 1000
+                < {SPLIT_TRAIN_HI} THEN 'train'
+           WHEN ('0x' || substr(md5('{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 1000
+                < {SPLIT_VAL_HI} THEN 'val'
+           ELSE 'test' END AS split,
+         len({sql_tokens('text')}) AS n
+  FROM documents
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS n_tokens
+FROM s GROUP BY split
 """
