@@ -48,6 +48,7 @@ EXT_QUERIES = {
     "mix_corpus": MX.q_mix_corpus,
     # embeddings utilities
     "embedding_quantize": E.q_embedding_quantize,
+    "embedding_label_coherence": E.q_label_coherence,
     # dedup
     "dedup_exact": D.q_dedup_exact,
     "dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
@@ -143,6 +144,7 @@ EXT_ORACLES = {
     "pack_sequences": CH.PACK_SEQUENCES_SQL,
     "mix_corpus": MX.MIX_CORPUS_SQL,
     "embedding_quantize": E.QUANTIZE_SQL,
+    "embedding_label_coherence": E.LABEL_COHERENCE_SQL,
     "dedup_exact": D.DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": D.DEDUP_JACCARD_SQL,
     "dedup_clusters": D.DEDUP_CLUSTERS_SQL,
