@@ -182,3 +182,84 @@ SELECT n_a, conv_a, n_b, conv_b,
                  THEN 1 ELSE 0 END AS BIGINT) AS significant
 FROM z
 """
+
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def ab_funnel_steps(
+    events: DataFrame,
+    steps=FUNNEL_STEPS,
+    user: str = "user_id",
+    ts: str = "ts",
+    etype: str = "event_type",
+) -> DataFrame:
+    """Per-arm ordered funnel breakdown: users of each arm reaching
+    each stage of the first-completion chain — WHERE in the funnel an
+    arm wins, next to ``ab_funnel_significance``'s single verdict row.
+
+    Reuses the running-min anchor chain from
+    :func:`duckdb_behavioral_spark.operators.attribution.funnel_anchor_times`
+    (one user-keyed window partitioning, no self-joins); arms attach
+    map-side and the per-arm fold emits 2 rows. Counts are plain
+    integers — nothing float anywhere.
+    """
+    from duckdb_behavioral_spark.operators.attribution import funnel_anchor_times
+
+    anchors = funnel_anchor_times(events, list(steps), ts, user, etype)
+    k = len(steps)
+    return (
+        anchors.select(
+            ab_assign(F.col("u")).alias("arm"),
+            *[
+                F.col(f"t{i}").isNotNull().cast("long").alias(f"__s{i}")
+                for i in range(k)
+            ],
+        )
+        .groupBy("arm")
+        .agg(
+            *[
+                F.sum(f"__s{i}").cast("long").alias(f"n_step{i + 1}")
+                for i in range(k)
+            ]
+        )
+    )
+
+
+def q_ab_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_behavioral_spark.sources import load_events
+
+    return ab_funnel_steps(load_events(spark, sf_dir))
+
+
+AB_FUNNEL_STEPS_SQL = f"""
+WITH base AS (
+  SELECT user_id AS u, epoch_us(ts) AS t,
+         event_type = '{FUNNEL_STEPS[0]}' AS is0,
+         event_type = '{FUNNEL_STEPS[1]}' AS is1,
+         event_type = '{FUNNEL_STEPS[2]}' AS is2
+  FROM events WHERE ts IS NOT NULL
+), r0 AS (
+  SELECT *, MIN(CASE WHEN is0 THEN t END)
+              OVER (PARTITION BY u ORDER BY t ROWS UNBOUNDED PRECEDING) AS a0r
+  FROM base
+), r1 AS (
+  SELECT *, MIN(CASE WHEN is1 AND a0r IS NOT NULL AND t > a0r THEN t END)
+              OVER (PARTITION BY u ORDER BY t ROWS UNBOUNDED PRECEDING) AS a1r
+  FROM r0
+), r2 AS (
+  SELECT *, MIN(CASE WHEN is2 AND a1r IS NOT NULL AND t > a1r THEN t END)
+              OVER (PARTITION BY u ORDER BY t ROWS UNBOUNDED PRECEDING) AS a2r
+  FROM r1
+), pu AS (
+  SELECT u, MIN(a0r) AS t0, MIN(a1r) AS t1, MIN(a2r) AS t2
+  FROM r2 GROUP BY u
+)
+SELECT CASE WHEN ('0x' || substr(md5('{AB_SALT}' || CAST(u AS VARCHAR)), 1, 1))::BIGINT % 2 = 0
+            THEN 'A' ELSE 'B' END AS arm,
+       CAST(SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_step1,
+       CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_step2,
+       CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_step3
+FROM pu GROUP BY 1
+"""

@@ -84,6 +84,7 @@ EXT_QUERIES = {
     "cohort_funnel": CHT.q_cohort_funnel,
     "attribution_last_touch": AT.q_attribution_last_touch,
     "ab_funnel_significance": EX.q_ab_funnel_significance,
+    "ab_funnel_steps": EX.q_ab_funnel_steps,
     "session_transitions": AT.q_session_transitions,
     "funnel_step_timings": AT.q_funnel_step_timings,
     "session_concurrency": CCY.q_session_concurrency,
@@ -174,6 +175,7 @@ EXT_ORACLES = {
     "cohort_funnel": CHT.COHORT_FUNNEL_SQL,
     "attribution_last_touch": AT.ATTRIBUTION_SQL,
     "ab_funnel_significance": EX.AB_FUNNEL_SQL,
+    "ab_funnel_steps": EX.AB_FUNNEL_STEPS_SQL,
     "session_transitions": AT.SESSION_TRANSITIONS_SQL,
     "funnel_step_timings": AT.FUNNEL_TIMINGS_SQL,
     "session_concurrency": CCY.SESSION_CONCURRENCY_SQL,

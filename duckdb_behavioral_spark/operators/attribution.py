@@ -108,6 +108,50 @@ def session_transitions(
     )
 
 
+def funnel_anchor_times(
+    events: DataFrame,
+    steps: Sequence[str],
+    ts: str = "ts",
+    user: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user first-completion anchor chain: (u, t0..t{k-1}) with
+    t0 = earliest step-0 event and t_i = earliest step-i event
+    STRICTLY after t_{i-1} (integer µs; NULL once the chain breaks).
+    Computed with running windows in a single user partitioning — no
+    self-joins: min-so-far over time order equals the global t0 for
+    every row at-or-after it, so each event tests "am I after the
+    user's anchor" within the same window pass. Shared by
+    ``funnel_step_timings`` and the experiment-layer per-arm funnel."""
+    tcol, k = F.col(type_col), len(steps)
+    tu = F.unix_micros(event_time(ts))
+    base = events.where(F.col(ts).isNotNull()).select(
+        F.col(user).alias("u"),
+        tu.alias("t"),
+        *[(tcol == s).alias(f"is{i}") for i, s in enumerate(steps)],
+    )
+    w = Window.partitionBy("u").orderBy(F.col("t").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cur = base
+    for i in range(k):
+        if i == 0:
+            cond = F.col("is0")
+        else:
+            # strictly-after: the running anchor at this row excludes
+            # nothing (frame includes current), but t > anchor enforces
+            # strictness; anchor is NULL until stage i-1 was reached.
+            cond = F.col(f"is{i}") & F.col(f"a{i-1}r").isNotNull() & (
+                F.col("t") > F.col(f"a{i-1}r")
+            )
+        stage_t = F.when(cond, F.col("t"))
+        cur = cur.withColumn(f"a{i}r", F.min(stage_t).over(w))
+    return cur.groupBy("u").agg(
+        *[F.min(F.when(F.col(f"a{i}r").isNotNull(), F.col(f"a{i}r"))).alias(f"t{i}")
+          for i in range(k)]
+    )
+
+
 def funnel_step_timings(
     events: DataFrame,
     steps: Sequence[str] = ("view", "click", "purchase"),
@@ -131,35 +175,8 @@ def funnel_step_timings(
     """
     if len(steps) < 2:
         raise ValueError("need at least 2 steps")
-    tcol, k = F.col(type_col), len(steps)
-    tu = F.unix_micros(event_time(ts))
-    base = events.where(F.col(ts).isNotNull()).select(
-        F.col(user).alias("u"),
-        tu.alias("t"),
-        *[(tcol == s).alias(f"is{i}") for i, s in enumerate(steps)],
-    )
-    # per-user anchors: t0 = min t where is0; t_i = min t where is_i and
-    # t > t_{i-1}. Window running-min makes t_{i-1} available per row.
-    w = Window.partitionBy("u").orderBy(F.col("t").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cur = base
-    for i in range(k):
-        if i == 0:
-            cond = F.col("is0")
-        else:
-            # strictly-after: the running anchor at this row excludes
-            # nothing (frame includes current), but t > anchor enforces
-            # strictness; anchor is NULL until stage i-1 was reached.
-            cond = F.col(f"is{i}") & F.col(f"a{i-1}r").isNotNull() & (
-                F.col("t") > F.col(f"a{i-1}r")
-            )
-        stage_t = F.when(cond, F.col("t"))
-        cur = cur.withColumn(f"a{i}r", F.min(stage_t).over(w))
-    per_user = cur.groupBy("u").agg(
-        *[F.min(F.when(F.col(f"a{i}r").isNotNull(), F.col(f"a{i}r"))).alias(f"t{i}")
-          for i in range(k)]
-    )
+    k = len(steps)
+    per_user = funnel_anchor_times(events, steps, ts, user, type_col)
     rows = []
     for i in range(1, k):
         gap = F.col(f"t{i}") - F.col(f"t{i-1}")
