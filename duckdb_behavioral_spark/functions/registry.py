@@ -87,6 +87,7 @@ EXT_QUERIES = {
     "ab_funnel_steps": EX.q_ab_funnel_steps,
     "session_transitions": AT.q_session_transitions,
     "funnel_step_timings": AT.q_funnel_step_timings,
+    "user_burstiness": AT.q_user_burstiness,
     "session_concurrency": CCY.q_session_concurrency,
     "transition_pagerank": GR.q_transition_pagerank,
     # corpus search / passage dedup / frequency sketch
@@ -178,6 +179,7 @@ EXT_ORACLES = {
     "ab_funnel_steps": EX.AB_FUNNEL_STEPS_SQL,
     "session_transitions": AT.SESSION_TRANSITIONS_SQL,
     "funnel_step_timings": AT.FUNNEL_TIMINGS_SQL,
+    "user_burstiness": AT.BURSTINESS_SQL,
     "session_concurrency": CCY.SESSION_CONCURRENCY_SQL,
     "transition_pagerank": GR.TRANSITION_PAGERANK_SQL,
     "search_bm25_topk": SE.BM25_TOPK_SQL,

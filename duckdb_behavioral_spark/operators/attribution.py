@@ -300,3 +300,76 @@ SELECT CAST(2 AS BIGINT), 'click>purchase', COUNT(*),
        CAST(SUM(t2 - t1) AS DOUBLE) / COUNT(*)
 FROM pu WHERE t2 IS NOT NULL
 """
+
+
+BURST_TOP = 50
+
+
+def user_burstiness(
+    events: DataFrame,
+    ts: str = "ts",
+    user: str = "user_id",
+) -> DataFrame:
+    """Top-``BURST_TOP`` burstiest users by tightest inter-arrival
+    gap — the classic bot/scraper screen (humans don't emit events
+    microseconds apart; sustained sub-second minima flag automation).
+
+    Per user: event count and exact integer-µs min/max/sum of the
+    inter-arrival gaps (lag over the same user-time partitioning every
+    behavioral operator shares — one shuffle), then a distributed
+    top-k (TakeOrderedAndProject) on (min gap asc, user id asc). The
+    mean leaves integers only in the final per-row division.
+    """
+    from duckdb_behavioral_spark.functions.topk import ranked_topk
+
+    tu = F.unix_micros(event_time(ts))
+    w = Window.partitionBy("u").orderBy(F.col("t").asc())
+    gaps = (
+        events.where(F.col(ts).isNotNull())
+        .select(F.col(user).alias("u"), tu.alias("t"))
+        .withColumn("__gap", F.col("t") - F.lag("t").over(w))
+        .where(F.col("__gap").isNotNull())
+    )
+    per_user = gaps.groupBy("u").agg(
+        (F.count(F.lit(1)) + 1).cast("long").alias("n_events"),
+        F.min("__gap").cast("long").alias("min_gap_us"),
+        F.max("__gap").cast("long").alias("max_gap_us"),
+        F.floor(F.sum("__gap") / F.count(F.lit(1))).cast("long").alias("avg_gap_us"),
+    )
+    return ranked_topk(
+        per_user, [F.col("min_gap_us").asc(), F.col("u").asc()], BURST_TOP
+    ).select(
+        "rank",
+        F.col("u").alias("user_id"),
+        "n_events",
+        "min_gap_us",
+        "max_gap_us",
+        "avg_gap_us",
+    )
+
+
+def q_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return user_burstiness(_ev(spark, sf_dir))
+
+
+BURSTINESS_SQL = f"""
+WITH g AS (
+  SELECT user_id AS u, epoch_us(ts) AS t,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS gap
+  FROM events WHERE ts IS NOT NULL
+), pu AS (
+  SELECT u, CAST(COUNT(*) + 1 AS BIGINT) AS n_events,
+         CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+         CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+         CAST(FLOOR(CAST(SUM(gap) AS DOUBLE) / COUNT(*)) AS BIGINT)
+           AS avg_gap_us
+  FROM g WHERE gap IS NOT NULL GROUP BY u
+), r AS (
+  SELECT CAST(row_number() OVER (ORDER BY min_gap_us ASC, u ASC) AS BIGINT)
+           AS rank, *
+  FROM pu
+)
+SELECT rank, u AS user_id, n_events, min_gap_us, max_gap_us, avg_gap_us
+FROM r WHERE rank <= {BURST_TOP}
+"""
