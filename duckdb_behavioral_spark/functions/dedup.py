@@ -501,3 +501,100 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     from duckdb_behavioral_spark.sources import load_table
 
     return dedup_embedding_cosine(load_table(spark, sf_dir, "embeddings"))
+
+
+# --- winnowing-based candidate pairs ---------------------------------------
+
+WINNOW_FP_CAP = 32  # ignore fingerprints shared by more than this many docs
+WINNOW_MIN_SHARED = 2  # pairs must share at least this many fingerprints
+
+
+def winnow_pairs(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Cross-document near-dup candidates from shared winnowing
+    fingerprints — the substring-overlap complement to MinHash-LSH
+    (which measures whole-document set similarity): two docs sharing
+    ``WINNOW_MIN_SHARED`` selected fingerprints share at least that
+    many distinct >= gram+win-1-word runs.
+
+    Scale shape: explode selected fingerprints, bucket by fingerprint,
+    and CAP the bucket at ``WINNOW_FP_CAP`` docs (boilerplate
+    fingerprints shared by thousands of docs would otherwise go
+    quadratic — the same frequency-cap convention as the LSH band
+    join; the cap is a HAVING on the bucket aggregate, so the joined
+    fan-out is bounded at cap^2/2 per fingerprint). Pair counting is
+    one shuffle keyed on the uniformly-distributed 48-bit hash.
+    Output: (doc_a, doc_b, n_shared_fps), doc_a < doc_b.
+    """
+    from duckdb_behavioral_spark.functions.text import winnow_selected
+
+    sel = winnow_selected(docs, text, id_col)
+    ok_fp = (
+        sel.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where((F.col("__n") >= 2) & (F.col("__n") <= WINNOW_FP_CAP))
+        .select("fp")
+    )
+    bucketed = sel.join(ok_fp, "fp")
+    a = bucketed.select("fp", F.col(id_col).alias("doc_a"))
+    b = bucketed.select("fp", F.col(id_col).alias("doc_b"))
+    return (
+        a.join(b, ["fp"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_fps"))
+        .where(F.col("n_shared_fps") >= WINNOW_MIN_SHARED)
+    )
+
+
+def q_dedup_winnow_pairs(spark, sf_dir):
+    from duckdb_behavioral_spark.sources import load_table
+
+    return winnow_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _winnow_sel_sql() -> str:
+    from duckdb_behavioral_spark.functions.text import WINNOW_GRAM, WINNOW_WIN
+
+    return f"""
+sel AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(hs) >= {WINNOW_WIN} THEN
+      list_distinct(list_transform(range(1, len(hs) - {WINNOW_WIN - 2}),
+        i -> list_min(hs[i:i+{WINNOW_WIN - 1}])))
+    ELSE CAST([] AS BIGINT[]) END) AS fp
+  FROM (
+    SELECT doc_id, list_transform(grams,
+             x -> ('0x' || substr(md5('wn:' || x), 1, 12))::BIGINT) AS hs
+    FROM (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= {WINNOW_GRAM} THEN
+               list_transform(range(1, len(toks) - {WINNOW_GRAM - 2}),
+                 i -> array_to_string(toks[i:i+{WINNOW_GRAM - 1}], ' '))
+             ELSE CAST([] AS VARCHAR[]) END AS grams
+      FROM (SELECT doc_id, {{toks}} AS toks FROM documents)
+    )
+  )
+)"""
+
+
+def _winnow_pairs_sql() -> str:
+    from duckdb_behavioral_spark.functions.common import sql_tokens
+
+    sel = _winnow_sel_sql().replace("{toks}", sql_tokens("text"))
+    return f"""
+WITH {sel.strip()},
+ok_fp AS (
+  SELECT fp FROM sel GROUP BY fp
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= {WINNOW_FP_CAP}
+), b AS (
+  SELECT sel.fp, sel.doc_id FROM sel JOIN ok_fp USING (fp)
+)
+SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+FROM b a JOIN b b2 ON a.fp = b2.fp AND a.doc_id < b2.doc_id
+GROUP BY a.doc_id, b2.doc_id
+HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
+WINNOW_PAIRS_SQL = _winnow_pairs_sql()

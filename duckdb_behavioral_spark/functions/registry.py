@@ -57,6 +57,7 @@ EXT_QUERIES = {
     "dedup_minhash_pairs": D.q_dedup_minhash_pairs,
     "dedup_simhash": D.q_dedup_simhash,
     "dedup_embedding_cosine": D.q_dedup_embedding_cosine,
+    "dedup_winnow_pairs": D.q_dedup_winnow_pairs,
     # sketches
     "sketch_hll": SK.q_sketch_hll,
     "sketch_kmv_overlap": SK.q_sketch_kmv_overlap,
@@ -154,6 +155,7 @@ EXT_ORACLES = {
     "dedup_minhash_pairs": D.MINHASH_PAIRS_SQL,
     "dedup_simhash": D.SIMHASH_SQL,
     "dedup_embedding_cosine": D.COSINE_DUP_SQL,
+    "dedup_winnow_pairs": D.WINNOW_PAIRS_SQL,
     "sketch_hll": SK.SKETCH_HLL_SQL,
     "sketch_kmv_overlap": SK.SKETCH_KMV_SQL,
     "sketch_quantile_sample": SK.QUANTILE_SAMPLE_SQL,

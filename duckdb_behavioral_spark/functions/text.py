@@ -380,6 +380,34 @@ WINNOW_GRAM = 5  # words per k-gram
 WINNOW_WIN = 4  # hashes per selection window
 
 
+def winnow_selected(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, fp) — each doc's DISTINCT winnowing-selected fingerprints,
+    exploded. The shared core of ``winnow_fingerprints`` (per-doc
+    counts) and ``dedup.winnow_pairs`` (cross-doc candidates)."""
+    base = df.select(F.col(id_col), tokens(F.col(text)).alias("__toks"))
+    from duckdb_behavioral_spark.functions.common import word_grams_indexed
+
+    grams = word_grams_indexed(F.col("__toks"), WINNOW_GRAM)
+    hs = F.transform(
+        grams,
+        lambda g: F.conv(
+            F.substring(F.md5(F.concat(F.lit("wn:"), g)), 1, 12), 16, 10
+        ).cast("long"),
+    )
+    staged = base.select(F.col(id_col), hs.alias("__hs"))
+    nw = F.size("__hs") - (WINNOW_WIN - 1)
+    sel = F.when(
+        nw > 0,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), nw),
+                lambda i: F.array_min(F.slice("__hs", i, WINNOW_WIN)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return staged.select(F.col(id_col), F.explode(sel).alias("fp"))
+
+
 def winnow_fingerprints(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the MOSS
     algorithm): hash every word ``WINNOW_GRAM``-gram, slide a
