@@ -41,6 +41,33 @@ from duckdb_behavioral_spark.operators import (
     sessionize_col,
     window_funnel,
 )
+from duckdb_behavioral_spark.functions.corpus import (
+    decontaminate_attributed,
+    doc_rarity,
+    term_cooccurrence,
+)
+from duckdb_behavioral_spark.functions.dedup import winnow_pairs
+from duckdb_behavioral_spark.functions.embeddings import label_coherence
+from duckdb_behavioral_spark.functions.experiments import (
+    ab_assign,
+    ab_funnel_significance,
+    ab_funnel_steps,
+)
+from duckdb_behavioral_spark.functions.sampling import (
+    dataset_split_summary,
+    split_assign,
+)
+from duckdb_behavioral_spark.functions.sketches import (
+    kmin_sample,
+    quantile_sample,
+)
+from duckdb_behavioral_spark.functions.sliding import sliding_rollup
+from duckdb_behavioral_spark.functions.text import (
+    quality_filter,
+    token_count_bpe,
+    winnow_fingerprints,
+)
+from duckdb_behavioral_spark.operators.attribution import user_burstiness
 from duckdb_behavioral_spark.plans import assert_scalable, audit_plan
 from duckdb_behavioral_spark.sql_surface import behavioral_sql, rewrite_behavioral_sql
 
@@ -75,4 +102,22 @@ __all__ = [
     "sessionize",
     "sessionize_col",
     "window_funnel",
+    # round-4 pipeline surface
+    "ab_assign",
+    "ab_funnel_significance",
+    "ab_funnel_steps",
+    "dataset_split_summary",
+    "decontaminate_attributed",
+    "doc_rarity",
+    "kmin_sample",
+    "label_coherence",
+    "quality_filter",
+    "quantile_sample",
+    "sliding_rollup",
+    "split_assign",
+    "term_cooccurrence",
+    "token_count_bpe",
+    "user_burstiness",
+    "winnow_fingerprints",
+    "winnow_pairs",
 ]
