@@ -213,3 +213,38 @@ def test_quantile_sample_estimates_track_exact(spark, sf_dir):
     for p in (50, 90):
         est, ex = getattr(r, f"est_p{p}"), getattr(r, f"exact_p{p}")
         assert abs(est - ex) <= 0.35 * max(abs(ex), 1.0), (p, est, ex)
+
+
+def test_quantile_sample_boundary_sizes_match_bruteforce(spark):
+    """n < k (sample IS the population), n == k, and duplicate-heavy
+    populations: estimates and exact order statistics must match a
+    pure-Python recomputation of the same definitions."""
+    import hashlib
+
+    from duckdb_behavioral_spark.functions.sketches import (
+        QSAMPLE_K,
+        QSAMPLE_PS,
+        quantile_sample,
+    )
+
+    def hash48(key):
+        return int(hashlib.md5(f"qs:{key}".encode()).hexdigest()[:12], 16)
+
+    for n in (1, 5, QSAMPLE_K - 1, QSAMPLE_K, QSAMPLE_K + 44):
+        vals = [float((i * 7) % 13) for i in range(n)]  # heavy duplicates
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "event_id long, value double"
+        )
+        r = quantile_sample(df, "value", "event_id").collect()[0]
+        assert r.n_rows == n and r.n_sample == min(n, QSAMPLE_K)
+        # exact order statistics: index floor(p*(n-1)) of the sorted values
+        sv = sorted(vals)
+        for p in QSAMPLE_PS:
+            assert getattr(r, f"exact_p{int(p * 100)}") == sv[int(p * (n - 1))], (n, p)
+        # sample estimate: k-min by (hash, value), then index the
+        # (value, hash)-sorted sample
+        hv = sorted(((hash48(i), v) for i, v in enumerate(vals)))[:QSAMPLE_K]
+        samp = sorted((v, h) for h, v in hv)
+        m = len(samp)
+        for p in QSAMPLE_PS:
+            assert getattr(r, f"est_p{int(p * 100)}") == samp[int(p * (m - 1))][0], (n, p)
