@@ -115,6 +115,7 @@ EXT_QUERIES = {
     "tpch_q4_late_orders": TE.q_tpch_q4_late_orders,
     "customers_inactive_antijoin": TE.q_customers_inactive,
     "tpch_q19_disjunctive": TE.q_tpch_q19_disjunctive,
+    "order_fulfillment_lag": TE.q_order_fulfillment_lag,
     "events_hourly_rollup": C.q_events_hourly_rollup,
     "events_sliding_rollup": SL.q_events_sliding_rollup,
     "events_rollup_cube": C.q_events_rollup_cube,
@@ -204,6 +205,7 @@ EXT_ORACLES = {
     "tpch_q4_late_orders": TE.TPCH_Q4_SQL,
     "customers_inactive_antijoin": TE.CUSTOMERS_INACTIVE_SQL,
     "tpch_q19_disjunctive": TE.TPCH_Q19_SQL,
+    "order_fulfillment_lag": TE.FULFILLMENT_LAG_SQL,
     "events_hourly_rollup": C.EVENTS_HOURLY_SQL,
     "events_sliding_rollup": SL.SLIDING_ROLLUP_SQL,
     "events_rollup_cube": C.EVENTS_ROLLUP_CUBE_SQL,

@@ -350,3 +350,46 @@ SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE {" OR ".join(_q19_clause_sql(c) for c in Q19_CLAUSES)}
 """
+
+
+# --- fulfillment-lag distribution ------------------------------------------
+
+
+def q_order_fulfillment_lag(spark, sf_dir):
+    """Distribution of days between an order and its FIRST shipment —
+    the operational latency histogram.
+
+    Plan posture: the per-order min ship date and the orders join
+    share the orderkey exchange (co-partitioned; bucketed by orderkey
+    at real scale); the histogram fold emits O(distinct lag days)
+    rows. Lag is exact integer days (epoch-µs subtraction floored) —
+    no calendar arithmetic ambiguity between engines.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("__first")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lag_days = F.floor(
+        (F.unix_micros(F.col("__first")) - F.unix_micros(F.col("o_orderdate")))
+        / F.lit(86_400_000_000)
+    ).cast("long")
+    return (
+        orders.join(first_ship, orders.o_orderkey == first_ship.l_orderkey)
+        .select(lag_days.alias("lag_days"))
+        .groupBy("lag_days")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+
+
+FULFILLMENT_LAG_SQL = """
+WITH fs AS (
+  SELECT l_orderkey, MIN(l_shipdate) AS first_ship
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT CAST(FLOOR((epoch_us(first_ship) - epoch_us(o_orderdate))
+                  / 86400000000.0) AS BIGINT) AS lag_days,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders JOIN fs ON o_orderkey = l_orderkey
+GROUP BY 1
+"""
