@@ -11,71 +11,72 @@ history and ride local parity (tests/test_oracle_parity.py) this round.
 
 from __future__ import annotations
 
-# First-50 priority for the driver's correctness window. Order:
-# 1) the 36 queries never driver-checked in rounds 1-3,
-# 2) mix_corpus (round-3 red row - oracle HUGEINT cast fixed, needs
-#    its green row) and q17 (rewritten this round - distributed
-#    quantiles), then the remainder in legacy order fills slot 39-50.
+# First-50 priority for the driver's correctness window (round 5).
+# Order:
+# 1) the 16 queries never driver-checked in rounds 1-4 (completes
+#    115/115 driver-verified coverage),
+# 2) the two queries rewritten this round for constant factor
+#    (ann_ivf_kmeans_topk, user_rfm_segments) — need fresh green rows,
+# 3) oldest-checked fillers (r02/r03 latest check) to refresh history,
+# 4) tail slots for round-5 additions (new TPC-H shapes, time-pattern
+#    query) appended as they land.
+# Round-4's window (streaming gates ×8, TPC-H, reports, cohorts,
+# capstones) is all driver-green r04 and rides local parity
+# (tests/test_oracle_parity.py + scripts/driver_mirror.py) this round.
 DRIVER_PRIORITY = [
-    # streaming parity gates (7)
-    "streaming_funnel_parity",
-    "streaming_enrich_parity",
-    "streaming_dedup_parity",
-    "streaming_sessionize_parity",
-    "streaming_minhash_parity",
-    "streaming_cms_parity",
-    "streaming_rollup_parity",
-    "streaming_quantile_parity",
-    # host-surface compositions / TPC-H / capstones (16)
-    "tpch_pricing_flags",
-    "orders_by_nation",
-    "tpch_q3_topk",
-    "tpch_q5_region_revenue",
-    "tpch_q6_revenue",
-    "tpch_q10_returned_topk",
-    "events_hourly_rollup",
-    "events_rollup_cube",
-    "events_type_pivot",
-    "users_setops",
-    "events_props_json",
-    "retention_report",
-    "retention_report_salted",
-    "events_pct_of_total",
-    "training_set_select",
-    "training_pipeline_pack",
-    # reporting layer (4)
-    "events_hourly_anomaly",
+    # never driver-checked as of end of round 4 (16)
+    "streaming_join_parity",
+    "streaming_sink_parity",
+    "tpch_q19_disjunctive",
+    "corpus_decontaminate_attr",
+    "corpus_term_cooccurrence",
+    "text_token_count_bpe",
+    "text_winnow_fingerprints",
+    "text_quality_filter",
+    "dedup_winnow_pairs",
+    "dataset_split",
+    "embedding_label_coherence",
+    "multimodal_ppm_decode",
+    "ab_funnel_steps",
+    "user_burstiness",
+    "order_fulfillment_lag",
+    "events_sliding_rollup",
+    # rewritten this round — fresh green rows required (2)
+    "ann_ivf_kmeans_topk",
     "user_rfm_segments",
-    "events_hourly_ohlc",
-    "events_daily_trend",
-    # cohorts / attribution / concurrency / graph (7)
-    "rolling_active_users",
-    "cohort_funnel",
-    "attribution_last_touch",
-    "session_transitions",
-    "funnel_step_timings",
-    "session_concurrency",
-    "transition_pagerank",
-    # search / passage dedup / CMS (3)
-    "search_bm25_topk",
-    "dedup_passage",
-    "sketch_cms_heavy_hitters",
-    # temporal joins (asof already driver-green in rounds 1-3; it
-    # rides local parity so the window stays at 50)
-    "range_views_after_error",
-    # round-4 re-checks (2)
-    "mix_corpus",
-    "q17_session_quantiles",
-    # round-4 additions — never driver-checked
-    "sample_weighted",
-    "ann_pq_topk",
-    "tpch_q14_promo",
-    "tpch_q18_large_orders",
-    "tpch_q4_late_orders",
-    "customers_inactive_antijoin",
-    "corpus_doc_rarity",
-    "ab_funnel_significance",
-    "sketch_quantile_sample",
+    # oldest-checked refresh (r02/r03 latest check)
+    "asof_view_before_purchase",
+    "q1_sessionize",
+    "q2_retention",
+    "q3_window_funnel",
+    "q4_window_funnel_modes",
+    "q5_sequence_match_adjacent",
+    "q6_sequence_match_time",
+    "q7_sequence_count",
+    "q8_sequence_match_events",
+    "q9_next_node_forward",
+    "q10_next_node_backward",
+    "q11_session_stats",
+    "q12_funnel_dropoff",
+    "q13_funnel_strict",
+    "q14_funnel_strict_order",
+    "q15_funnel_timestamp_dedup",
+    "q16_funnel_allow_reentry",
+    "q18_session_paths",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_clusters",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "cohort_retention",
+    "corpus_decontaminate",
+    "sketch_hll",
+    # round-5 additions (fill to exactly 50)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q15_top_supplier",
+    "tpch_q21_waiting_suppliers",
+    "sequence_time_gate_mix",
 ]
 
 
@@ -134,20 +135,23 @@ def all_oracles():
         out.update(EXT_ORACLES)
     except ImportError:
         pass
-    # the streamed funnel/dedup must equal the BATCH oracles
-    out["streaming_funnel_parity"] = out.get("q3_window_funnel")
-    out["streaming_dedup_parity"] = out.get("dedup_exact")
-    out["streaming_sessionize_parity"] = out.get("q11_session_stats")
-    out["streaming_minhash_parity"] = out.get("dedup_minhash_pairs")
-    from duckdb_behavioral_spark.functions.cms import CMS_SKETCH_SQL
-
-    out["streaming_cms_parity"] = CMS_SKETCH_SQL
-    out["streaming_rollup_parity"] = out.get("events_hourly_rollup")
-    # the streamed stream-static enrichment must equal the batch join
-    out["streaming_enrich_parity"] = out.get("orders_by_nation")
-    out["streaming_quantile_parity"] = out.get("sketch_quantile_sample")
-    from duckdb_behavioral_spark.streaming.parity import STREAMING_JOIN_SQL
-
-    out["streaming_join_parity"] = STREAMING_JOIN_SQL
-    out["streaming_sink_parity"] = out.get("events_hourly_rollup")
+    # the streamed gates must equal BATCH oracles; mirror all_queries'
+    # graceful degradation when the streaming module cannot import
+    try:
+        from duckdb_behavioral_spark.functions.cms import CMS_SKETCH_SQL
+        from duckdb_behavioral_spark.streaming.parity import STREAMING_JOIN_SQL
+    except ImportError:
+        pass
+    else:
+        out["streaming_funnel_parity"] = out.get("q3_window_funnel")
+        out["streaming_dedup_parity"] = out.get("dedup_exact")
+        out["streaming_sessionize_parity"] = out.get("q11_session_stats")
+        out["streaming_minhash_parity"] = out.get("dedup_minhash_pairs")
+        out["streaming_cms_parity"] = CMS_SKETCH_SQL
+        out["streaming_rollup_parity"] = out.get("events_hourly_rollup")
+        # the streamed stream-static enrichment must equal the batch join
+        out["streaming_enrich_parity"] = out.get("orders_by_nation")
+        out["streaming_quantile_parity"] = out.get("sketch_quantile_sample")
+        out["streaming_join_parity"] = STREAMING_JOIN_SQL
+        out["streaming_sink_parity"] = out.get("events_hourly_rollup")
     return _prioritized(out)

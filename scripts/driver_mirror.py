@@ -29,6 +29,10 @@ def _norm(v):
         return None
     import datetime
 
+    import pandas as pd
+
+    if v is pd.NaT:
+        return None
     if isinstance(v, (datetime.date, datetime.datetime)):
         # Spark DateType -> datetime.date, DuckDB DATE -> Timestamp
         # at midnight: compare on the date part with one repr
