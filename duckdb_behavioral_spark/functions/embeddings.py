@@ -161,7 +161,10 @@ WITH e AS (
   WHERE sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          list_transform(v, x -> x * x)), (s, x) -> s + x)) > 0
 ), dims AS (
-  SELECT label, r.i, v[r.i] AS x FROM n2, range(1, {EMB_DIM + 1}) AS r(i)
+  -- indices derive from each vector's own length (not a hardcoded
+  -- dim): a dim change or ragged vector must not silently SUM-skip
+  -- out-of-range NULLs
+  SELECT label, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM n2
 ), cm AS (
   SELECT label, i,
          CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS m

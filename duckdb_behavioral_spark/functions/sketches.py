@@ -427,7 +427,8 @@ def quantile_sample(df: DataFrame, value: str, key: str) -> DataFrame:
     linear passes. Nothing data-sized ever serializes.
     """
     samp = kmin_sample(df, value, key)
-    return quantile_readout(samp, df.select(F.col(value).alias("v")))
+    pop = df.select(F.col(value).alias("v")).where(F.col("v").isNotNull())
+    return quantile_readout(samp, pop)
 
 
 def qsample_hash(key_col) -> "F.Column":
@@ -441,9 +442,17 @@ def qsample_hash(key_col) -> "F.Column":
 
 def kmin_sample(df: DataFrame, value: str, key: str) -> DataFrame:
     """The ``QSAMPLE_K`` rows with smallest salted key hash, as
-    (v, h). Mergeable: union parts' samples and re-apply."""
+    (v, h). Mergeable: union parts' samples and re-apply.
+
+    NULL key or value rows are excluded up front: Spark's ASC sort
+    puts NULLs first while DuckDB's puts them last, so a NULL-bearing
+    column would silently change sample membership between engines.
+    Filtering (on both sides — see QUANTILE_SAMPLE_SQL) makes the
+    contract independent of NULL placement.
+    """
     return (
         df.select(F.col(value).alias("v"), qsample_hash(F.col(key)).alias("h"))
+        .where(F.col("v").isNotNull() & F.col("h").isNotNull())
         .orderBy(F.col("h").asc(), F.col("v").asc())
         .limit(QSAMPLE_K)
     )
@@ -523,6 +532,7 @@ WITH samp AS (
   SELECT value AS v,
          ('0x' || substr(md5('qs:' || CAST(event_id AS VARCHAR)), 1, 12))::BIGINT AS h
   FROM events
+  WHERE value IS NOT NULL AND event_id IS NOT NULL
   ORDER BY h ASC, v ASC LIMIT {QSAMPLE_K}
 ), m_row AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS m FROM samp
@@ -538,6 +548,7 @@ WITH samp AS (
          CAST(row_number() OVER (ORDER BY value ASC) AS BIGINT) AS rk,
          CAST(COUNT(*) OVER () AS BIGINT) AS n
   FROM events
+  WHERE value IS NOT NULL
 ), exact AS (
   SELECT MAX(n) AS n_rows,
          {", ".join(_q_exact_sql(p) for p in QSAMPLE_PS)}

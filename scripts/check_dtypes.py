@@ -74,9 +74,9 @@ def main():
                 # side really holds datetime.date values
                 import datetime as _dt
 
+                _obj = (sdf[c] if sk == "O" else odf[c]).dropna()
                 date_pair = {sk, ok} == {"O", "M"} and all(
-                    isinstance(v, (_dt.date, _dt.datetime)) or v is None
-                    for v in (sdf[c] if sk == "O" else odf[c]).head(5)
+                    isinstance(v, (_dt.date, _dt.datetime)) for v in _obj
                 )
                 if not nan_promo and not date_pair:
                     mism.append((c, str(sdf[c].dtype), str(odf[c].dtype)))
