@@ -149,19 +149,18 @@ def user_rfm(
             "frequency",
             F.col("__mon").cast("double").alias("monetary"),
         )
-        .localCheckpoint(eager=False)  # consumed by 3 rank passes + final join
+        .localCheckpoint(eager=False)  # consumed by the rank pass + final join
     )
-    # quartiles: recency LOWER is better -> rank ascending then invert
-    scored = base
-    for metric, ascending in (
-        ("recency_days", True),
-        ("frequency", False),
-        ("monetary", False),
-    ):
-        cuts = _ntile4_cuts(base, metric, ascending)
-        scored = scored.crossJoin(F.broadcast(cuts)).withColumn(
-            f"__q_{metric}", _quartile_of(metric, ascending)
-        ).drop("c1m", "c1u", "c2m", "c2u", "c3m", "c3u")
+    # quartiles: recency LOWER is better -> rank ascending then invert.
+    # The three metric rankings fuse into ONE grouped rank-select pass
+    # (tag-union + group_cols) — one repartition/checkpoint/broadcast
+    # round trip instead of three serial ones.
+    cuts = _ntile4_cuts_fused(base, _RFM_METRICS)
+    scored = base.crossJoin(F.broadcast(cuts))
+    for tag, metric, ascending in _RFM_METRICS:
+        scored = scored.withColumn(
+            f"__q_{metric}", _quartile_of(metric, ascending, tag)
+        )
     return scored.select(
         "user_id",
         "recency_days",
@@ -176,18 +175,47 @@ def user_rfm(
     )
 
 
-def _ntile4_cuts(base: DataFrame, metric: str, ascending: bool) -> DataFrame:
-    """1-row (c1m, c1u, c2m, c2u, c3m, c3u): the (metric, user_id)
-    pairs sitting at the three ntile(4) boundary ranks under
-    (metric asc|desc, user_id asc) — rank-selected distributed, no
-    global sort (operators/rank_select.py)."""
+# (tag, metric column, ascending?) — recency LOWER is better, so it
+# ranks ascending; frequency/monetary rank descending.
+_RFM_METRICS = (
+    ("r", "recency_days", True),
+    ("f", "frequency", False),
+    ("m", "monetary", False),
+)
+
+
+def _ntile4_cuts_fused(base: DataFrame, metrics) -> DataFrame:
+    """1-row cut table ``{tag}{i}m`` / ``{tag}{i}u`` for every metric
+    tag and boundary i in 1..3: the (metric, user_id) pairs sitting at
+    the three ntile(4) boundary ranks under (metric asc|desc, user_id
+    asc). All metric rankings run in ONE grouped rank-select pass: each
+    metric contributes a tagged stream whose sort key ``__k1`` is the
+    metric cast to double, negated when descending (exact for counts/
+    days < 2^53; ``-x`` ascending totally orders like ``x`` descending
+    for finite doubles), and ``group_cols=['__tag']`` ranks the three
+    streams independently without a global sort
+    (operators/rank_select.py)."""
     from duckdb_behavioral_spark.operators.rank_select import with_global_rank
 
-    key = [
-        F.col(metric).asc() if ascending else F.col(metric).desc(),
-        F.col("user_id").asc(),
-    ]
-    ranked = with_global_rank(base.select("user_id", metric), key)
+    streams = []
+    for tag, metric, ascending in metrics:
+        k1 = F.col(metric).cast("double")
+        streams.append(
+            base.select(
+                F.lit(tag).alias("__tag"),
+                (k1 if ascending else -k1).alias("__k1"),
+                "user_id",
+                k1.alias("__mv"),
+            )
+        )
+    tagged = streams[0]
+    for s in streams[1:]:
+        tagged = tagged.unionByName(s)
+    ranked = with_global_rank(
+        tagged,
+        [F.col("__k1").asc(), F.col("user_id").asc()],
+        group_cols=["__tag"],
+    )
 
     def b(i: int):
         # ntile(4) boundary: first (n MOD 4) buckets hold n DIV 4 + 1
@@ -203,26 +231,35 @@ def _ntile4_cuts(base: DataFrame, metric: str, ascending: bool) -> DataFrame:
     return ranked.where(is_cut).agg(
         *[
             c
+            for tag, _, _ in metrics
             for i in (1, 2, 3)
             for c in (
-                F.max(F.when(F.col("__grank") == b(i), F.col(metric))).alias(
-                    f"c{i}m"
-                ),
-                F.max(F.when(F.col("__grank") == b(i), F.col("user_id"))).alias(
-                    f"c{i}u"
-                ),
+                F.max(
+                    F.when(
+                        (F.col("__tag") == tag) & (F.col("__grank") == b(i)),
+                        F.col("__mv"),
+                    )
+                ).alias(f"{tag}{i}m"),
+                F.max(
+                    F.when(
+                        (F.col("__tag") == tag) & (F.col("__grank") == b(i)),
+                        F.col("user_id"),
+                    )
+                ).alias(f"{tag}{i}u"),
             )
         ]
     )
 
 
-def _quartile_of(metric: str, ascending: bool):
+def _quartile_of(metric: str, ascending: bool, tag: str):
     """ntile(4) bucket = 1 + #boundary cuts strictly before this row
-    in the (metric, user_id) total order."""
-    m, u = F.col(metric), F.col("user_id")
+    in the (metric, user_id) total order. Cut metric values are double
+    (the fused cut table's common type); comparisons against the
+    original long metrics upcast exactly."""
+    m, u = F.col(metric).cast("double"), F.col("user_id")
 
     def after(i: int):
-        cm, cu = F.col(f"c{i}m"), F.col(f"c{i}u")
+        cm, cu = F.col(f"{tag}{i}m"), F.col(f"{tag}{i}u")
         beyond = (m > cm) if ascending else (m < cm)
         return F.when(beyond | ((m == cm) & (u > cu)), 1).otherwise(0)
 

@@ -45,29 +45,43 @@ def with_global_rank(
     num_partitions: int | None = None,
     rank_name: str = "__grank",
     n_name: str = "__n",
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """``df`` + ``rank_name`` (1-based BIGINT global rank under
     ``sort_cols``) + ``n_name`` (total row count), computed without a
-    global sort. ``sort_cols`` may carry ``.desc()`` orderings."""
+    global sort. ``sort_cols`` may carry ``.desc()`` orderings.
+
+    With ``group_cols``, ranks (and ``n_name``) are per group — one
+    independent global ranking per distinct group-key, still in ONE
+    range-partition pass: the range partitioner keys on (group, sort)
+    so each group's rows are contiguous across partitions, counts are
+    tracked per (partition, group) — at most P x #groups bounded rows
+    — and the prefix-sum offsets fold per group. Callers fusing
+    several rankings (e.g. RFM's three metric quartiles) tag-union
+    their streams and rank once instead of paying the
+    repartition/checkpoint/broadcast round trip per ranking."""
     sort_cols = list(sort_cols)
+    gcols = list(group_cols)
     if num_partitions is None:
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
+    part_cols = [F.col(g).asc() for g in gcols] + sort_cols
     ranged = (
-        df.repartitionByRange(num_partitions, *sort_cols)
+        df.repartitionByRange(num_partitions, *part_cols)
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
-    counts = ranged.groupBy("__pid").agg(F.count("*").alias("__cnt"))
-    # Fold the <= num_partitions count rows into ONE row (keys=[]
-    # global aggregate — the bounded single-partition shape the plan
-    # audit sanctions), run the prefix sum ONCE over that one sorted
+    counts = ranged.groupBy("__pid", *gcols).agg(F.count("*").alias("__cnt"))
+    # Fold the <= num_partitions (x #groups) count rows into ONE row
+    # per group (keys=group_cols aggregate — the bounded shape the
+    # plan audit sanctions), run the prefix sum ONCE over that sorted
     # array (O(P^2) on a cluster-sized array — trivial, and evaluated
     # exactly once, unlike the previous per-input-row HOF fold that
     # was ~2x the whole operator at 10M rows), explode back to
-    # (pid, offset) rows and broadcast-hash-join them onto the data.
-    one = counts.agg(
+    # (pid[, group], offset) rows and broadcast-hash-join them onto
+    # the data.
+    one = counts.groupBy(*gcols).agg(
         F.array_sort(F.collect_list(F.struct("__pid", "__cnt"))).alias("__arr"),
         F.coalesce(F.sum("__cnt"), F.lit(0)).cast("long").alias(n_name),
     )
@@ -86,16 +100,19 @@ def with_global_rank(
         ),
     ).otherwise(F.array().cast("array<struct<__pid:int,__off:bigint>>"))
     offsets = (
-        one.select(F.explode(offs).alias("__o"), F.col(n_name))
+        one.select(*gcols, F.explode(offs).alias("__o"), F.col(n_name))
         .select(
+            *gcols,
             F.col("__o.__pid").alias("__pid"),
             F.col("__o.__off").alias("__off"),
             n_name,
         )
     )
-    local = F.row_number().over(Window.partitionBy("__pid").orderBy(*sort_cols))
+    local = F.row_number().over(
+        Window.partitionBy("__pid", *gcols).orderBy(*sort_cols)
+    )
     return (
-        ranged.join(F.broadcast(offsets), "__pid")
+        ranged.join(F.broadcast(offsets), ["__pid", *gcols])
         .withColumn(rank_name, (F.col("__off") + local).cast("long"))
         .drop("__pid", "__off")
     )

@@ -60,18 +60,20 @@ def test_global_rank_descending(spark):
 def test_rfm_quartiles_match_ntile(spark, n):
     # the rank-selected cut-value formulation must equal ntile(4)
     from duckdb_behavioral_spark.functions.reports import (
-        _ntile4_cuts,
+        _ntile4_cuts_fused,
         _quartile_of,
     )
 
     rows = [(((i * 29) % 13), i) for i in range(n)]
     base = spark.createDataFrame(rows, "m long, user_id long")
-    cuts = _ntile4_cuts(base.withColumnRenamed("m", "metric"), "metric", True)
+    cuts = _ntile4_cuts_fused(
+        base.withColumnRenamed("m", "metric"), [("t", "metric", True)]
+    )
     got = {
         r["user_id"]: r["q"]
         for r in base.withColumnRenamed("m", "metric")
         .crossJoin(F.broadcast(cuts))
-        .withColumn("q", _quartile_of("metric", True))
+        .withColumn("q", _quartile_of("metric", True, "t"))
         .collect()
     }
     exp = {
@@ -82,5 +84,74 @@ def test_rfm_quartiles_match_ntile(spark, n):
             .over(Window.orderBy(F.col("m").asc(), F.col("user_id").asc()))
             .alias("q"),
         ).collect()
+    }
+    assert got == exp
+
+
+def test_grouped_global_rank_matches_per_group_window(spark):
+    # group_cols: one range pass must reproduce independent global
+    # rankings per group, including per-group __n
+    rows = [
+        (["a", "b", "c"][i % 3], (i * 37) % 11, i) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g string, x long, u long")
+    got = with_global_rank(
+        df, [F.col("x").asc(), F.col("u").asc()], 8, group_cols=["g"]
+    )
+    exp = df.select(
+        "g",
+        "x",
+        "u",
+        F.row_number()
+        .over(Window.partitionBy("g").orderBy(F.col("x").asc(), F.col("u").asc()))
+        .cast("long")
+        .alias("__grank"),
+        F.count("*").over(Window.partitionBy("g")).cast("long").alias("__n"),
+    )
+    key = lambda r: (r["g"], r["x"], r["u"], r["__grank"], r["__n"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, exp.collect()))
+
+
+def test_fused_rfm_cuts_match_per_metric_ntile(spark):
+    # three tagged metrics through ONE grouped pass == three ntile(4)s
+    from duckdb_behavioral_spark.functions.reports import (
+        _ntile4_cuts_fused,
+        _quartile_of,
+    )
+
+    rows = [
+        (i, (i * 29) % 13, (i * 17) % 7, float((i * 31) % 19)) for i in range(103)
+    ]
+    base = spark.createDataFrame(
+        rows, "user_id long, recency_days long, frequency long, monetary double"
+    )
+    metrics = [
+        ("r", "recency_days", True),
+        ("f", "frequency", False),
+        ("m", "monetary", False),
+    ]
+    cuts = _ntile4_cuts_fused(base, metrics)
+    scored = base.crossJoin(F.broadcast(cuts))
+    for tag, metric, asc in metrics:
+        scored = scored.withColumn(f"q_{tag}", _quartile_of(metric, asc, tag))
+    got = {
+        r["user_id"]: (r["q_r"], r["q_f"], r["q_m"]) for r in scored.collect()
+    }
+    exp_df = base.select(
+        "user_id",
+        *[
+            F.ntile(4)
+            .over(
+                Window.orderBy(
+                    F.col(metric).asc() if asc else F.col(metric).desc(),
+                    F.col("user_id").asc(),
+                )
+            )
+            .alias(f"q_{tag}")
+            for tag, metric, asc in metrics
+        ],
+    )
+    exp = {
+        r["user_id"]: (r["q_r"], r["q_f"], r["q_m"]) for r in exp_df.collect()
     }
     assert got == exp
