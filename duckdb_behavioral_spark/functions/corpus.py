@@ -73,8 +73,13 @@ def decontaminate_ngram(
     scanned once, probed map-side, and aggregated per doc with partial
     combine. No shuffle of raw text, no pairwise comparison.
     """
+    # tokens are projected into a bound attribute BEFORE shingling:
+    # interpreted HOF evaluation has no common-subexpression
+    # elimination, so the inline composition re-splits the document
+    # once per shingles3 reference (~2x the stage).
     ev = (
-        eval_set.select(F.explode(shingles3(tokens(F.col(text)))).alias("__g"))
+        eval_set.select(tokens(F.col(text)).alias("__toks"))
+        .select(F.explode(shingles3(F.col("__toks"))).alias("__g"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
@@ -82,7 +87,9 @@ def decontaminate_ngram(
     # gram row), the broadcast left join marks eval hits, and one
     # grouped agg yields both the gram count and the hit count — the
     # train text is scanned and shingled exactly once.
-    tr = train.select(F.col(id_col), shingles3(tokens(F.col(text))).alias("__grams"))
+    tr = train.select(F.col(id_col), tokens(F.col(text)).alias("__toks")).select(
+        F.col(id_col), shingles3(F.col("__toks")).alias("__grams")
+    )
     out = (
         tr.select(F.col(id_col), F.explode_outer(F.col("__grams")).alias("__g"))
         .join(F.broadcast(ev), "__g", "left")
@@ -455,11 +462,13 @@ def decontaminate_attributed(
     """
     from pyspark.sql import Window
 
+    # bound-attribute tokens before shingling (see decontaminate_ngram)
     ev = eval_set.select(
-        F.col(id_col).alias(eval_id_col),
-        F.explode(shingles3(tokens(F.col(text)))).alias("__g"),
+        F.col(id_col).alias(eval_id_col), tokens(F.col(text)).alias("__toks")
+    ).select(eval_id_col, F.explode(shingles3(F.col("__toks"))).alias("__g"))
+    tr = train.select(F.col(id_col), tokens(F.col(text)).alias("__toks")).select(
+        F.col(id_col), shingles3(F.col("__toks")).alias("__grams")
     )
-    tr = train.select(F.col(id_col), shingles3(tokens(F.col(text))).alias("__grams"))
     tr_g = tr.select(
         F.col(id_col),
         F.size("__grams").cast("long").alias("n_grams"),

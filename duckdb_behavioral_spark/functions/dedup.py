@@ -86,10 +86,11 @@ def _shingle_sets(df: DataFrame) -> DataFrame:
     pipeline once per leg.
     """
     return (
-        df.select(
+        df.select("doc_id", tokens(F.col("text")).alias("__toks"))
+        .select(
             "doc_id",
             F.array_distinct(
-                F.transform(shingles3(tokens(F.col("text"))), md5_hash48)
+                F.transform(shingles3(F.col("__toks")), md5_hash48)
             ).alias("sh"),
         )
         .repartition("doc_id")
@@ -153,11 +154,12 @@ def minhash_signatures(df: DataFrame) -> DataFrame:
     # the exploded rows (vs 16 interpreted HOF passes per document),
     # and partial aggregation shrinks the shuffle to 16 longs per doc.
     base = (
-        df.where(F.size(tokens(F.col("text"))) >= 3)
+        df.select("doc_id", tokens(F.col("text")).alias("__toks"))
+        .where(F.size(F.col("__toks")) >= 3)
         .select(
             "doc_id",
             F.explode(
-                F.transform(shingles3(tokens(F.col("text"))), md5_hash48)
+                F.transform(shingles3(F.col("__toks")), md5_hash48)
             ).alias("h"),
         )
     )

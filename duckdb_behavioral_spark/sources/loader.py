@@ -58,9 +58,26 @@ def normalize_timestamps(df: DataFrame, nanos_cols: list[str] = ()) -> DataFrame
     return df.withColumns(repl) if repl else df
 
 
+# Tables whose per-row map work is CPU-heavy (text shingling/token
+# pipelines). A single-file single-row-group input plans as ONE scan
+# task, serializing that work no matter how many cores the session has
+# — fan these out to the session parallelism when the scan is
+# under-split. At production scale a corpus scan carries thousands of
+# splits, so the branch never fires and no shuffle is added; filter
+# pushdown and column pruning pass through Repartition unchanged.
+# (embeddings deliberately NOT here: its queries run several small
+# control-plane jobs per query, and a repartition per job re-execution
+# costs more than the serial vector math it parallelizes.)
+_FANOUT_TABLES = {"documents"}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in _FANOUT_TABLES:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(2, target // 2):
+            df = df.repartition(target)
     return normalize_timestamps(df, _NANOS_TS_COLS.get(name, []))
 
 
