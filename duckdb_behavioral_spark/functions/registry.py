@@ -18,6 +18,7 @@ from duckdb_behavioral_spark.functions import reports as RP
 from duckdb_behavioral_spark.functions import search as SE
 from duckdb_behavioral_spark.functions import text as TX
 from duckdb_behavioral_spark.functions import tpch_extra as TE
+from duckdb_behavioral_spark.functions import tpch_subqueries as TS
 from duckdb_behavioral_spark.functions import experiments as EX
 from duckdb_behavioral_spark.functions import sliding as SL
 from duckdb_behavioral_spark.operators import attribution as AT
@@ -115,6 +116,10 @@ EXT_QUERIES = {
     "tpch_q4_late_orders": TE.q_tpch_q4_late_orders,
     "customers_inactive_antijoin": TE.q_customers_inactive,
     "tpch_q19_disjunctive": TE.q_tpch_q19_disjunctive,
+    "tpch_q2_min_cost_supplier": TS.q_tpch_q2_min_cost_supplier,
+    "tpch_q11_important_stock": TS.q_tpch_q11_important_stock,
+    "tpch_q15_top_supplier": TS.q_tpch_q15_top_supplier,
+    "tpch_q21_waiting_suppliers": TS.q_tpch_q21_waiting_suppliers,
     "order_fulfillment_lag": TE.q_order_fulfillment_lag,
     "events_hourly_rollup": C.q_events_hourly_rollup,
     "events_sliding_rollup": SL.q_events_sliding_rollup,
@@ -205,6 +210,10 @@ EXT_ORACLES = {
     "tpch_q4_late_orders": TE.TPCH_Q4_SQL,
     "customers_inactive_antijoin": TE.CUSTOMERS_INACTIVE_SQL,
     "tpch_q19_disjunctive": TE.TPCH_Q19_SQL,
+    "tpch_q2_min_cost_supplier": TS.TPCH_Q2_SQL,
+    "tpch_q11_important_stock": TS.TPCH_Q11_SQL,
+    "tpch_q15_top_supplier": TS.TPCH_Q15_SQL,
+    "tpch_q21_waiting_suppliers": TS.TPCH_Q21_SQL,
     "order_fulfillment_lag": TE.FULFILLMENT_LAG_SQL,
     "events_hourly_rollup": C.EVENTS_HOURLY_SQL,
     "events_sliding_rollup": SL.SLIDING_ROLLUP_SQL,

@@ -1,0 +1,358 @@
+"""Third TPC-H-shaped batch: the four classic subquery plan shapes the
+suite didn't yet exercise, adapted to the driver schema (no partsupp
+table, no commit/receipt dates — see TESTDATA.md):
+
+- Q2  — correlated scalar subquery (min cost per part) decorrelated
+        into a keyed window-min; the ORACLE keeps the correlated form.
+- Q11 — group HAVING against a GLOBAL scalar aggregate (1-row
+        broadcast anchor, the user_rfm anchor_row idiom).
+- Q15 — view/CTE max-over-aggregate (revenue CTE consumed by both the
+        MAX and the equality filter without a self-recompute).
+- Q21 — multi semi/anti SELF-joins on the fact table (exists another
+        supplier in the order; not exists another LATE supplier).
+
+Float discipline follows tpch_extra.py: per-row double products are
+single IEEE ops, every SUM runs in DECIMAL(30,10) (exact, commutative,
+map-side partials), one cast to DOUBLE at the end; MIN/MAX/equality on
+raw doubles are order-insensitive and exact, so cross-engine hashes
+agree bitwise.
+
+Host-surface context: the reference's own tests compose its aggregates
+with host joins/aggregations (reference test/sql/git_mining.test:80-241,
+examples 01-06); these queries extend the same host surface the way a
+warehouse user expects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def _t(spark, sf_dir, name):
+    from duckdb_behavioral_spark.sources import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+# --- Q2: minimum-cost supplier (correlated scalar subquery) ----------------
+
+Q2_REGION = "EUROPE"
+Q2_PTYPE = "STANDARD"
+Q2_TOP = 100
+
+
+def q_tpch_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: for every STANDARD part, the EUROPE supplier(s)
+    offering it at the part's minimum cost.
+
+    The supply relation derives from lineitem (no partsupp in this
+    schema): cost of (part, supplier) = MIN(l_extendedprice) over
+    their lineitems — MIN of doubles, order-insensitive exact.
+
+    Plan posture: the correlated scalar subquery ``cost = (SELECT
+    MIN(cost) FROM supply s2 WHERE s2.partkey = s1.partkey)`` is
+    decorrelated into ``MIN(cost) OVER (PARTITION BY partkey)`` — a
+    KEYED window (parallel, no global sort); the oracle keeps the
+    textbook correlated form so the equivalence is oracle-proven.
+    Dimension joins (supplier -> nation -> region, part) broadcast;
+    the supply aggregation is the only fact shuffle. Final top-100 is
+    a distributed TakeOrdered (functions/topk.ranked_topk).
+    """
+    from duckdb_behavioral_spark.functions.topk import ranked_topk
+
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == Q2_REGION)
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == Q2_PTYPE)
+
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("cost")
+    )
+    s_eu = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    sup_eu = supply.join(F.broadcast(s_eu), supply.l_suppkey == F.col("s_suppkey"))
+    w = Window.partitionBy("l_partkey")
+    best = sup_eu.withColumn("__minc", F.min("cost").over(w)).where(
+        F.col("cost") == F.col("__minc")
+    )
+    rows = best.join(F.broadcast(part), best.l_partkey == part.p_partkey).select(
+        "s_acctbal", "s_name", "n_name", "p_partkey", "s_suppkey", "cost"
+    )
+    return ranked_topk(
+        rows,
+        [
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        ],
+        Q2_TOP,
+    ).select(
+        F.col("rank").cast("long").alias("rank"),
+        "s_acctbal",
+        "s_name",
+        "n_name",
+        "p_partkey",
+        "s_suppkey",
+        "cost",
+    )
+
+
+TPCH_Q2_SQL = f"""
+WITH supply AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         MIN(l_extendedprice) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), s_eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{Q2_REGION}'
+), sup_eu AS (
+  SELECT supply.*, s_eu.s_name, s_eu.s_acctbal, s_eu.n_name
+  FROM supply JOIN s_eu ON supply.suppkey = s_eu.s_suppkey
+), best AS (
+  -- textbook correlated scalar subquery; the Spark side decorrelates
+  -- it into MIN() OVER (PARTITION BY partkey)
+  SELECT * FROM sup_eu s1
+  WHERE s1.cost = (SELECT MIN(s2.cost) FROM sup_eu s2
+                   WHERE s2.partkey = s1.partkey)
+)
+SELECT CAST(row_number() OVER (
+         ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC)
+       AS BIGINT) AS rank,
+       s_acctbal, s_name, n_name, p_partkey, suppkey AS s_suppkey, cost
+FROM best JOIN part ON partkey = p_partkey
+WHERE p_type = '{Q2_PTYPE}'
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT {Q2_TOP}
+"""
+
+
+# --- Q11: important stock (group HAVING vs global scalar) ------------------
+
+Q11_NATION = "NATION_7"
+Q11_FRACTION = 0.001
+
+
+def q_tpch_q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose revenue from one nation's
+    suppliers exceeds a FRACTION of that nation's total revenue.
+
+    Plan posture: both the per-part values and the global total come
+    from the SAME filtered join — the global scalar is a 1-row
+    aggregate broadcast onto the grouped rows (anchor-row idiom, no
+    single-partition window, no second scan). Sums are decimal-exact;
+    the threshold comparison runs in double with one fixed
+    parenthesization on both engines.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").where(F.col("n_name") == Q11_NATION)
+
+    s_n = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(30,10)"
+    )
+    vals = (
+        li.join(F.broadcast(s_n), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(rev).alias("__v"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("__v").cast("double").alias("part_value"),
+        )
+        .localCheckpoint(eager=False)  # consumed by the total AND the filter
+    )
+    total = vals.agg(
+        F.sum(F.col("part_value").cast("decimal(30,10)"))
+        .cast("double")
+        .alias("__total")
+    )
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .where(F.col("part_value") > F.col("__total") * F.lit(Q11_FRACTION))
+        .select("p_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), F.col("p_partkey").asc())
+    )
+
+
+TPCH_Q11_SQL = f"""
+WITH vals AS (
+  SELECT l_partkey AS p_partkey,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                       AS DECIMAL(30,10))) AS DOUBLE) AS part_value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = '{Q11_NATION}'
+  GROUP BY l_partkey
+)
+SELECT p_partkey, part_value
+FROM vals
+WHERE part_value > (SELECT CAST(SUM(CAST(part_value AS DECIMAL(30,10)))
+                                AS DOUBLE) FROM vals) * {Q11_FRACTION}
+ORDER BY part_value DESC, p_partkey ASC
+"""
+
+
+# --- Q15: top supplier (view/CTE max-over-aggregate) -----------------------
+
+Q15_LO = "1996-01-01"
+Q15_HI = "1996-04-01"
+
+
+def q_tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue over one
+    quarter — the revenue view consumed by both MAX and the equality
+    filter.
+
+    Plan posture: the quarter band is a pushed scan filter; revenue
+    aggregates once (decimal-exact) behind a lazy checkpoint so the
+    MAX probe and the equality filter share one computation; the MAX
+    is a 1-row broadcast (no global window). Supplier details
+    broadcast-join onto the <=handful of winners.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q15_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q15_HI).cast("timestamp"))
+    )
+    supplier = _t(spark, sf_dir, "supplier")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(30,10)"
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(rev).cast("double").alias("total_revenue"))
+        .localCheckpoint(eager=False)  # consumed by MAX and the filter
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+TPCH_Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                       AS DECIMAL(30,10))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_LO}'
+    AND l_shipdate < TIMESTAMP '{Q15_HI}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# --- Q21: suppliers who kept orders waiting (multi semi/anti self-joins) ---
+
+Q21_LATE_DAYS = 90
+Q21_TOP = 20
+
+
+def q_tpch_q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers whose lineitem was the ONLY late one
+    in a multi-supplier finished order ("kept the order waiting").
+
+    Late = shipped more than ``Q21_LATE_DAYS`` days after the order
+    date (this schema has no commit/receipt dates). For each late
+    lineitem of an 'F' order: EXISTS another supplier's lineitem in
+    the same order (left-semi self-join) AND NOT EXISTS another
+    supplier's LATE lineitem (left-anti self-join); count per
+    supplier, top-20 by (numwait DESC, s_name ASC).
+
+    Plan posture: lineitem joins orders once (broadcastable dimension
+    at test scale; bucketed co-partitioning at 100 TB), then the fact
+    relation is repartitioned by orderkey behind a lazy checkpoint so
+    BOTH self-joins consume the same co-partitioned data — the
+    semi/anti probes add no exchange on the big side. The supplier
+    name join broadcasts; the final top-k is a distributed
+    TakeOrdered.
+    """
+    from duckdb_behavioral_spark.functions.topk import ranked_topk
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    supplier = _t(spark, sf_dir, "supplier")
+
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {Q21_LATE_DAYS} DAYS"
+    )
+    li_o = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .select("l_orderkey", "l_suppkey", late.alias("__late"))
+        .repartition("l_orderkey")
+        .localCheckpoint(eager=False)  # both self-joins share this layout
+    )
+    l1 = li_o.where(F.col("__late")).select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    )
+    l2 = li_o.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = li_o.where(F.col("__late")).select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    waiting = (
+        l1.join(
+            l2, (F.col("ok") == F.col("ok2")) & (F.col("sk") != F.col("sk2")), "left_semi"
+        ).join(
+            l3, (F.col("ok") == F.col("ok3")) & (F.col("sk") != F.col("sk3")), "left_anti"
+        )
+    )
+    counts = (
+        waiting.groupBy("sk")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .join(F.broadcast(supplier), F.col("sk") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+    )
+    return ranked_topk(
+        counts, [F.col("numwait").desc(), F.col("s_name").asc()], Q21_TOP
+    ).select(F.col("rank").cast("long").alias("rank"), "s_name", "numwait")
+
+
+TPCH_Q21_SQL = f"""
+WITH li_o AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), waiting AS (
+  SELECT l1.l_orderkey, l1.l_suppkey
+  FROM li_o l1
+  WHERE l1.late
+    AND EXISTS (SELECT 1 FROM li_o l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM li_o l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+), counts AS (
+  SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+  FROM waiting JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY s_name
+)
+SELECT CAST(row_number() OVER (ORDER BY numwait DESC, s_name ASC) AS BIGINT)
+         AS rank,
+       s_name, numwait
+FROM counts
+ORDER BY numwait DESC, s_name ASC
+LIMIT {Q21_TOP}
+"""

@@ -664,6 +664,52 @@ SELECT step, COUNT(*) AS users FROM f GROUP BY step
 """
 
 
+def sequence_time_gate_mix(spark, sf_dir):
+    """Both time-constraint operators in ONE pattern, exercising the
+    NFA time path end-to-end: an adjacent view->click pair at least a
+    full second apart — ``(?t!=0)`` with the reference's truncating
+    seconds division (reference src/pattern/executor.rs:331-349) —
+    followed eventually (lazy ``.*``) by a purchase at least 10
+    minutes after the click (``(?t>=600)``)."""
+    return B.sequence_match(
+        _events(spark, sf_dir),
+        "(?1)(?t!=0)(?2).*(?t>=600)(?3)",
+        "ts",
+        [VIEW, CLICK, PURCHASE],
+        ["user_id"],
+        out="m",
+    )
+
+
+# Adjacency is on the stream filtered to events matching >= 1
+# condition; elapsed seconds use truncating integer division of the
+# microsecond gap, matching executor.rs. Backtracking semantics make
+# the match an EXISTS over (consecutive view->click pair with dt != 0,
+# any later purchase with dt >= 600 from that click).
+TIME_GATE_MIX_SQL = """
+WITH f AS (
+  SELECT user_id, epoch_us(ts) AS t, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS nxt,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS nxt_t
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+), pairs AS (
+  SELECT user_id, nxt_t AS ct FROM f
+  WHERE event_type = 'view' AND nxt = 'click'
+    AND (nxt_t - t) // 1000000 <> 0
+), m AS (
+  SELECT DISTINCT p.user_id, true AS m
+  FROM pairs p
+  JOIN (SELECT user_id, epoch_us(ts) AS t FROM events
+        WHERE event_type = 'purchase') pu
+    ON pu.user_id = p.user_id AND pu.t > p.ct
+   AND (pu.t - p.ct) // 1000000 >= 600
+)
+SELECT u.user_id, coalesce(m.m, false) AS m
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN m ON u.user_id = m.user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -687,6 +733,7 @@ CORE_QUERIES = {
     "q16_funnel_allow_reentry": q16_funnel_allow_reentry,
     "q17_session_quantiles": q17_session_quantiles,
     "q18_session_paths": q18_session_paths,
+    "sequence_time_gate_mix": sequence_time_gate_mix,
 }
 
 CORE_ORACLES = {
@@ -708,4 +755,5 @@ CORE_ORACLES = {
     "q16_funnel_allow_reentry": Q16_SQL,
     "q17_session_quantiles": Q17_SQL,
     "q18_session_paths": Q18_SQL,
+    "sequence_time_gate_mix": TIME_GATE_MIX_SQL,
 }
