@@ -120,6 +120,10 @@ EXT_QUERIES = {
     "tpch_q11_important_stock": TS.q_tpch_q11_important_stock,
     "tpch_q15_top_supplier": TS.q_tpch_q15_top_supplier,
     "tpch_q21_waiting_suppliers": TS.q_tpch_q21_waiting_suppliers,
+    "tpch_q7_volume_shipping": TS.q_tpch_q7_volume_shipping,
+    "tpch_q8_market_share": TS.q_tpch_q8_market_share,
+    "tpch_q13_order_counts": TS.q_tpch_q13_order_counts,
+    "tpch_q22_idle_balances": TS.q_tpch_q22_idle_balances,
     "order_fulfillment_lag": TE.q_order_fulfillment_lag,
     "events_hourly_rollup": C.q_events_hourly_rollup,
     "events_sliding_rollup": SL.q_events_sliding_rollup,
@@ -214,6 +218,10 @@ EXT_ORACLES = {
     "tpch_q11_important_stock": TS.TPCH_Q11_SQL,
     "tpch_q15_top_supplier": TS.TPCH_Q15_SQL,
     "tpch_q21_waiting_suppliers": TS.TPCH_Q21_SQL,
+    "tpch_q7_volume_shipping": TS.TPCH_Q7_SQL,
+    "tpch_q8_market_share": TS.TPCH_Q8_SQL,
+    "tpch_q13_order_counts": TS.TPCH_Q13_SQL,
+    "tpch_q22_idle_balances": TS.TPCH_Q22_SQL,
     "order_fulfillment_lag": TE.FULFILLMENT_LAG_SQL,
     "events_hourly_rollup": C.EVENTS_HOURLY_SQL,
     "events_sliding_rollup": SL.SLIDING_ROLLUP_SQL,

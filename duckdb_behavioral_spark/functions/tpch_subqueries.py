@@ -356,3 +356,293 @@ FROM counts
 ORDER BY numwait DESC, s_name ASC
 LIMIT {Q21_TOP}
 """
+
+
+# --- Q7: volume shipping between two nations -------------------------------
+
+Q7_N1 = "NATION_1"
+Q7_N2 = "NATION_2"
+Q7_LO = "1996-01-01"
+Q7_HI = "1998-01-01"
+
+
+def q_tpch_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: revenue shipped between two specific nations,
+    by supplier nation / customer nation / year — one fact row feeding
+    TWO independent dimension paths (lineitem -> supplier -> nation;
+    lineitem -> orders -> customer -> nation) plus a DISJUNCTIVE
+    nation-pair filter.
+
+    Plan posture: all dimension paths broadcast; the date band is a
+    pushed scan filter on lineitem; the nation-pair disjunction
+    evaluates map-side after the joins; one grouped aggregation
+    (decimal-exact sums), tiny output.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q7_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q7_HI).cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+
+    n1 = nation.select(
+        F.col("n_nationkey").alias("__sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("__cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(30,10)"
+    )
+    joined = (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__sn_key"))
+        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__cn_key"))
+        .where(
+            ((F.col("supp_nation") == Q7_N1) & (F.col("cust_nation") == Q7_N2))
+            | ((F.col("supp_nation") == Q7_N2) & (F.col("cust_nation") == Q7_N1))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+TPCH_Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                     AS DECIMAL(30,10))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '{Q7_LO}' AND l_shipdate < TIMESTAMP '{Q7_HI}'
+  AND ((n1.n_name = '{Q7_N1}' AND n2.n_name = '{Q7_N2}')
+    OR (n1.n_name = '{Q7_N2}' AND n2.n_name = '{Q7_N1}'))
+GROUP BY n1.n_name, n2.n_name, CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# --- Q8: national market share ---------------------------------------------
+
+Q8_REGION = "ASIA"
+Q8_NATION = "NATION_3"
+Q8_PTYPE = "ECONOMY"
+Q8_LO = "1996-01-01"
+Q8_HI = "1998-01-01"
+
+
+def q_tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of a region's market for a
+    part type, per year — share-of-group as a CONDITIONAL aggregate
+    over the same grouped rows (no self-join, no second scan).
+
+    The share is integer permille (``1000 * nation DIV total`` in
+    decimal before one final cast) so the cross-engine hash is exact
+    without relying on float division order.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q8_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q8_HI).cast("timestamp"))
+    )
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == Q8_REGION)
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == Q8_PTYPE)
+
+    cn = (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    sn = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(30,10)"
+    )
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cn), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sn), li.l_suppkey == F.col("s_suppkey"))
+    )
+    zero = F.lit(0).cast("decimal(30,10)")
+    agg = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == Q8_NATION, rev).otherwise(zero)).alias(
+            "__nat"
+        ),
+        F.sum(rev).alias("__tot"),
+    )
+    return agg.select(
+        "o_year",
+        F.col("__nat").cast("double").alias("nation_revenue"),
+        F.col("__tot").cast("double").alias("total_revenue"),
+        F.floor(
+            (F.lit(1000).cast("decimal(30,10)") * F.col("__nat")) / F.col("__tot")
+        )
+        .cast("long")
+        .alias("share_permille"),
+    ).orderBy("o_year")
+
+
+TPCH_Q8_SQL = f"""
+WITH joined AS (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+         CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10)) AS rev,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = '{Q8_REGION}' AND p_type = '{Q8_PTYPE}'
+    AND o_orderdate >= TIMESTAMP '{Q8_LO}'
+    AND o_orderdate < TIMESTAMP '{Q8_HI}'
+), agg AS (
+  SELECT o_year,
+         SUM(CASE WHEN supp_nation = '{Q8_NATION}' THEN rev
+                  ELSE CAST(0 AS DECIMAL(30,10)) END) AS nat,
+         SUM(rev) AS tot
+  FROM joined GROUP BY o_year
+)
+SELECT o_year,
+       CAST(nat AS DOUBLE) AS nation_revenue,
+       CAST(tot AS DOUBLE) AS total_revenue,
+       CAST(FLOOR(CAST(1000 AS DECIMAL(30,10)) * nat / tot) AS BIGINT)
+         AS share_permille
+FROM agg ORDER BY o_year
+"""
+
+
+# --- Q13: customer order-count distribution --------------------------------
+
+
+def q_tpch_q13_order_counts(spark, sf_dir):
+    """TPC-H Q13 shape: the distribution of orders-per-customer
+    INCLUDING zero-order customers — the left OUTER join aggregation
+    the inner-join suite rows can't produce, then a second grouping
+    over the grouped result (count-of-counts).
+
+    Plan posture: customer LEFT JOIN orders shuffles on custkey (at
+    100 TB both sides bucket by custkey); the count-of-counts input is
+    customer-sized and its grouping output is tiny.
+    """
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+TPCH_Q13_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --- Q22: global-avg filter + anti join ------------------------------------
+
+
+Q22_SINCE = "1999-01-01"  # "idle" = no orders on/after this date
+
+
+def q_tpch_q22_idle_balances(spark, sf_dir):
+    """TPC-H Q22 shape: customers with above-average positive balance
+    and NO RECENT orders, grouped by nation — a GLOBAL scalar average
+    (broadcast anchor) gating an ANTI join against the fact table.
+    (The driver data gives every customer at least one lifetime order,
+    so the classic "no orders ever" predicate is vacuous; "no orders
+    since Q22_SINCE" keeps the identical plan shape with a
+    discriminating answer.)
+
+    Plan posture: the average is a 1-row aggregate broadcast onto the
+    customer scan; the anti join ships only o_custkey from the
+    date-filtered orders scan (at 100 TB: the canonical "absence"
+    shape that never widens rows; the date band is a pushed filter).
+    Balance sums are decimal-exact.
+    """
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit(Q22_SINCE).cast("timestamp")
+    )
+    avg_row = customer.where(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(30,10)"))
+            / F.count(F.lit(1)).cast("decimal(30,10)")
+        )
+        .cast("double")
+        .alias("__avg")
+    )
+    keep = (
+        customer.crossJoin(F.broadcast(avg_row))
+        .where(F.col("c_acctbal") > F.col("__avg"))
+        .join(
+            orders.select(F.col("o_custkey")),
+            customer.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+    )
+    return (
+        keep.groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(30,10)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+TPCH_Q22_SQL = f"""
+WITH avg_row AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,10)))
+              / CAST(COUNT(*) AS DECIMAL(30,10)) AS DOUBLE) AS a
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE) AS totacctbal
+FROM customer, avg_row
+WHERE c_acctbal > avg_row.a
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '{Q22_SINCE}')
+GROUP BY c_nationkey
+ORDER BY nationkey
+"""

@@ -44,23 +44,35 @@ DRIVER_PRIORITY = [
     # rewritten this round — fresh green rows required (2)
     "ann_ivf_kmeans_topk",
     "user_rfm_segments",
-    # oldest-checked refresh (r02/r03 latest check)
+    # implementation changed this round outside the never-checked set —
+    # fresh rows over unchanged-refresh slots (rank_select group_cols +
+    # kmin NULL filter; dedup shingle token pre-projection)
+    "sketch_quantile_sample",
+    "streaming_quantile_parity",
+    "dedup_minhash_sigs",
+    "dedup_ngram_jaccard",
+    # round-5 additions (new queries need their first driver row)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q15_top_supplier",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q13_order_counts",
+    "tpch_q22_idle_balances",
+    "sequence_time_gate_mix",
+    # oldest-checked refresh (r02/r03 latest check; the displaced
+    # q5/q7/q9/q10/q13-q15 funnel/sequence rows are unchanged since
+    # their r03 green and keep local-mirror + parity-test coverage)
     "asof_view_before_purchase",
     "q1_sessionize",
     "q2_retention",
     "q3_window_funnel",
     "q4_window_funnel_modes",
-    "q5_sequence_match_adjacent",
     "q6_sequence_match_time",
-    "q7_sequence_count",
     "q8_sequence_match_events",
-    "q9_next_node_forward",
-    "q10_next_node_backward",
     "q11_session_stats",
     "q12_funnel_dropoff",
-    "q13_funnel_strict",
-    "q14_funnel_strict_order",
-    "q15_funnel_timestamp_dedup",
     "q16_funnel_allow_reentry",
     "q18_session_paths",
     "dedup_exact",
@@ -71,12 +83,6 @@ DRIVER_PRIORITY = [
     "cohort_retention",
     "corpus_decontaminate",
     "sketch_hll",
-    # round-5 additions (fill to exactly 50)
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
-    "tpch_q15_top_supplier",
-    "tpch_q21_waiting_suppliers",
-    "sequence_time_gate_mix",
 ]
 
 
