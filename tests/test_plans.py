@@ -139,9 +139,12 @@ def test_ivf_centroids_fixed_size_and_broadcast(spark):
         assert S._centroids(e).count() == S.NCENT, n
 
     plan = plan_of(S.ann_ivf_topk(_toy_embeddings(spark, 300)))
-    assert "BroadcastExchange" in plan
-    # assignment collapses the NCENT fan-out map-side before the shuffle
-    assert "partial_max_by" in plan
+    assert "BroadcastExchange" in plan  # probe joins broadcast the O(NCENT) table
+    # round-5 assignment: ONE Arrow-vectorized map pass with the
+    # centroid matrix in the UDF closure — no fan-out join, no
+    # max_by collapse, no assignment shuffle at all
+    assert "ArrowEvalPython" in plan
+    assert "partial_max_by" not in plan
 
 
 # --- round-3 reporting/search layer ---------------------------------------
