@@ -74,6 +74,7 @@ EXT_QUERIES = {
     "ann_ivf_topk": S.q_ann_ivf_topk,
     "ann_ivf_kmeans_topk": S.q_ann_ivf_kmeans_topk,
     "ann_pq_topk": S.q_ann_pq_topk,
+    "ann_ivfpq_topk": S.q_ann_ivfpq_topk,
     # multimodal
     "multimodal_features": M.q_multimodal_features,
     "multimodal_frames": M.q_multimodal_frames,
@@ -178,6 +179,7 @@ EXT_ORACLES = {
     "ann_ivf_topk": S.ANN_IVF_SQL,
     "ann_ivf_kmeans_topk": S.ANN_IVF_KMEANS_SQL,
     "ann_pq_topk": S.ANN_PQ_SQL,
+    "ann_ivfpq_topk": S.ANN_IVFPQ_SQL,
     "multimodal_features": M.MULTIMODAL_SQL,
     "multimodal_frames": M.MULTIMODAL_FRAMES_SQL,
     "multimodal_bmp_decode": M.BMP_DECODE_SQL,

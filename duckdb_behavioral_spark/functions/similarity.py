@@ -629,6 +629,118 @@ def q_ann_pq_topk(spark, sf_dir):
     return ann_pq_topk(_emb(spark, sf_dir))
 
 
+def ann_ivfpq_topk(
+    df: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ composite: coarse IVF routing + PQ-compressed in-cluster
+    scan + exact rerank — the production 100 TB ANN layout (the
+    "IVFADC" system of Jegou, Douze, Schmid, TPAMI 2011 §V).
+
+    Why the composite matters at scale: IVF alone still reads full
+    vectors for every row of the probed clusters (~NPROBE/NCENT of the
+    corpus x 512 bytes); PQ alone scans ALL compressed codes. Routing
+    first and THEN scanning compressed codes touches ~NPROBE/NCENT of
+    the corpus x 4 bytes — both reductions compose multiplicatively.
+
+    Plan: (1) the O(NCENT) centroid sample routes every vector in one
+    Arrow-vectorized map pass (zero shuffle, :func:`_assign_clusters`);
+    (2) the O(M*K*SUB_D) codebook broadcast-encodes the corpus
+    map-side; (3) each query probes its ``NPROBE`` best clusters and
+    ADC-scans only their codes (broadcast probe + distance tables,
+    map-side); (4) per-query top-``RERANK`` by approximate distance,
+    then exact squared-L2 rerank against raw vectors, top-``k``.
+    Every fold is index-ordered and ties break on the smaller id, so
+    both engines agree bitwise; recall vs ``ann_cosine_topk`` depends
+    on NPROBE x M/K/RERANK.
+    """
+    e = (
+        df.select(
+            F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .withColumn("nrm", _norm(F.col("v")))
+        .where(F.col("nrm") > 0)
+    )
+    cent = _centroids(e)
+    assigned = _assign_clusters(e, cent)
+    cb = pq_codebook(e.drop("nrm")).limit(1)
+    coded = assigned.crossJoin(F.broadcast(cb)).select(
+        "cid",
+        "cluster",
+        F.array(*[_pq_code(F.col("v"), m) for m in range(M_SUB)]).alias("cl"),
+    )
+    q = assigned.where(F.col("cid") < n_queries).select(
+        F.col("cid").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    ).limit(n_queries)
+    # probe: top-NPROBE clusters per query by centroid cosine
+    qsim = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("ctr_id"))
+    probes = (
+        q.join(F.broadcast(cent.limit(NCENT)))
+        .withColumn("qsim", qsim)
+        .withColumn("prnk", F.row_number().over(w_probe))
+        .where(F.col("prnk") <= NPROBE)
+        .select("query_id", F.col("ctr_id").alias("cluster"))
+    )
+    # per-query M x K distance tables on the broadcast codebook
+    qdt = (
+        q.crossJoin(F.broadcast(cb))
+        .select(
+            F.col("query_id"),
+            F.col("qv"),
+            F.array(
+                *[
+                    F.transform(
+                        F.col(f"cb{m}"),
+                        (lambda mm: lambda cw: _l2sq(
+                            F.slice(F.col("qv"), mm * SUB_D + 1, SUB_D), cw
+                        ))(m),
+                    )
+                    for m in range(M_SUB)
+                ]
+            ).alias("dt"),
+        )
+        .limit(n_queries)
+    )
+    adist = F.aggregate(
+        F.sequence(F.lit(1), F.lit(M_SUB)),
+        F.lit(0.0),
+        lambda s, m: s
+        + F.element_at(
+            F.element_at(F.col("dt"), m.cast("int")),
+            (F.element_at(F.col("cl"), m.cast("int")) + 1).cast("int"),
+        ),
+    )
+    cand = (
+        coded.join(F.broadcast(probes), "cluster")
+        .join(F.broadcast(qdt), "query_id")
+        .where(F.col("cid") != F.col("query_id"))
+        .select("query_id", "qv", F.col("cid").alias("neighbor_id"), adist.alias("adist"))
+    )
+    w_pre = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    keep = (
+        cand.withColumn("arnk", F.row_number().over(w_pre))
+        .where(F.col("arnk") <= RERANK)
+        .select("query_id", "qv", "neighbor_id")
+    )
+    rer = keep.join(e, keep.neighbor_id == e.cid).select(
+        "query_id", "neighbor_id", _l2sq(F.col("qv"), F.col("v")).alias("ex")
+    )
+    w_fin = Window.partitionBy("query_id").orderBy(F.asc("ex"), F.asc("neighbor_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w_fin))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id")
+    )
+
+
+def q_ann_ivfpq_topk(spark, sf_dir):
+    return ann_ivfpq_topk(_emb(spark, sf_dir))
+
+
 def _sql_l2sq_slice(a: str, b: str, am: str, bm: str) -> str:
     """Squared L2 between subspace ``am``/``bm`` slices of ``a``/``b``
     (0-based subspace expressions), index-ordered fold."""
@@ -648,6 +760,97 @@ def _sql_l2sq_full(a: str, b: str) -> str:
         f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (s, x) -> s + x)"
     )
 
+
+ANN_IVFPQ_SQL = f"""
+WITH e AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT cid, v,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(v, x -> x * x)), (s, x) -> s + x)) AS nrm
+  FROM e
+), n2 AS (
+  SELECT * FROM n WHERE nrm > 0
+), cent0 AS (
+  SELECT cid AS ctr_id, v AS cv, nrm AS cn FROM n2
+  ORDER BY ('0x' || substr(md5(CAST(cid AS VARCHAR)), 1, 12))::BIGINT ASC, cid ASC
+  LIMIT {NCENT}
+), assigned AS (
+  SELECT cid, v, nrm, ctr_id AS cluster FROM (
+    SELECT n2.cid, n2.v, n2.nrm, cent0.ctr_id,
+           row_number() OVER (
+             PARTITION BY n2.cid
+             ORDER BY {_fold_dot_sql('n2.v', 'cent0.cv')} / (n2.nrm * cent0.cn) DESC,
+                      cent0.ctr_id ASC) AS rnk
+    FROM n2 CROSS JOIN cent0)
+  WHERE rnk = 1
+), q AS (
+  SELECT cid AS query_id, v AS qv, nrm AS qn FROM assigned WHERE cid < {N_QUERIES}
+), probes AS (
+  SELECT query_id, ctr_id AS cluster FROM (
+    SELECT q.query_id, cent0.ctr_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_fold_dot_sql('q.qv', 'cent0.cv')} / (q.qn * cent0.cn) DESC,
+                      cent0.ctr_id ASC) AS prnk
+    FROM q CROSS JOIN cent0)
+  WHERE prnk <= {NPROBE}
+), cb AS (
+  SELECT row_number() OVER (
+           ORDER BY ('0x' || substr(md5(CAST(cid AS VARCHAR)), 1, 12))::BIGINT ASC,
+                    cid ASC) - 1 AS j, v
+  FROM n2
+  ORDER BY ('0x' || substr(md5(CAST(cid AS VARCHAR)), 1, 12))::BIGINT ASC, cid ASC
+  LIMIT {K_CODES}
+), codes AS (
+  SELECT cid, list(code ORDER BY m) AS cl FROM (
+    SELECT cid, m, j AS code,
+           row_number() OVER (PARTITION BY cid, m ORDER BY d ASC, j ASC) AS rnk
+    FROM (
+      SELECT n2.cid, r.m, cb.j,
+             {_sql_l2sq_slice('n2.v', 'cb.v', 'r.m', 'r.m')} AS d
+      FROM n2 CROSS JOIN range(0, {M_SUB}) r(m) CROSS JOIN cb))
+  WHERE rnk = 1 GROUP BY cid
+), qdm AS (
+  SELECT query_id, m, list(d ORDER BY j) AS dr FROM (
+    SELECT q.query_id, r.m, cb.j,
+           {_sql_l2sq_slice('q.qv', 'cb.v', 'r.m', 'r.m')} AS d
+    FROM q CROSS JOIN range(0, {M_SUB}) r(m) CROSS JOIN cb)
+  GROUP BY query_id, m
+), qdt AS (
+  SELECT query_id, list(dr ORDER BY m) AS dt FROM qdm GROUP BY query_id
+), cand AS (
+  SELECT p.query_id, c.cid AS neighbor_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, {M_SUB + 1}),
+                            m -> t.dt[m][c.cl[m] + 1])),
+           (s, x) -> s + x) AS adist
+  FROM codes c
+  JOIN assigned a ON c.cid = a.cid
+  JOIN probes p ON a.cluster = p.cluster
+  JOIN qdt t ON t.query_id = p.query_id
+  WHERE c.cid <> p.query_id
+), keep AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS arnk
+    FROM cand)
+  WHERE arnk <= {RERANK}
+), rer AS (
+  SELECT k.query_id, k.neighbor_id,
+         {_sql_l2sq_full('q.qv', 'n2.v')} AS ex
+  FROM keep k
+  JOIN q ON q.query_id = k.query_id
+  JOIN n2 ON n2.cid = k.neighbor_id
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY ex ASC, neighbor_id ASC) AS rank
+  FROM rer)
+WHERE rank <= {TOP_K}
+"""
 
 ANN_PQ_SQL = f"""
 WITH e AS (

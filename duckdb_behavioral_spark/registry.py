@@ -61,6 +61,7 @@ DRIVER_PRIORITY = [
     "tpch_q13_order_counts",
     "tpch_q22_idle_balances",
     "sequence_time_gate_mix",
+    "ann_ivfpq_topk",
     # oldest-checked refresh (r02/r03 latest check; the displaced
     # q5/q7/q9/q10/q13-q15 funnel/sequence rows are unchanged since
     # their r03 green and keep local-mirror + parity-test coverage)
@@ -73,7 +74,6 @@ DRIVER_PRIORITY = [
     "q8_sequence_match_events",
     "q11_session_stats",
     "q12_funnel_dropoff",
-    "q16_funnel_allow_reentry",
     "q18_session_paths",
     "dedup_exact",
     "dedup_minhash_pairs",
