@@ -112,6 +112,11 @@ def probe(spark, path: str) -> dict:
 
     run("ab_funnel", ab_funnel_significance(ev))
     run("quantile_sample", quantile_sample(ev, "value", "event_id"))
+    # round-5 reshapes: RFM's three quartiles through ONE grouped
+    # rank-select pass (tag-union + group_cols)
+    from duckdb_behavioral_spark.functions.reports import user_rfm
+
+    run("user_rfm", user_rfm(ev))
     return out
 
 
