@@ -40,6 +40,9 @@ def build_spark(cpus: int):
     )
 
 
+GC_EVERY = int(os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "8"))
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -67,7 +70,7 @@ def main() -> int:
     # Warm up the JVM + parquet footer caches outside the timed region.
     load_events(spark, sf_dir).count()
 
-    def drop_persisted() -> None:
+    def drop_persisted(i: int) -> None:
         # Several queries pin intermediate results with lazy
         # localCheckpoint barriers (dedup, kmv, bm25...). Those blocks
         # stay in the block manager until unpersisted; across a 70+
@@ -79,29 +82,35 @@ def main() -> int:
         # remnants and codegen classes linger until an old-gen GC, and
         # across 80 queries that heap pressure inflated LATE-suite
         # queries 4-6x (text_scrub_pii 10.5s in-suite vs 2.6s
-        # standalone; measured back-to-back: suite total 145.9s ->
-        # 104.3s with the explicit clearCache + System.gc between
-        # queries). The GC runs OUTSIDE the timed region, so each
-        # query's number reflects its own work.
+        # standalone; round-4 measured suite 145.9s -> 104.3s with an
+        # explicit System.gc between queries). Round 5 re-measured the
+        # other side of that trade: a full System.gc after EVERY query
+        # itself costs ~0.8s/query of post-GC warmup (10-query probe:
+        # 26.8s with per-query gc vs 18.3s without), so the forced gc
+        # now runs every GC_EVERY queries — frequent enough to bound
+        # heap growth, rare enough not to dominate. Unpersist/
+        # clearCache stay per-query (cheap). All of it runs OUTSIDE
+        # the timed region.
         try:
             jmap = spark.sparkContext._jsc.getPersistentRDDs()
             for rid in list(jmap.keySet().toArray()):
                 jmap.get(rid).unpersist()
             spark.catalog.clearCache()
-            spark.sparkContext._jvm.System.gc()
+            if (i + 1) % GC_EVERY == 0:
+                spark.sparkContext._jvm.System.gc()
         except Exception:
             pass
 
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_REPEAT", "1")))
     per_query: dict[str, float] = {}
-    for name in names:
+    for i, name in enumerate(names):
         fn = queries[name]
         for _ in range(repeat):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             per_query[name] = round(time.perf_counter() - t0, 4)
-        drop_persisted()
+        drop_persisted(i)
 
     total = round(sum(per_query.values()), 4)
     payload = {
