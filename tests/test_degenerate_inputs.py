@@ -54,3 +54,59 @@ def test_query_survives_empty_tables(spark, empty_dir, name):
 
     rows = all_queries()[name](spark, empty_dir).collect()
     assert rows is not None  # no-crash is the contract; contents free
+
+
+@pytest.fixture(scope="module")
+def zero_vec_dir(spark, tmp_path_factory):
+    """Embeddings table where HALF the vectors are all-zero (undefined
+    cosine) and one doc/event table row set is minimal — the ANSI
+    DIVIDE_BY_ZERO trap class: Spark 4 runs ANSI mode, so any division
+    by a zero norm/count throws at RUNTIME even when the shipped
+    testdata never triggers it."""
+    out = str(tmp_path_factory.mktemp("zero_vecs"))
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dim = len(base.select("embedding").first()["embedding"])
+    zeroed = base.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 2 == 0,
+            F.array(*[F.lit(0.0) for _ in range(dim)]).cast(
+                base.schema["embedding"].dataType.simpleString()
+            ),
+        ).otherwise(F.col("embedding")),
+    )
+    zeroed.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    for t in TABLES:
+        if t == "embeddings":
+            continue
+        src = f"{SF}/{t}.parquet"
+        if os.path.exists(src):
+            spark.read.parquet(src).write.mode("overwrite").parquet(
+                f"{out}/{t}.parquet"
+            )
+    return out
+
+
+_VEC_QUERIES = [
+    "ann_cosine_topk",
+    "ann_lsh_buckets",
+    "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "dedup_embedding_cosine",
+    "embedding_quantize",
+    "embedding_label_coherence",
+]
+
+
+@pytest.mark.parametrize("name", _VEC_QUERIES)
+def test_vector_queries_survive_zero_norm_vectors(spark, zero_vec_dir, name):
+    # half the corpus has undefined cosine; the queries must filter or
+    # tolerate it (zero-norm rows dropped) — never throw DIVIDE_BY_ZERO
+    from duckdb_behavioral_spark.registry import all_queries
+
+    rows = all_queries()[name](spark, zero_vec_dir).collect()
+    assert rows is not None
