@@ -136,8 +136,14 @@ def _classify_bnl(lines: list[str], i: int) -> bool:
     the query (e.g. ``F.broadcast(centroids.limit(NCENT))``) and this
     classifier can prove it from the plan alone."""
     sub = _subtree(lines, i)
+    # The BNL's own build side broadcasts with IdentityBroadcastMode
+    # (hash joins use HashedRelationBroadcastMode), so keying on it
+    # skips equi-join build exchanges nested inside the BNL's probe
+    # child — e.g. an anti-join under a scalar-attach crossJoin, whose
+    # (unbounded, but irrelevant) hash build otherwise shadows the
+    # bounded 1-row aggregate this classifier is looking for.
     for j, line in enumerate(sub):
-        if "BroadcastExchange" in line or "BroadcastQueryStage" in line:
+        if "IdentityBroadcastMode" in line or "BroadcastQueryStage" in line:
             return any(_BOUNDED_CHILD.search(x) for x in _subtree(sub, j))
     return False
 
