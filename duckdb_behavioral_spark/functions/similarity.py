@@ -538,6 +538,47 @@ def _pq_code(vcol, m: int):
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
 
 
+def pq_encode_arrow(e: DataFrame, cb: DataFrame) -> DataFrame:
+    """(cid[, cluster], cl) — corpus PQ encode as ONE Arrow-vectorized
+    map pass, the same device as :func:`_assign_clusters`: the
+    O(M*K*SUB_D) codebook (a bounded 1-row collect, same bound as the
+    broadcast it replaces) rides the UDF closure as numpy matrices.
+
+    The JVM formulation evaluates M*K interpreted higher-order l2sq
+    folds per vector (128 at the default sizes) — the dominant cost of
+    both PQ queries. Bitwise parity with :func:`_pq_code` is preserved
+    (and pinned by ``tests/test_pq_encode.py``): the numpy loop
+    accumulates ``(x-y)^2`` dimension-by-dimension — the HOF's exact
+    left-fold order — and ``np.argmin`` takes the FIRST minimal code,
+    matching ``array_position(dists, array_min(dists))``.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    row = cb.limit(1).collect()[0]
+    mats = [
+        np.array([list(cw) for cw in row[f"cb{m}"]], dtype=np.float64)
+        for m in range(M_SUB)
+    ]  # each (K_CODES, SUB_D)
+
+    @pandas_udf("array<long>")
+    def _encode(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        vm = np.stack([np.asarray(x, dtype=np.float64) for x in vs.values])
+        codes = np.empty((vm.shape[0], M_SUB), dtype=np.int64)
+        for m in range(M_SUB):
+            sub = vm[:, m * SUB_D : (m + 1) * SUB_D]  # (n, SUB_D)
+            acc = np.zeros((vm.shape[0], mats[m].shape[0]))
+            for d in range(SUB_D):  # exact left-fold over dimensions
+                diff = sub[:, d, None] - mats[m][None, :, d]
+                acc += diff * diff
+            codes[:, m] = np.argmin(acc, axis=1)  # first minimal j
+        return pd.Series(list(codes))
+
+    keep = [c for c in e.columns if c in ("cid", "cluster")]
+    return e.select(*keep, _encode(F.col("v")).alias("cl"))
+
+
 def ann_pq_topk(
     df: DataFrame,
     n_queries: int = N_QUERIES,
@@ -574,9 +615,7 @@ def ann_pq_topk(
         .drop("nrm")
     )
     cb = pq_codebook(e).limit(1)  # no-op cap: proves the broadcast bound
-    coded = e.crossJoin(F.broadcast(cb)).select(
-        "cid", F.array(*[_pq_code(F.col("v"), m) for m in range(M_SUB)]).alias("cl")
-    )
+    coded = pq_encode_arrow(e, cb)
     # per-query M x K distance table, built on the broadcast codebook
     q = e.where(F.col("cid") < n_queries).limit(n_queries)
     qdt = (
@@ -667,11 +706,7 @@ def ann_ivfpq_topk(
     cent = _centroids(e)
     assigned = _assign_clusters(e, cent)
     cb = pq_codebook(e.drop("nrm")).limit(1)
-    coded = assigned.crossJoin(F.broadcast(cb)).select(
-        "cid",
-        "cluster",
-        F.array(*[_pq_code(F.col("v"), m) for m in range(M_SUB)]).alias("cl"),
-    )
+    coded = pq_encode_arrow(assigned, cb)
     q = assigned.where(F.col("cid") < n_queries).select(
         F.col("cid").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     ).limit(n_queries)

@@ -62,6 +62,7 @@ DRIVER_PRIORITY = [
     "tpch_q22_idle_balances",
     "sequence_time_gate_mix",
     "ann_ivfpq_topk",
+    "ann_pq_topk",
     # oldest-checked refresh (r02/r03 latest check; the displaced
     # q5/q7/q9/q10/q13-q15 funnel/sequence rows are unchanged since
     # their r03 green and keep local-mirror + parity-test coverage)
@@ -82,7 +83,6 @@ DRIVER_PRIORITY = [
     "ann_ivf_topk",
     "cohort_retention",
     "corpus_decontaminate",
-    "sketch_hll",
 ]
 
 
