@@ -40,7 +40,7 @@ def build_spark(cpus: int):
     )
 
 
-GC_EVERY = int(os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "8"))
+GC_EVERY = int(os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "1"))
 
 
 def main() -> int:
@@ -83,14 +83,13 @@ def main() -> int:
         # across 80 queries that heap pressure inflated LATE-suite
         # queries 4-6x (text_scrub_pii 10.5s in-suite vs 2.6s
         # standalone; round-4 measured suite 145.9s -> 104.3s with an
-        # explicit System.gc between queries). Round 5 re-measured the
-        # other side of that trade: a full System.gc after EVERY query
-        # itself costs ~0.8s/query of post-GC warmup (10-query probe:
-        # 26.8s with per-query gc vs 18.3s without), so the forced gc
-        # now runs every GC_EVERY queries — frequent enough to bound
-        # heap growth, rare enough not to dominate. Unpersist/
-        # clearCache stay per-query (cheap). All of it runs OUTSIDE
-        # the timed region.
+        # explicit System.gc between queries). Round 5 probed the other
+        # side of the trade: on a 10-query subset the per-query gc
+        # costs ~0.8s/query of post-GC warmup — but gc-every-8 LOST on
+        # the full 115-query suite (123.7s per-query-gc vs 135-159s
+        # with gc-every-8: the late-suite heap inflation returned), so
+        # the default stays every-query; SPARK_GRAFT_BENCH_GC_EVERY
+        # exposes the knob. All of it runs OUTSIDE the timed region.
         try:
             jmap = spark.sparkContext._jsc.getPersistentRDDs()
             for rid in list(jmap.keySet().toArray()):
