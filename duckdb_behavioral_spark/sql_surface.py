@@ -36,8 +36,13 @@ reference test/example shape, plus aliased and inline-subquery
 variants), and a same-scope ``WHERE`` — which the rewrite moves
 INSIDE the lag derived table, because SQL evaluates window functions
 after the WHERE (leaving it outside would let filtered-out rows
-donate ``__prev_ts`` values the reference never sees). ``JOIN`` /
-``GROUP BY`` in the same SELECT raise a ``ValueError`` pointing at
+donate ``__prev_ts`` values the reference never sees). ``JOIN`` in the
+same SELECT is supported when every column reference is UNQUALIFIED
+(the USING-join idiom): the lag derived table then wraps the whole
+FROM…JOIN…WHERE segment, so the window sees the joined+filtered rows
+— SQL's evaluation order. Qualified names (they cannot survive a
+derived table in a lexical rewrite) and ``GROUP BY`` (grouping
+changes the rows the window sees) raise a ``ValueError`` pointing at
 the CTE workaround rather than silently computing the window over the
 wrong row set. One statement may contain many behavioral aggregate
 calls but at most one sessionize-OVER.
@@ -551,13 +556,52 @@ def _rewrite_sessionize(sql: str) -> str:
     tail_lo, tail_hi = src_hi, _scope_end(out, src_hi, call_depth)
     tail = out[tail_lo:tail_hi]
     masked = _mask_nested(tail)  # blank nested (…) so scans see only this scope
-    if re.search(r"\b(?:JOIN|GROUP\s+BY|HAVING)\b", masked, re.IGNORECASE):
+    if re.search(r"\b(?:GROUP\s+BY|HAVING)\b", masked, re.IGNORECASE):
+        # grouping changes the rows the window sees (SQL evaluates
+        # window functions AFTER GROUP BY); this pushdown can't express
+        # that — keep the pointed workaround error
         raise ValueError(
-            "sessionize … OVER alongside JOIN/GROUP BY in the same SELECT "
+            "sessionize … OVER alongside GROUP BY in the same SELECT "
             "is not supported — compute the session ids in a CTE first "
             "(WITH s AS (SELECT …, sessionize(…) OVER (…) AS sid FROM t) "
             "SELECT … FROM s JOIN …)"
         )
+    if re.search(r"\bJOIN\b", masked, re.IGNORECASE):
+        # JOIN form: the window runs over the JOINED (and WHERE-
+        # filtered) rows, so the lag derived table must wrap the WHOLE
+        # FROM…JOIN…WHERE segment, not just the first source. Table
+        # qualifiers don't survive a derived table, so this path is
+        # gated to statements whose window spec and select items use
+        # UNQUALIFIED column names (the USING-join idiom); qualified
+        # references keep the CTE-workaround error.
+        sel_pos = _mask_nested(out[:lo]).upper().rfind("SELECT")
+        # strip string literals (their dots aren't references), keep
+        # parenthesized expressions (MIN(a.ts) must still be caught)
+        scan = re.sub(
+            r"'(?:[^']|'')*'", " ", " ".join(
+                (tail, f"{ts} {keys} {ob}", out[sel_pos:lo])
+            )
+        )
+        if re.search(r"[A-Za-z_]\w*\.[A-Za-z_]\w*", scan):  # not 1.5
+            raise ValueError(
+                "sessionize … OVER with JOIN supports only unqualified "
+                "column references (join with USING) — for qualified "
+                "names compute the session ids in a CTE first"
+            )
+        seg_end_mo = _POST_WHERE_CLAUSES.search(masked)
+        seg_end = seg_end_mo.start() if seg_end_mo else len(tail)
+        segment = out[src_lo:src_hi] + tail[:seg_end]
+        derived = (
+            f"FROM (SELECT *, lag({ts}) "
+            f"OVER ({part}ORDER BY {ob}) AS __prev_ts "
+            f"FROM {segment})"
+        )
+        out = out[: m.start()] + derived + tail[seg_end:] + out[tail_hi:]
+        if _scan_call(out, "sessionize") is not None:
+            raise ValueError(
+                "at most one sessionize call per statement is supported"
+            )
+        return out
     wmo = re.search(r"\bWHERE\b", masked, re.IGNORECASE)
     where_inner = ""
     if wmo:

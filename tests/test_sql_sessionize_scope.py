@@ -106,3 +106,40 @@ def test_where_with_nested_subquery_passes(spark, ev):
 def test_join_and_group_by_rejected_with_cte_hint(spark, ev, sql):
     with pytest.raises(ValueError, match="CTE"):
         behavioral_sql(spark, sql)
+
+
+@pytest.fixture()
+def dims(spark):
+    spark.createDataFrame(
+        [(1, "gold"), (2, "basic")], "user_id long, tier string"
+    ).createOrReplaceTempView("sess_scope_dim")
+
+
+def test_unqualified_join_matches_cte_workaround(spark, ev, dims):
+    # round 5: sessionize … OVER beside a USING join rewrites by
+    # wrapping the WHOLE FROM…JOIN…WHERE segment in the lag derived
+    # table — the window sees the joined+filtered rows, exactly what
+    # the documented CTE workaround produces
+    join_form = (
+        f"SELECT user_id, ts, tier, {S} AS sid "
+        "FROM sess_scope_ev JOIN sess_scope_dim USING (user_id) "
+        "WHERE tier = 'gold'"
+    )
+    cte_form = (
+        "WITH j AS (SELECT user_id, ts, tier "
+        "FROM sess_scope_ev JOIN sess_scope_dim USING (user_id) "
+        "WHERE tier = 'gold') "
+        f"SELECT user_id, ts, tier, {S} AS sid FROM j"
+    )
+    got = {tuple(r) for r in behavioral_sql(spark, join_form).collect()}
+    want = {tuple(r) for r in behavioral_sql(spark, cte_form).collect()}
+    assert got == want and len(got) == 4
+
+
+def test_qualified_join_still_directed_to_cte(spark, ev, dims):
+    sql = (
+        f"SELECT e.user_id, e.ts, {SE} AS sid "
+        "FROM sess_scope_ev e JOIN sess_scope_dim d ON e.user_id = d.user_id"
+    )
+    with pytest.raises(ValueError, match="unqualified|CTE"):
+        behavioral_sql(spark, sql)
