@@ -155,3 +155,33 @@ def test_fused_rfm_cuts_match_per_metric_ntile(spark):
         r["user_id"]: (r["q_r"], r["q_f"], r["q_m"]) for r in exp_df.collect()
     }
     assert got == exp
+
+
+@pytest.mark.parametrize(
+    "case",
+    [
+        # (description embedded by construction)
+        [("a", 0, i) for i in range(50)],                      # one group, all-tie keys
+        [("g%d" % (i % 5), 7, i) for i in range(40)],          # 5 groups, constant key
+        [("a", i, i) for i in range(3)] + [("b", 9, 99)],      # singleton group
+        [("x", (i * 13) % 3, i) for i in range(300)]
+        + [("y", (i * 7) % 2, i) for i in range(17)],          # skewed group sizes
+    ],
+    ids=["all_ties", "const_key_5_groups", "singleton_group", "skewed_sizes"],
+)
+def test_grouped_global_rank_adversarial(spark, case):
+    # tie-heavy / skewed / singleton group shapes: the grouped two-pass
+    # rank must agree with per-group windows everywhere, including __n
+    df = spark.createDataFrame(case, "g string, x long, u long")
+    got = with_global_rank(
+        df, [F.col("x").asc(), F.col("u").asc()], 8, group_cols=["g"]
+    )
+    exp = df.select(
+        "g", "x", "u",
+        F.row_number()
+        .over(Window.partitionBy("g").orderBy(F.col("x").asc(), F.col("u").asc()))
+        .cast("long").alias("__grank"),
+        F.count("*").over(Window.partitionBy("g")).cast("long").alias("__n"),
+    )
+    key = lambda r: (r["g"], r["x"], r["u"], r["__grank"], r["__n"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, exp.collect()))
