@@ -120,8 +120,30 @@ def main() -> int:
         "sf": sf,
     }
     print(json.dumps(payload))
-    # the driver's BENCH_r{N}.json keeps only a truncated tail of
-    # stdout; persist the full per-query dict so round-over-round
+    # The driver keeps only the LAST 2000 characters of stdout and
+    # parses the JSON it finds there; the full line above outgrew that
+    # window around 60 queries (BENCH_r02..r05 all record parsed:null).
+    # Emit a second, compact line LAST — same shape, slowest queries
+    # first, trimmed to fit the tail window — so the driver's parse
+    # succeeds again. BENCH_full.json (below) remains the full record.
+    compact_q: dict[str, float] = {}
+    budget = 1700 - len(json.dumps({**payload, "queries": {}, "queries_omitted": 0}))
+    for name, secs in sorted(per_query.items(), key=lambda kv: -kv[1]):
+        entry = len(json.dumps({name: secs})) + 1
+        if budget - entry < 0:
+            break
+        budget -= entry
+        compact_q[name] = secs
+    print(
+        json.dumps(
+            {
+                **payload,
+                "queries": compact_q,
+                "queries_omitted": len(per_query) - len(compact_q),
+            }
+        )
+    )
+    # persist the full per-query dict so round-over-round
     # regressions stay diagnosable
     try:
         with open(

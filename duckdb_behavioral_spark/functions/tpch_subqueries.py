@@ -449,9 +449,13 @@ def q_tpch_q8_market_share(spark, sf_dir):
     part type, per year — share-of-group as a CONDITIONAL aggregate
     over the same grouped rows (no self-join, no second scan).
 
-    The share is integer permille (``1000 * nation DIV total`` in
-    decimal before one final cast) so the cross-engine hash is exact
-    without relying on float division order.
+    The share is integer permille: the numerator ``1000 * nation`` is
+    formed exactly in decimal, then BOTH engines cast numerator and
+    denominator to DOUBLE and do one IEEE-754 division with identical
+    parenthesization before FLOOR — decimal '/' itself is avoided
+    because DuckDB evaluates it as DOUBLE while Spark rounds the
+    decimal quotient half-up at reduced scale, which can flip FLOOR
+    near integer boundaries.
     """
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").where(
@@ -495,7 +499,8 @@ def q_tpch_q8_market_share(spark, sf_dir):
         F.col("__nat").cast("double").alias("nation_revenue"),
         F.col("__tot").cast("double").alias("total_revenue"),
         F.floor(
-            (F.lit(1000).cast("decimal(30,10)") * F.col("__nat")) / F.col("__tot")
+            (F.lit(1000).cast("decimal(30,10)") * F.col("__nat")).cast("double")
+            / F.col("__tot").cast("double")
         )
         .cast("long")
         .alias("share_permille"),
@@ -528,7 +533,8 @@ WITH joined AS (
 SELECT o_year,
        CAST(nat AS DOUBLE) AS nation_revenue,
        CAST(tot AS DOUBLE) AS total_revenue,
-       CAST(FLOOR(CAST(1000 AS DECIMAL(30,10)) * nat / tot) AS BIGINT)
+       CAST(FLOOR(CAST(CAST(1000 AS DECIMAL(30,10)) * nat AS DOUBLE)
+                  / CAST(tot AS DOUBLE)) AS BIGINT)
          AS share_permille
 FROM agg ORDER BY o_year
 """
@@ -600,17 +606,20 @@ def q_tpch_q22_idle_balances(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders").where(
         F.col("o_orderdate") >= F.lit(Q22_SINCE).cast("timestamp")
     )
+    # The "above average" gate is evaluated WITHOUT a division:
+    # bal > sum/cnt  <=>  bal * cnt > sum  (cnt > 0), computed in
+    # identical IEEE-754 double arithmetic on both engines — decimal
+    # '/' diverges cross-engine (DuckDB evaluates it as DOUBLE, Spark
+    # rounds the decimal quotient half-up at reduced scale).
     avg_row = customer.where(F.col("c_acctbal") > 0).agg(
-        (
-            F.sum(F.col("c_acctbal").cast("decimal(30,10)"))
-            / F.count(F.lit(1)).cast("decimal(30,10)")
-        )
+        F.sum(F.col("c_acctbal").cast("decimal(30,10)"))
         .cast("double")
-        .alias("__avg")
+        .alias("__sum"),
+        F.count(F.lit(1)).cast("double").alias("__cnt"),
     )
     keep = (
         customer.crossJoin(F.broadcast(avg_row))
-        .where(F.col("c_acctbal") > F.col("__avg"))
+        .where(F.col("c_acctbal") * F.col("__cnt") > F.col("__sum"))
         .join(
             orders.select(F.col("o_custkey")),
             customer.c_custkey == F.col("o_custkey"),
@@ -631,15 +640,15 @@ def q_tpch_q22_idle_balances(spark, sf_dir):
 
 TPCH_Q22_SQL = f"""
 WITH avg_row AS (
-  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,10)))
-              / CAST(COUNT(*) AS DECIMAL(30,10)) AS DOUBLE) AS a
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE) AS s,
+         CAST(COUNT(*) AS DOUBLE) AS cnt
   FROM customer WHERE c_acctbal > 0
 )
 SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
        CAST(COUNT(*) AS BIGINT) AS numcust,
        CAST(SUM(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE) AS totacctbal
 FROM customer, avg_row
-WHERE c_acctbal > avg_row.a
+WHERE c_acctbal * avg_row.cnt > avg_row.s
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey
                     AND o_orderdate >= TIMESTAMP '{Q22_SINCE}')

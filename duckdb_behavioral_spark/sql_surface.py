@@ -577,9 +577,14 @@ def _rewrite_sessionize(sql: str) -> str:
         sel_pos = _mask_nested(out[:lo]).upper().rfind("SELECT")
         # strip string literals (their dots aren't references), keep
         # parenthesized expressions (MIN(a.ts) must still be caught)
+        # out[sel_pos:lo] = select items before the call; out[lo:m.start()]
+        # = the rewritten call plus any select items AFTER it (the
+        # rewrite itself introduces no qualified names, so scanning it
+        # is harmless and closes the `sessionize(...) AS sid, d.tier
+        # FROM … JOIN …` bypass)
         scan = re.sub(
             r"'(?:[^']|'')*'", " ", " ".join(
-                (tail, f"{ts} {keys} {ob}", out[sel_pos:lo])
+                (tail, f"{ts} {keys} {ob}", out[sel_pos:lo], out[lo:m.start()])
             )
         )
         if re.search(r"[A-Za-z_]\w*\.[A-Za-z_]\w*", scan):  # not 1.5

@@ -143,3 +143,15 @@ def test_qualified_join_still_directed_to_cte(spark, ev, dims):
     )
     with pytest.raises(ValueError, match="unqualified|CTE"):
         behavioral_sql(spark, sql)
+
+
+def test_qualified_select_item_after_call_directed_to_cte(spark, ev, dims):
+    # round 6 (ADVICE): a qualified reference AFTER the sessionize call
+    # (between it and FROM) must hit the same pointed error, not leak
+    # through to an unresolved-column analysis failure
+    sql = (
+        f"SELECT {S} AS sid, d.tier "
+        "FROM sess_scope_ev a JOIN sess_scope_dim d USING (user_id)"
+    )
+    with pytest.raises(ValueError, match="unqualified|CTE"):
+        behavioral_sql(spark, sql)
