@@ -11,78 +11,69 @@ history and ride local parity (tests/test_oracle_parity.py) this round.
 
 from __future__ import annotations
 
-# First-50 priority for the driver's correctness window (round 5).
-# Order:
-# 1) the 16 queries never driver-checked in rounds 1-4 (completes
-#    115/115 driver-verified coverage),
-# 2) the two queries rewritten this round for constant factor
-#    (ann_ivf_kmeans_topk, user_rfm_segments) — need fresh green rows,
-# 3) oldest-checked fillers (r02/r03 latest check) to refresh history,
-# 4) tail slots for round-5 additions (new TPC-H shapes, time-pattern
-#    query) appended as they land.
-# Round-4's window (streaming gates ×8, TPC-H, reports, cohorts,
-# capstones) is all driver-green r04 and rides local parity
-# (tests/test_oracle_parity.py + scripts/driver_mirror.py) this round.
+# First-50 priority for the driver's correctness window (round 6).
+# After CORRECTNESS_r05's 50/50 green, every query declared through
+# round 5 has at least one driver-green row (125/125 all-time). This
+# window therefore leads with the queries that are NEW or CHANGED in
+# round 6, then rotates for freshness: the rows whose latest driver
+# check is oldest (r03), then r04. Everything displaced keeps
+# local-mirror coverage (scripts/driver_mirror.py +
+# tests/test_oracle_parity.py over all declared queries).
 DRIVER_PRIORITY = [
-    # never driver-checked as of end of round 4 (16)
-    "streaming_join_parity",
-    "streaming_sink_parity",
-    "tpch_q19_disjunctive",
-    "corpus_decontaminate_attr",
-    "corpus_term_cooccurrence",
-    "text_token_count_bpe",
-    "text_winnow_fingerprints",
-    "text_quality_filter",
-    "dedup_winnow_pairs",
-    "dataset_split",
-    "embedding_label_coherence",
-    "multimodal_ppm_decode",
-    "ab_funnel_steps",
-    "user_burstiness",
-    "order_fulfillment_lag",
-    "events_sliding_rollup",
-    # rewritten this round — fresh green rows required (2)
-    "ann_ivf_kmeans_topk",
-    "user_rfm_segments",
-    # implementation changed this round outside the never-checked set —
-    # fresh rows over unchanged-refresh slots (rank_select group_cols +
-    # kmin NULL filter; dedup shingle token pre-projection)
-    "sketch_quantile_sample",
-    "streaming_quantile_parity",
-    "dedup_minhash_sigs",
-    "dedup_ngram_jaccard",
-    # round-5 additions (new queries need their first driver row)
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
-    "tpch_q15_top_supplier",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q7_volume_shipping",
+    # new in round 6 — first driver rows (completes TPC-H 22/22)
+    "tpch_q9_profit",
+    "tpch_q12_late_lines",
+    "tpch_q16_supplier_counts",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q20_promotion_suppliers",
+    # changed in round 6 (cross-engine decimal-division fix) — fresh rows
     "tpch_q8_market_share",
-    "tpch_q13_order_counts",
     "tpch_q22_idle_balances",
-    "sequence_time_gate_mix",
-    "ann_ivfpq_topk",
-    "ann_pq_topk",
-    # oldest-checked refresh (r02/r03 latest check; the displaced
-    # q5/q7/q9/q10/q13-q15 funnel/sequence rows are unchanged since
-    # their r03 green and keep local-mirror + parity-test coverage)
-    "asof_view_before_purchase",
-    "q1_sessionize",
-    "q2_retention",
-    "q3_window_funnel",
-    "q4_window_funnel_modes",
-    "q6_sequence_match_time",
-    "q8_sequence_match_events",
-    "q11_session_stats",
-    "q12_funnel_dropoff",
-    "q18_session_paths",
-    "dedup_exact",
-    "dedup_minhash_pairs",
-    "dedup_clusters",
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "cohort_retention",
-    "corpus_decontaminate",
+    # latest check r03 — oldest green history (29)
+    "q5_sequence_match_adjacent",
+    "q7_sequence_count",
+    "q9_next_node_forward",
+    "q10_next_node_backward",
+    "q13_funnel_strict",
+    "q14_funnel_strict_order",
+    "q15_funnel_timestamp_dedup",
+    "q16_funnel_allow_reentry",
+    "q17_session_quantiles",
+    "ann_lsh_buckets",
+    "chunk_documents",
+    "corpus_topk_terms",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "embedding_quantize",
+    "multimodal_bmp_decode",
+    "multimodal_wav_decode",
+    "multimodal_features",
+    "multimodal_frames",
+    "pack_sequences",
+    "sample_per_stratum_topk",
+    "sample_stratified",
+    "sketch_kmv_overlap",
+    "sketch_hll",
+    "text_token_stats",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_quality",
+    "text_repetition",
+    "text_scrub_pii",
+    # latest check r04 — streaming gates + remaining refresh (13)
+    "streaming_funnel_parity",
+    "streaming_dedup_parity",
+    "streaming_sessionize_parity",
+    "streaming_minhash_parity",
+    "streaming_cms_parity",
+    "streaming_rollup_parity",
+    "streaming_enrich_parity",
+    "mix_corpus",
+    "search_bm25_topk",
+    "dedup_passage",
+    "sketch_cms_heavy_hitters",
+    "tpch_q3_topk",
+    "transition_pagerank",
 ]
 
 
