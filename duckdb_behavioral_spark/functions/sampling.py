@@ -248,3 +248,104 @@ SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n) AS BIGINT) AS n_tokens
 FROM s GROUP BY split
 """
+
+
+# --- deterministic negative sampling (round 6) -----------------------------
+
+NEG_BUCKETS = 64   # corpus hash buckets
+NEG_K = 4          # negatives per anchor
+
+
+def sample_negatives(docs, key: str = "doc_id"):
+    """(anchor, slot, negative): K pseudo-random but DETERMINISTIC
+    negative examples per anchor document — the contrastive-training
+    prep step (in-batch negatives don't exist in a batch-free
+    pipeline, so negatives are drawn by hash).
+
+    Construction: every doc lands in bucket ``h1(doc) mod B``; each
+    bucket elects a representative (minimum ``(h2, key)`` — two
+    chained partial-aggregatable MINs, no window, no sort); anchor's
+    slot-j negative is the representative of bucket
+    ``(h1(anchor) + 1 + j) mod B``. The offset is nonzero mod B, so
+    the probed bucket is never the anchor's own — a negative can
+    never equal its anchor. Empty buckets yield no row (inner join).
+
+    Scale shape: the representative table is B = 64 rows produced by
+    map-side partial MIN (group size is irrelevant — no sort, no
+    materialized group, so small B is NOT a skew hazard), then
+    broadcast onto the anchor scan. Work is one corpus scan + one
+    broadcast probe; nothing is quadratic in anchors or corpus.
+
+    Cross-engine determinism: h1/h2 are disjoint 8-hex-char slices of
+    ONE md5 per key (the CMS/Bloom contract); ties on h2 break by
+    minimum key. All integer.
+    """
+    digest = F.md5(F.concat(F.lit("neg:"), F.col(key).cast("string")))
+    h1 = F.pmod(
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("long"),
+        F.lit(NEG_BUCKETS),
+    )
+    h2 = F.conv(F.substring(digest, 9, 8), 16, 10).cast("long")
+    keyed = docs.select(
+        F.col(key).alias("k"), h1.alias("b"), h2.alias("h2")
+    )
+    min_h2 = keyed.groupBy("b").agg(F.min("h2").alias("mh"))
+    reps = (
+        keyed.join(F.broadcast(min_h2), "b")
+        .where(F.col("h2") == F.col("mh"))
+        .groupBy("b")
+        .agg(F.min("k").alias("rep"))
+    )
+    anchors = docs.select(F.col(key).alias("anchor"), h1.alias("ab"))
+    probes = anchors.select(
+        "anchor",
+        "ab",
+        F.explode(
+            F.array(*[F.lit(j).cast("long") for j in range(NEG_K)])
+        ).alias("slot"),
+    ).withColumn(
+        "pb", F.pmod(F.col("ab") + F.lit(1) + F.col("slot"), F.lit(NEG_BUCKETS))
+    ).drop("ab")
+    return (
+        probes.join(F.broadcast(reps), probes.pb == reps.b)
+        .select("anchor", "slot", F.col("rep").alias("negative"))
+        .orderBy("anchor", "slot")
+    )
+
+
+def q_sample_negatives(spark, sf_dir):
+    from duckdb_behavioral_spark.sources import load_table
+
+    return sample_negatives(load_table(spark, sf_dir, "documents"))
+
+
+def _neg_sql_h(slice_start: int) -> str:
+    return (
+        f"('0x' || substr(md5('neg:' || CAST(doc_id AS VARCHAR)),"
+        f" {slice_start}, 8))::BIGINT"
+    )
+
+
+SAMPLE_NEGATIVES_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id AS k,
+         (({_neg_sql_h(1)}) % {NEG_BUCKETS} + {NEG_BUCKETS}) % {NEG_BUCKETS}
+           AS b,
+         {_neg_sql_h(9)} AS h2
+  FROM documents
+), mh AS (
+  SELECT b, MIN(h2) AS mh FROM keyed GROUP BY b
+), reps AS (
+  SELECT keyed.b, MIN(k) AS rep
+  FROM keyed JOIN mh ON keyed.b = mh.b AND keyed.h2 = mh.mh
+  GROUP BY keyed.b
+), probes AS (
+  SELECT doc_id AS anchor, slot,
+         ((({_neg_sql_h(1)}) % {NEG_BUCKETS} + {NEG_BUCKETS}) % {NEG_BUCKETS}
+          + 1 + slot) % {NEG_BUCKETS} AS pb
+  FROM documents, (SELECT UNNEST(range(0, {NEG_K})) AS slot)
+)
+SELECT anchor, slot, rep AS negative
+FROM probes JOIN reps ON pb = b
+ORDER BY anchor, slot
+"""

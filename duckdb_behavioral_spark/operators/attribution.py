@@ -373,3 +373,106 @@ WITH g AS (
 SELECT rank, u AS user_id, n_events, min_gap_us, max_gap_us, avg_gap_us
 FROM r WHERE rank <= {BURST_TOP}
 """
+
+
+# --- time-decay multi-touch attribution (round 6) --------------------------
+
+DECAY_HALFLIFE_US = 3_600 * 1_000_000          # 1 hour
+DECAY_BUCKETS = 8                              # lookback = 8 half-lives
+DECAY_LOOKBACK_US = DECAY_BUCKETS * DECAY_HALFLIFE_US
+
+
+def time_decay_attribution(
+    events: DataFrame,
+    touch_types: Sequence[str] = ("view", "click"),
+    conversion_type: str = "purchase",
+    ts: str = "ts",
+    user: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Multi-touch attribution with exponential time decay: every touch
+    in the 8-hour lookback before a conversion earns
+    ``floor(1000 / 2^k)`` permille where ``k = age div halflife`` —
+    1000, 500, 250, ... 7 for ages of 0-1h up to 7-8h. All integer
+    arithmetic (``div``, shift, floor) so the cross-engine hash is
+    exact; no float pow.
+
+    Scale shape: the conversion-to-touch pairing is a BANDED self-join
+    — both sides bucket by ``floor(epoch_us / lookback)`` and each
+    conversion probes exactly two buckets (its own and the previous),
+    so the join keys on (user, bucket) and never degenerates into an
+    unbounded per-user cross product. Pairs per conversion are bounded
+    by the user's touch rate within one lookback window — the quantity
+    the report is ABOUT. One exchange, integer aggregates.
+    """
+    tcol = F.col(type_col)
+    us = F.unix_micros(event_time(ts))
+    touches = events.where(tcol.isin(*touch_types) & F.col(ts).isNotNull()).select(
+        F.col(user).alias("u"),
+        tcol.alias("touch_type"),
+        us.alias("t_us"),
+        F.floor(us / F.lit(DECAY_LOOKBACK_US)).alias("b"),
+    )
+    convs = (
+        events.where((tcol == conversion_type) & F.col(ts).isNotNull())
+        .select(
+            F.col(user).alias("cu"),
+            us.alias("c_us"),
+            F.floor(us / F.lit(DECAY_LOOKBACK_US)).alias("cb"),
+        )
+        .select(
+            "cu", "c_us", F.explode(F.array(F.col("cb"), F.col("cb") - 1)).alias("b")
+        )
+    )
+    pairs = convs.join(
+        touches, (convs.cu == touches.u) & (convs.b == touches.b)
+    ).where(
+        (F.col("t_us") < F.col("c_us"))
+        & (F.col("c_us") - F.col("t_us") <= DECAY_LOOKBACK_US)
+    )
+    k = F.expr(f"(c_us - t_us) div {DECAY_HALFLIFE_US}")
+    weight = F.expr(
+        f"1000 div shiftleft(1, (c_us - t_us) div {DECAY_HALFLIFE_US})"
+    )
+    return (
+        pairs.groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("credited_pairs"),
+            F.count_distinct(F.col("cu"), F.col("c_us"))
+            .cast("long")
+            .alias("conversions_credited"),
+            F.sum(weight).cast("long").alias("weight_sum_permille"),
+            F.min(k).cast("long").alias("min_age_buckets"),
+            F.max(k).cast("long").alias("max_age_buckets"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return time_decay_attribution(_ev(spark, sf_dir))
+
+
+TIME_DECAY_SQL = f"""
+WITH touches AS (
+  SELECT user_id AS u, event_type AS touch_type, epoch_us(ts) AS t_us
+  FROM events WHERE event_type IN ('view', 'click') AND ts IS NOT NULL
+), convs AS (
+  SELECT user_id AS cu, epoch_us(ts) AS c_us
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+), pairs AS (
+  SELECT touch_type, cu, c_us,
+         (c_us - t_us) // {DECAY_HALFLIFE_US} AS k
+  FROM convs JOIN touches ON cu = u
+  WHERE t_us < c_us AND c_us - t_us <= {DECAY_LOOKBACK_US}
+)
+SELECT touch_type,
+       CAST(COUNT(*) AS BIGINT) AS credited_pairs,
+       CAST(COUNT(DISTINCT (cu, c_us)) AS BIGINT) AS conversions_credited,
+       CAST(SUM(1000 // (1 << k)) AS BIGINT) AS weight_sum_permille,
+       CAST(MIN(k) AS BIGINT) AS min_age_buckets,
+       CAST(MAX(k) AS BIGINT) AS max_age_buckets
+FROM pairs
+GROUP BY touch_type
+ORDER BY touch_type
+"""

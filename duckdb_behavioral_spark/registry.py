@@ -29,6 +29,11 @@ DRIVER_PRIORITY = [
     # changed in round 6 (cross-engine decimal-division fix) — fresh rows
     "tpch_q8_market_share",
     "tpch_q22_idle_balances",
+    # new in round 6 — pipeline/warehouse additions
+    "attribution_time_decay",
+    "user_state_scd2",
+    "sketch_bloom_membership",
+    "sample_negatives",
     # latest check r03 — oldest green history (29)
     "q5_sequence_match_adjacent",
     "q7_sequence_count",
@@ -60,7 +65,7 @@ DRIVER_PRIORITY = [
     "text_quality",
     "text_repetition",
     "text_scrub_pii",
-    # latest check r04 — streaming gates + remaining refresh (13)
+    # latest check r04 — streaming gates + remaining refresh (9)
     "streaming_funnel_parity",
     "streaming_dedup_parity",
     "streaming_sessionize_parity",
@@ -70,10 +75,6 @@ DRIVER_PRIORITY = [
     "streaming_enrich_parity",
     "mix_corpus",
     "search_bm25_topk",
-    "dedup_passage",
-    "sketch_cms_heavy_hitters",
-    "tpch_q3_topk",
-    "transition_pagerank",
 ]
 
 

@@ -24,7 +24,7 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 # global aggregates that fold to one (NULL-ish) row even on no input
 ONE_ROW_OK = {
     "tpch_q6_revenue", "tpch_q14_promo", "tpch_q19_disjunctive",
-    "tpch_q17_small_qty_revenue",
+    "tpch_q17_small_qty_revenue", "sketch_bloom_membership",
     "q17_session_quantiles", "ab_funnel_significance",
     "sketch_quantile_sample", "funnel_step_timings",
 }
