@@ -32,6 +32,7 @@ DRIVER_PRIORITY = [
     # new in round 6 — pipeline/warehouse additions
     "attribution_time_decay",
     "user_state_scd2",
+    "streaming_scd2_parity",
     "sketch_bloom_membership",
     "sample_negatives",
     # latest check r03 — oldest green history (29)
@@ -73,7 +74,6 @@ DRIVER_PRIORITY = [
     "streaming_cms_parity",
     "streaming_rollup_parity",
     "streaming_enrich_parity",
-    "mix_corpus",
     "search_bm25_topk",
 ]
 
@@ -105,6 +105,7 @@ def all_queries():
             streaming_join_parity,
             streaming_quantile_parity,
             streaming_sink_parity,
+            streaming_scd2_parity,
             streaming_sessionize_parity,
         )
 
@@ -118,6 +119,7 @@ def all_queries():
         out["streaming_quantile_parity"] = streaming_quantile_parity
         out["streaming_join_parity"] = streaming_join_parity
         out["streaming_sink_parity"] = streaming_sink_parity
+        out["streaming_scd2_parity"] = streaming_scd2_parity
     except ImportError:
         pass
     return _prioritized(out)
@@ -152,4 +154,6 @@ def all_oracles():
         out["streaming_quantile_parity"] = out.get("sketch_quantile_sample")
         out["streaming_join_parity"] = STREAMING_JOIN_SQL
         out["streaming_sink_parity"] = out.get("events_hourly_rollup")
+        # incremental SCD2 merge must equal the one-shot batch history
+        out["streaming_scd2_parity"] = out.get("user_state_scd2")
     return _prioritized(out)

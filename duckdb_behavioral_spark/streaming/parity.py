@@ -722,3 +722,104 @@ def streaming_sink_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(tbl, ignore_errors=True)
+
+
+def streaming_scd2_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARED query: INCREMENTAL SCD2 maintenance — the CDC-to-
+    dimension-history merge every warehouse runs continuously. The
+    events table replays as 4 time-ordered micro-batches; each batch
+    merges into an on-disk history table: closed intervals are
+    immutable, each affected entity's OPEN interval re-enters the
+    run-compression together with the batch's new events (represented
+    as a pseudo-event at its valid_from), and segment numbering
+    continues from the open segment's index. After the replay the
+    TABLE ON DISK must hash-match the one-shot batch
+    ``operators/scd2.scd2_history`` oracle (USER_STATE_SCD2_SQL).
+
+    Merge contract proven here: (a) closed rows never change once
+    written; (b) an open interval extends silently when the next state
+    equals it and closes at the exact next valid_from when it doesn't
+    — across batch boundaries; (c) per-entity seg indices stay dense
+    through restarts of the numbering. Each epoch writes a fresh table
+    directory and flips a pointer, so a torn write can't corrupt the
+    previous state (the partition-overwrite variant of this idempotence
+    story is streaming_sink_parity's claim).
+
+    Scale posture: the merge only touches entities present in the
+    batch (semi/anti splits on the open-row table); closed history is
+    carried forward untouched — at production scale that's a
+    metadata-only operation on an iceberg/delta table, and the
+    recompute input is |batch| + |affected open rows|.
+    """
+    from duckdb_behavioral_spark.operators.scd2 import scd2_history
+    from duckdb_behavioral_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_type")
+    src = tempfile.mkdtemp(prefix="sg_scd2_src_")
+    tbl_root = tempfile.mkdtemp(prefix="sg_scd2_tbl_")
+    try:
+        from pyspark.sql import Window
+
+        chunked = ev.where(F.col("ts").isNotNull()).withColumn(
+            "__chunk", F.ntile(N_CHUNKS).over(Window.orderBy("ts"))
+        )
+        for i in range(1, N_CHUNKS + 1):
+            (chunked.where(F.col("__chunk") == i).drop("__chunk")
+             .coalesce(1).write.mode("append").parquet(src))
+
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, event_type string"
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+
+        state = {"dir": None}
+
+        def merge_batch(bdf: DataFrame, epoch: int) -> None:
+            sp = bdf.sparkSession
+            out = f"{tbl_root}/epoch_{epoch}"
+            if state["dir"] is None:
+                hist = scd2_history(bdf)
+            else:
+                cur = sp.read.parquet(state["dir"])
+                users = bdf.select("user_id").distinct()
+                closed = cur.where(~F.col("is_current"))
+                open_rows = cur.where(F.col("is_current"))
+                touched = open_rows.join(users, "user_id", "left_semi")
+                untouched = open_rows.join(users, "user_id", "left_anti")
+                pseudo = touched.select(
+                    "user_id",
+                    F.col("state").alias("event_type"),
+                    F.col("valid_from").alias("ts"),
+                )
+                recomputed = scd2_history(
+                    bdf.select("user_id", "ts", "event_type").unionByName(pseudo)
+                )
+                offsets = touched.select(
+                    "user_id", (F.col("seg") - 1).alias("__off")
+                )
+                renumbered = (
+                    recomputed.join(F.broadcast(offsets), "user_id", "left")
+                    .withColumn(
+                        "seg",
+                        (F.col("seg") + F.coalesce("__off", F.lit(0)))
+                        .cast("long"),
+                    )
+                    .drop("__off")
+                )
+                hist = closed.unionByName(untouched).unionByName(renumbered)
+            hist.select(
+                "user_id", "seg", "state", "valid_from", "valid_to", "is_current"
+            ).write.mode("overwrite").parquet(out)
+            state["dir"] = out
+
+        q = stream.writeStream.outputMode("append").foreachBatch(merge_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        final = spark.read.parquet(state["dir"]).orderBy("user_id", "seg")
+        # materialize now: the table dirs are deleted on return
+        return final.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(tbl_root, ignore_errors=True)
