@@ -32,7 +32,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["bloom_words", "bloom_probe", "q_sketch_bloom_membership"]
+__all__ = [
+    "bloom_words",
+    "bloom_probe",
+    "activity_cells",
+    "membership_summary",
+    "q_sketch_bloom_membership",
+]
 
 BLOOM_K = 4            # hash positions per key
 BLOOM_WORD_BITS = 60   # bits per word, sign-safe shifts
@@ -96,29 +102,31 @@ def bloom_probe(probes: DataFrame, key: str, words: DataFrame) -> DataFrame:
     return hits.groupBy(key).agg(F.bool_and("__hit").alias("member"))
 
 
-def q_sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One summary row over (user, day) ACTIVITY CELLS: the filter
-    builds over the first half-month's cells and every cell in the
-    month probes it. A cell's own date decides exact membership, so
-    first-half probes prove "no false negatives" (bloom must accept
-    all of them) and second-half probes measure the false-positive
-    rate — both next to exact counts in the same row, plus filter
-    occupancy (bit_count). The (user x day) key keeps cardinality
-    growing with SF so the fixed 30720-bit filter shows real,
-    SF-dependent occupancy instead of a saturated or empty extreme."""
-    from duckdb_behavioral_spark.sources import load_events
+def activity_cells(events: DataFrame) -> DataFrame:
+    """Distinct (cell, first_half) activity cells — ``cell`` is the
+    ``user:day`` string key the filter builds over and probes with."""
+    return (
+        events.where(F.col("ts").isNotNull())
+        .select(
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.lit(":"),
+                F.to_date("ts").cast("string"),
+            ).alias("cell"),
+            (F.col("ts") < F.lit(SPLIT_DATE).cast("timestamp")).alias(
+                "first_half"
+            ),
+        )
+        .distinct()
+    )
 
-    ev = load_events(spark, sf_dir).where(F.col("ts").isNotNull())
-    cells = ev.select(
-        F.concat(
-            F.col("user_id").cast("string"),
-            F.lit(":"),
-            F.to_date("ts").cast("string"),
-        ).alias("cell"),
-        (F.col("ts") < F.lit(SPLIT_DATE).cast("timestamp")).alias("first_half"),
-    ).distinct()
+
+def membership_summary(cells: DataFrame, words: DataFrame) -> DataFrame:
+    """The declared query's one-row summary from a cell table and a
+    (possibly merged) word table — shared by the batch query and the
+    streaming OR-fold gate (streaming/parity.py), which must produce
+    the identical row from incrementally folded words."""
     a = cells.where(F.col("first_half")).select("cell")
-    words = bloom_words(a, "cell")
     probed = bloom_probe(cells.select("cell"), "cell", words)
     per_probe = probed.join(cells, "cell").select(
         "member", F.col("first_half").alias("exact")
@@ -139,6 +147,23 @@ def q_sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary.crossJoin(F.broadcast(occupancy)).crossJoin(
         F.broadcast(n_built)
     )
+
+
+def q_sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One summary row over (user, day) ACTIVITY CELLS: the filter
+    builds over the first half-month's cells and every cell in the
+    month probes it. A cell's own date decides exact membership, so
+    first-half probes prove "no false negatives" (bloom must accept
+    all of them) and second-half probes measure the false-positive
+    rate — both next to exact counts in the same row, plus filter
+    occupancy (bit_count). The (user x day) key keeps cardinality
+    growing with SF so the fixed 30720-bit filter shows real,
+    SF-dependent occupancy instead of a saturated or empty extreme."""
+    from duckdb_behavioral_spark.sources import load_events
+
+    cells = activity_cells(load_events(spark, sf_dir))
+    words = bloom_words(cells.where(F.col("first_half")).select("cell"), "cell")
+    return membership_summary(cells, words)
 
 
 def _sql_pos(key_expr: str, j: int) -> str:

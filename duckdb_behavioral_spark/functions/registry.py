@@ -29,6 +29,13 @@ from duckdb_behavioral_spark.operators import concurrency as CCY
 from duckdb_behavioral_spark.operators import graph as GR
 from duckdb_behavioral_spark.operators import cohorts as CHT
 from duckdb_behavioral_spark.operators import temporal_joins as TJ
+from duckdb_behavioral_spark.operators import cdc as CDC
+from duckdb_behavioral_spark.functions import gapfill as GF
+from duckdb_behavioral_spark.functions import profiling as PF
+from duckdb_behavioral_spark.functions import ngram_lm as NL
+from duckdb_behavioral_spark.functions import histogram as HG
+from duckdb_behavioral_spark.functions import inverted as IV
+from duckdb_behavioral_spark.functions import hll_sliding as HS
 
 EXT_QUERIES = {
     # text analysis
@@ -92,6 +99,13 @@ EXT_QUERIES = {
     "attribution_last_touch": AT.q_attribution_last_touch,
     "attribution_time_decay": AT.q_attribution_time_decay,
     "user_state_scd2": SC.q_user_state_scd2,
+    "cdc_merge_users": CDC.q_cdc_merge_users,
+    "events_gapfill_locf": GF.q_events_gapfill_locf,
+    "table_profile": PF.q_table_profile,
+    "text_bigram_lm": NL.q_text_bigram_lm,
+    "events_value_histogram": HG.q_events_value_histogram,
+    "search_inverted_postings": IV.q_search_inverted_postings,
+    "sketch_hll_sliding": HS.q_sketch_hll_sliding,
     "ab_funnel_significance": EX.q_ab_funnel_significance,
     "ab_funnel_steps": EX.q_ab_funnel_steps,
     "session_transitions": AT.q_session_transitions,
@@ -204,6 +218,13 @@ EXT_ORACLES = {
     "attribution_last_touch": AT.ATTRIBUTION_SQL,
     "attribution_time_decay": AT.TIME_DECAY_SQL,
     "user_state_scd2": SC.USER_STATE_SCD2_SQL,
+    "cdc_merge_users": CDC.CDC_MERGE_SQL,
+    "events_gapfill_locf": GF.GAPFILL_LOCF_SQL,
+    "table_profile": PF.TABLE_PROFILE_SQL,
+    "text_bigram_lm": NL.BIGRAM_LM_SQL,
+    "events_value_histogram": HG.VALUE_HISTOGRAM_SQL,
+    "search_inverted_postings": IV.INVERTED_POSTINGS_SQL,
+    "sketch_hll_sliding": HS.HLL_SLIDING_SQL,
     "ab_funnel_significance": EX.AB_FUNNEL_SQL,
     "ab_funnel_steps": EX.AB_FUNNEL_STEPS_SQL,
     "session_transitions": AT.SESSION_TRANSITIONS_SQL,

@@ -96,8 +96,11 @@ class PlanReport:
 _BOUNDED_CHILD = re.compile(
     r"TakeOrderedAndProject|CollectLimit|GlobalLimit|LocalLimit"
     # a keys=[] NON-FINAL aggregate (partial_* / merge_* for the
-    # distinct-agg rewrite) emits one row per task into the exchange
-    r"|(?:Hash|Sort|ObjectHash)Aggregate\(keys=\[\], functions=\[(?:partial|merge)"
+    # distinct-agg rewrite) emits one row per task into the exchange;
+    # SortAggregate prints the singular "key=[]" where HashAggregate
+    # prints "keys=[]" (string-typed min/max buffers force the sort
+    # form — e.g. table_profile's column sweep)
+    r"|(?:Hash|Sort|ObjectHash)Aggregate\(keys?=\[\], functions=\[(?:partial|merge)"
 )
 # lines that wrap rather than define the child node
 _PASSTHROUGH = re.compile(

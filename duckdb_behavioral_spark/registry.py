@@ -66,15 +66,15 @@ DRIVER_PRIORITY = [
     "text_quality",
     "text_repetition",
     "text_scrub_pii",
-    # latest check r04 — streaming gates + remaining refresh (9)
-    "streaming_funnel_parity",
-    "streaming_dedup_parity",
-    "streaming_sessionize_parity",
-    "streaming_minhash_parity",
-    "streaming_cms_parity",
-    "streaming_rollup_parity",
-    "streaming_enrich_parity",
-    "search_bm25_topk",
+    # new in round 6, second wave — first driver rows (8)
+    "cdc_merge_users",
+    "events_gapfill_locf",
+    "table_profile",
+    "text_bigram_lm",
+    "events_value_histogram",
+    "search_inverted_postings",
+    "sketch_hll_sliding",
+    "streaming_bloom_parity",
 ]
 
 
@@ -107,6 +107,7 @@ def all_queries():
             streaming_sink_parity,
             streaming_scd2_parity,
             streaming_sessionize_parity,
+            streaming_bloom_parity,
         )
 
         out["streaming_funnel_parity"] = streaming_funnel_parity
@@ -120,6 +121,7 @@ def all_queries():
         out["streaming_join_parity"] = streaming_join_parity
         out["streaming_sink_parity"] = streaming_sink_parity
         out["streaming_scd2_parity"] = streaming_scd2_parity
+        out["streaming_bloom_parity"] = streaming_bloom_parity
     except ImportError:
         pass
     return _prioritized(out)
@@ -156,4 +158,6 @@ def all_oracles():
         out["streaming_sink_parity"] = out.get("events_hourly_rollup")
         # incremental SCD2 merge must equal the one-shot batch history
         out["streaming_scd2_parity"] = out.get("user_state_scd2")
+        # the OR-folded streaming filter must equal the batch filter
+        out["streaming_bloom_parity"] = out.get("sketch_bloom_membership")
     return _prioritized(out)

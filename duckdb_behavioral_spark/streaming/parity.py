@@ -823,3 +823,68 @@ def streaming_scd2_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(tbl_root, ignore_errors=True)
+
+
+def streaming_bloom_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARED query: replay the Bloom filter's BUILD set (first-half
+    (user, day) activity cells) as 4 micro-batches interleaved on a
+    hash of the cell — NOT time-ordered — build a word table per batch
+    and fold them by cell-wise bitwise OR, the Bloom filter's defining
+    merge property. The folded filter then serves the full probe
+    sweep, and the one-row summary must hash-match the batch
+    ``sketch_bloom_membership`` oracle (BLOOM_MEMBERSHIP_SQL): OR is
+    commutative and idempotent, so neither chunking, arrival order,
+    nor duplicate delivery of a build key can change any word — the
+    exactly-once claim a membership sketch gets for free, unlike the
+    counting sketches (CMS gate), which tolerate reordering but not
+    duplication.
+
+    Scale posture: the fold state is the <= 512-word filter itself —
+    the O(1) state that makes Bloom the standard streaming-membership
+    device; per batch only the folded words cross to the driver, never
+    cells.
+    """
+    from duckdb_behavioral_spark.functions.bloom import (
+        activity_cells,
+        bloom_words,
+        membership_summary,
+    )
+    from duckdb_behavioral_spark.sources import load_events
+
+    cells = activity_cells(load_events(spark, sf_dir))
+    build = cells.where(F.col("first_half")).select("cell")
+    src = tempfile.mkdtemp(prefix="sg_bloom_src_")
+    try:
+        for i in range(N_CHUNKS):
+            (build.where(F.abs(F.hash("cell")) % N_CHUNKS == i)
+             .coalesce(1).write.mode("append").parquet(src))
+
+        stream = spark.readStream.schema("cell string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+
+        words: dict = {}
+
+        def fold_batch(bdf: DataFrame, _epoch: int) -> None:
+            for r in bloom_words(bdf, "cell").collect():
+                words[r["word"]] = words.get(r["word"], 0) | r["bits"]
+
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(fold_batch)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        rows = [(int(w), int(b)) for w, b in sorted(words.items())]
+        wdf = spark.createDataFrame(
+            rows or [(None, None)], "word bigint, bits bigint"
+        )
+        if not rows:
+            wdf = wdf.where(F.lit(False))
+        return membership_summary(cells, wdf)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

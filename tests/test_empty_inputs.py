@@ -29,6 +29,11 @@ ONE_ROW_OK = {
     "sketch_quantile_sample", "funnel_step_timings",
 }
 
+# fixed-arity reports: one row per PROFILED COLUMN (not per data row) —
+# profiling an empty table still reports every column, with zero
+# counts and NULL min/max
+FIXED_ROWS_OK = {"table_profile": 6}
+
 BATCH_QUERIES = sorted(
     n for n in entrymod.queries() if not n.startswith("streaming_")
 )
@@ -52,5 +57,7 @@ def test_query_survives_empty_tables(spark, empty_dir, name):
     n = entrymod.queries()[name](spark, empty_dir).count()
     if name in ONE_ROW_OK:
         assert n <= 2
+    elif name in FIXED_ROWS_OK:
+        assert n == FIXED_ROWS_OK[name]
     else:
         assert n == 0
