@@ -30,6 +30,7 @@ from duckdb_behavioral_spark.operators import graph as GR
 from duckdb_behavioral_spark.operators import cohorts as CHT
 from duckdb_behavioral_spark.operators import temporal_joins as TJ
 from duckdb_behavioral_spark.operators import cdc as CDC
+from duckdb_behavioral_spark.operators import skew as SKW
 from duckdb_behavioral_spark.functions import gapfill as GF
 from duckdb_behavioral_spark.functions import profiling as PF
 from duckdb_behavioral_spark.functions import ngram_lm as NL
@@ -100,6 +101,8 @@ EXT_QUERIES = {
     "attribution_time_decay": AT.q_attribution_time_decay,
     "user_state_scd2": SC.q_user_state_scd2,
     "cdc_merge_users": CDC.q_cdc_merge_users,
+    "scd2_point_in_time": SC.q_scd2_point_in_time,
+    "events_salted_join": SKW.q_events_salted_join,
     "events_gapfill_locf": GF.q_events_gapfill_locf,
     "table_profile": PF.q_table_profile,
     "text_bigram_lm": NL.q_text_bigram_lm,
@@ -219,6 +222,8 @@ EXT_ORACLES = {
     "attribution_time_decay": AT.TIME_DECAY_SQL,
     "user_state_scd2": SC.USER_STATE_SCD2_SQL,
     "cdc_merge_users": CDC.CDC_MERGE_SQL,
+    "scd2_point_in_time": SC.SCD2_POINT_IN_TIME_SQL,
+    "events_salted_join": SKW.SALTED_JOIN_SQL,
     "events_gapfill_locf": GF.GAPFILL_LOCF_SQL,
     "table_profile": PF.TABLE_PROFILE_SQL,
     "text_bigram_lm": NL.BIGRAM_LM_SQL,

@@ -33,7 +33,12 @@ from pyspark.sql import functions as F
 
 from duckdb_behavioral_spark.functions.timeutil import event_time
 
-__all__ = ["scd2_history", "q_user_state_scd2"]
+__all__ = [
+    "scd2_history",
+    "scd2_snapshot_at",
+    "q_user_state_scd2",
+    "q_scd2_point_in_time",
+]
 
 
 def scd2_history(
@@ -96,4 +101,63 @@ WITH marked AS (
 SELECT user_id, seg, state, valid_from, valid_to,
        valid_to IS NULL AS is_current
 FROM starts ORDER BY user_id, seg
+"""
+
+
+# --- point-in-time lookup ----------------------------------------------------
+
+AS_OF = "2024-01-16 00:00:00"
+
+
+def scd2_snapshot_at(history: DataFrame, at: str = AS_OF) -> DataFrame:
+    """Point-in-time reconstruction from SCD2 history — the time-travel
+    read the history exists to serve: the row whose half-open interval
+    ``[valid_from, valid_to)`` contains ``at`` is each entity's state
+    as of that instant. Map-side filter over the history (one
+    partition-pruned scan when the history is stored partitioned by
+    validity month); entities whose first interval opens after ``at``
+    are correctly absent.
+    """
+    t = F.lit(at).cast("timestamp")
+    return (
+        history.where(
+            (F.col("valid_from") <= t)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+        )
+        .select("user_id", "state", "valid_from")
+        .orderBy("user_id")
+    )
+
+
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_behavioral_spark.sources import load_events
+
+    return scd2_snapshot_at(scd2_history(load_events(spark, sf_dir)))
+
+
+# oracle: derive the same answer WITHOUT the history — each user's
+# last event at or before the instant (interval semantics [from, to)
+# make an event exactly AT the instant the current state). valid_from
+# is the start of the run of equal states containing that event, so
+# it comes from the change-compressed walk, which the window re-derives.
+SCD2_POINT_IN_TIME_SQL = f"""
+WITH marked AS (
+  SELECT user_id, event_type AS state, ts,
+         (lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+          OR lag(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+             <> event_type) AS chg
+  FROM events WHERE ts IS NOT NULL AND ts <= TIMESTAMP '{AS_OF}'
+), runs AS (
+  SELECT user_id, state, ts,
+         CAST(sum(CASE WHEN chg THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS run_id
+  FROM marked
+), latest AS (
+  SELECT user_id, arg_max(run_id, ts) AS run_id FROM runs GROUP BY user_id
+)
+SELECT r.user_id, arg_max(r.state, r.ts) AS state,
+       min(r.ts) AS valid_from
+FROM runs r JOIN latest l ON r.user_id = l.user_id AND r.run_id = l.run_id
+GROUP BY r.user_id
+ORDER BY r.user_id
 """

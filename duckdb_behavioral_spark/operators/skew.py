@@ -117,3 +117,63 @@ def salted_retention(
         anchor & F.coalesce(F.col(f"__c{i}"), F.lit(False)) for i in range(1, len(conds))
     ]
     return agg.select(*group_by, F.array(*arr).alias(out))
+
+
+# --- declared query ---------------------------------------------------------
+
+# constant per-type weights: a deliberately TINY dimension so the
+# declared query exercises the salted path on the MOST skewed join in
+# the dataset (5 distinct keys = every key hot). A 5-row dim would of
+# course broadcast in production — the point here is driver-grade
+# correctness evidence for the salted shuffle join itself, the device
+# for dims that are modest-but-unbroadcastable (mutable, or tens of
+# GBs against a PB probe side).
+EVENT_WEIGHTS = [
+    ("click", 3),
+    ("error", 0),
+    ("purchase", 11),
+    ("signup", 7),
+    ("view", 1),
+]
+
+
+def q_events_salted_join(spark, sf_dir: str) -> DataFrame:
+    """(event_type, n, weighted_sum, weight): per-type counts and
+    weight-scaled decimal-exact value sums computed through
+    ``salted_join`` — results provably identical to the plain join
+    (the DuckDB oracle IS the plain join). The shuffle_hash hint pins
+    the shuffled-join path the salt exists for (Spark would otherwise
+    broadcast the 5-row dim and the salt would demonstrate nothing).
+    """
+    from duckdb_behavioral_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir).select("event_type", "value")
+    dim = spark.createDataFrame(
+        EVENT_WEIGHTS, "event_type string, weight int"
+    ).hint("shuffle_hash")
+    j = salted_join(ev, dim, ["event_type"])
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,10)") * F.col("weight"))
+            .cast("double")
+            .alias("weighted_sum"),
+            F.max("weight").alias("weight"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_WEIGHT_VALUES = ", ".join(f"('{t}', {w})" for t, w in EVENT_WEIGHTS)
+
+SALTED_JOIN_SQL = f"""
+WITH dim(event_type, weight) AS (VALUES {_WEIGHT_VALUES})
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(30,10)) * weight) AS DOUBLE)
+         AS weighted_sum,
+       max(weight) AS weight
+FROM events e JOIN dim USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""

@@ -54,12 +54,10 @@ DRIVER_PRIORITY = [
     "multimodal_bmp_decode",
     "multimodal_wav_decode",
     "multimodal_features",
-    "multimodal_frames",
     "pack_sequences",
     "sample_per_stratum_topk",
     "sample_stratified",
     "sketch_kmv_overlap",
-    "sketch_hll",
     "text_token_stats",
     "text_lang_id",
     "text_fingerprint",
@@ -75,6 +73,8 @@ DRIVER_PRIORITY = [
     "search_inverted_postings",
     "sketch_hll_sliding",
     "streaming_bloom_parity",
+    "scd2_point_in_time",
+    "events_salted_join",
 ]
 
 

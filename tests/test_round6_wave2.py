@@ -275,3 +275,60 @@ def test_bloom_or_fold_commutes_and_dedups(spark):
     for r in bloom_words(cells(range(0, 100)), "cell").collect():
         fold[r["word"]] = fold.get(r["word"], 0) | r["bits"]
     assert fold == full
+
+
+# --- SCD2 point-in-time --------------------------------------------------------
+
+
+def test_scd2_snapshot_boundary_semantics(spark):
+    from duckdb_behavioral_spark.operators.scd2 import scd2_history, scd2_snapshot_at
+
+    rows = [
+        # u1 changes state exactly AT the instant: [from, to) makes the
+        # new interval current
+        (1, "a", CUT - dt.timedelta(days=1), 0.0),
+        (1, "b", CUT, 0.0),
+        # u2's only event is after the instant -> absent
+        (2, "a", CUT + dt.timedelta(hours=1), 0.0),
+        # u3: state run started long before, continued after -> the run
+        # is current with its ORIGINAL valid_from
+        (3, "c", CUT - dt.timedelta(days=5), 0.0),
+        (3, "c", CUT + dt.timedelta(days=5), 0.0),
+    ]
+    hist = scd2_history(_ev(spark, rows).select("user_id", "event_type", "ts"))
+    got = {r["user_id"]: r for r in scd2_snapshot_at(hist, CUT.isoformat(sep=" ")).collect()}
+    assert got[1]["state"] == "b" and got[1]["valid_from"] == CUT
+    assert 2 not in got
+    assert got[3]["state"] == "c"
+    assert got[3]["valid_from"] == CUT - dt.timedelta(days=5)
+
+
+# --- salted join declared query -------------------------------------------------
+
+
+def test_salted_join_query_equals_plain_join(spark, sf_dir):
+    from duckdb_behavioral_spark.operators.skew import (
+        EVENT_WEIGHTS,
+        q_events_salted_join,
+    )
+    from duckdb_behavioral_spark.sources import load_events
+
+    got = sorted(map(tuple, q_events_salted_join(spark, sf_dir).collect()))
+    ev = load_events(spark, sf_dir).select("event_type", "value")
+    dim = spark.createDataFrame(EVENT_WEIGHTS, "event_type string, weight int")
+    plain = sorted(
+        map(
+            tuple,
+            ev.join(dim, "event_type")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.col("value").cast("decimal(30,10)") * F.col("weight"))
+                .cast("double")
+                .alias("weighted_sum"),
+                F.max("weight").alias("weight"),
+            )
+            .collect(),
+        )
+    )
+    assert got == plain
