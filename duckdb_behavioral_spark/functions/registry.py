@@ -31,6 +31,8 @@ from duckdb_behavioral_spark.operators import cohorts as CHT
 from duckdb_behavioral_spark.operators import temporal_joins as TJ
 from duckdb_behavioral_spark.operators import cdc as CDC
 from duckdb_behavioral_spark.operators import skew as SKW
+from duckdb_behavioral_spark.operators import zorder as ZO
+from duckdb_behavioral_spark.functions import rollup_cascade as RC
 from duckdb_behavioral_spark.functions import gapfill as GF
 from duckdb_behavioral_spark.functions import profiling as PF
 from duckdb_behavioral_spark.functions import ngram_lm as NL
@@ -103,6 +105,8 @@ EXT_QUERIES = {
     "cdc_merge_users": CDC.q_cdc_merge_users,
     "scd2_point_in_time": SC.q_scd2_point_in_time,
     "events_salted_join": SKW.q_events_salted_join,
+    "events_rollup_cascade": RC.q_events_rollup_cascade,
+    "events_zorder_cells": ZO.q_events_zorder_cells,
     "events_gapfill_locf": GF.q_events_gapfill_locf,
     "table_profile": PF.q_table_profile,
     "text_bigram_lm": NL.q_text_bigram_lm,
@@ -224,6 +228,8 @@ EXT_ORACLES = {
     "cdc_merge_users": CDC.CDC_MERGE_SQL,
     "scd2_point_in_time": SC.SCD2_POINT_IN_TIME_SQL,
     "events_salted_join": SKW.SALTED_JOIN_SQL,
+    "events_rollup_cascade": RC.ROLLUP_CASCADE_SQL,
+    "events_zorder_cells": ZO.ZORDER_CELLS_SQL,
     "events_gapfill_locf": GF.GAPFILL_LOCF_SQL,
     "table_profile": PF.TABLE_PROFILE_SQL,
     "text_bigram_lm": NL.BIGRAM_LM_SQL,

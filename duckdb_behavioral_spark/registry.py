@@ -45,14 +45,11 @@ DRIVER_PRIORITY = [
     "q15_funnel_timestamp_dedup",
     "q16_funnel_allow_reentry",
     "q17_session_quantiles",
-    "ann_lsh_buckets",
     "chunk_documents",
     "corpus_topk_terms",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "embedding_quantize",
-    "multimodal_bmp_decode",
-    "multimodal_wav_decode",
     "multimodal_features",
     "pack_sequences",
     "sample_per_stratum_topk",
@@ -75,6 +72,9 @@ DRIVER_PRIORITY = [
     "streaming_bloom_parity",
     "scd2_point_in_time",
     "events_salted_join",
+    "events_rollup_cascade",
+    "events_zorder_cells",
+    "streaming_hll_parity",
 ]
 
 
@@ -108,6 +108,7 @@ def all_queries():
             streaming_scd2_parity,
             streaming_sessionize_parity,
             streaming_bloom_parity,
+            streaming_hll_parity,
         )
 
         out["streaming_funnel_parity"] = streaming_funnel_parity
@@ -122,6 +123,7 @@ def all_queries():
         out["streaming_sink_parity"] = streaming_sink_parity
         out["streaming_scd2_parity"] = streaming_scd2_parity
         out["streaming_bloom_parity"] = streaming_bloom_parity
+        out["streaming_hll_parity"] = streaming_hll_parity
     except ImportError:
         pass
     return _prioritized(out)
@@ -160,4 +162,6 @@ def all_oracles():
         out["streaming_scd2_parity"] = out.get("user_state_scd2")
         # the OR-folded streaming filter must equal the batch filter
         out["streaming_bloom_parity"] = out.get("sketch_bloom_membership")
+        # the MAX-folded streaming registers must equal the batch sketch
+        out["streaming_hll_parity"] = out.get("sketch_hll")
     return _prioritized(out)

@@ -888,3 +888,81 @@ def streaming_bloom_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         return membership_summary(cells, wdf)
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def streaming_hll_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARED query: replay events as 4 micro-batches interleaved on
+    ``event_id % 4``, build an HLL register table per batch, and fold
+    them by per-register MAX — the HLL union property. The estimate
+    from the folded registers must hash-match the batch ``sketch_hll``
+    oracle (SKETCH_HLL_SQL), estimate and error-permille included.
+
+    With the CMS gate (cell-wise ADD, reorder-tolerant, duplicate-
+    sensitive) and the Bloom gate (bit-wise OR, reorder- AND
+    duplicate-tolerant), this completes the suite's three mergeable
+    fold algebras: MAX, like OR, is commutative and idempotent, so the
+    distinct-count sketch survives at-least-once delivery unchanged —
+    the reason HLL (not exact distinct state) is the streaming
+    cardinality device at 100 TB.
+
+    Scale posture: fold state is <= |types| x 512 integer registers;
+    per batch only register rows cross to the driver, never events.
+    """
+    from duckdb_behavioral_spark.functions.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from duckdb_behavioral_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir).select("event_type", "event_id")
+    src = tempfile.mkdtemp(prefix="sg_hll_src_")
+    try:
+        for i in range(N_CHUNKS):
+            (ev.where(F.col("event_id") % N_CHUNKS == i)
+             .coalesce(1).write.mode("append").parquet(src))
+
+        stream = spark.readStream.schema(
+            "event_type string, event_id long"
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+
+        regs: dict = {}
+
+        def fold_batch(bdf: DataFrame, _epoch: int) -> None:
+            batch = hll_registers(bdf, key="event_id", group_cols=["event_type"])
+            for r in batch.collect():
+                k = (r["event_type"], r["bucket"])
+                if regs.get(k, -1) < r["rho_max"]:
+                    regs[k] = r["rho_max"]
+
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(fold_batch)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        rows = [(t, int(b), int(r)) for (t, b), r in sorted(regs.items())]
+        folded = spark.createDataFrame(
+            rows or [(None, None, None)],
+            "event_type string, bucket long, rho_max int",
+        )
+        if not rows:
+            folded = folded.where(F.lit(False))
+        est = hll_estimate(folded, group_cols=["event_type"])
+        exact = ev.groupBy("event_type").agg(
+            F.countDistinct("event_id").alias("n_exact")
+        )
+        return est.join(F.broadcast(exact), "event_type").select(
+            "event_type",
+            "n_exact",
+            "hll_estimate",
+            "zero_registers",
+            F.expr("abs(hll_estimate - n_exact) * 1000 div n_exact").alias(
+                "err_permille"
+            ),
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

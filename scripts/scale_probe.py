@@ -117,6 +117,19 @@ def probe(spark, path: str) -> dict:
     from duckdb_behavioral_spark.functions.reports import user_rfm
 
     run("user_rfm", user_rfm(ev))
+    # round-6 additions: warehouse-temporal + distribution + sketch-merge
+    from duckdb_behavioral_spark.functions.gapfill import gapfill_locf
+    from duckdb_behavioral_spark.functions.histogram import value_histogram
+    from duckdb_behavioral_spark.functions.hll_sliding import hll_sliding_estimate
+    from duckdb_behavioral_spark.operators.cdc import cdc_merge
+    from duckdb_behavioral_spark.operators.scd2 import scd2_history, scd2_snapshot_at
+
+    run("scd2_history", scd2_history(ev))
+    run("scd2_point_in_time", scd2_snapshot_at(scd2_history(ev), "2023-11-15"))
+    run("cdc_merge", cdc_merge(ev, cutoff="2023-11-15"))
+    run("gapfill_locf", gapfill_locf(ev))
+    run("value_histogram", value_histogram(ev))
+    run("hll_sliding", hll_sliding_estimate(ev))
     return out
 
 

@@ -95,6 +95,12 @@ def probe(spark, path: str) -> dict:
     run("bm25_topk", bm25_topk(docs))
     run("passage_dup", passage_dup_stats(docs))
     run("mix_corpus", mix_corpus(docs, budget=10**9))
+    # round-6: vocabulary-keyed text structures
+    from duckdb_behavioral_spark.functions.inverted import inverted_postings
+    from duckdb_behavioral_spark.functions.ngram_lm import bigram_lm
+
+    run("bigram_lm", bigram_lm(docs))
+    run("inverted_postings", inverted_postings(docs))
     return out
 
 

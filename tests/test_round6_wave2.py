@@ -332,3 +332,87 @@ def test_salted_join_query_equals_plain_join(spark, sf_dir):
         )
     )
     assert got == plain
+
+
+# --- rollup cascade --------------------------------------------------------------
+
+
+def test_rollup_cascade_exact_across_months(spark):
+    rng = random.Random(23)
+    rows = [
+        (
+            rng.randrange(50),
+            rng.choice(["a", "b"]),
+            dt.datetime(2024, 1 + rng.randrange(3), 1 + rng.randrange(28),
+                        rng.randrange(24), rng.randrange(60)),
+            float(rng.randrange(1, 10**6)) / 100.0,
+        )
+        for _ in range(2000)
+    ]
+    from duckdb_behavioral_spark.functions.rollup_cascade import rollup_cascade
+
+    out = rollup_cascade(_ev(spark, rows)).collect()
+    assert len(out) == 6  # 2 types x 3 months
+    assert all(r["exact_match"] for r in out)
+    assert all(r["n"] == r["direct_n"] for r in out)
+    assert all(r["value_sum"] == r["direct_sum"] for r in out)
+
+
+# --- z-order key -----------------------------------------------------------------
+
+
+def test_zorder_key_bit_interleave(spark):
+    from duckdb_behavioral_spark.operators.zorder import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)], "a long, b long"
+    )
+    got = [r["z"] for r in df.select(zorder_key("a", "b").alias("z")).collect()]
+
+    def morton(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == [morton(a, b) for a, b in
+                   [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)]]
+    # locality property: one-step moves in either dim stay within the
+    # enclosing 2x2 block's key range
+    assert morton(3, 5) != morton(5, 3)  # asymmetric by construction
+
+
+def test_zorder_monotone_within_dimension(spark):
+    from duckdb_behavioral_spark.operators.zorder import zorder_key
+
+    rows = [(a, 7) for a in range(64)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = [r["z"] for r in df.select(zorder_key("a", "b").alias("z"))
+           .orderBy("z").collect()]
+    # fixing one dimension, the morton key is strictly monotone in the
+    # other (bits spread but order preserved)
+    assert got == sorted(got) and len(set(got)) == 64
+
+
+# --- HLL MAX-fold law (what gate 13 relies on) -----------------------------------
+
+
+def test_hll_register_max_fold_equals_batch(spark):
+    from duckdb_behavioral_spark.functions.sketches import hll_registers
+
+    ids = spark.range(5000).select(
+        F.lit("t").alias("g"), F.col("id").alias("k")
+    )
+    full = {
+        (r["g"], r["bucket"]): r["rho_max"]
+        for r in hll_registers(ids, key="k", group_cols=["g"]).collect()
+    }
+    fold: dict = {}
+    for lo, hi in ((0, 1700), (1700, 3400), (3400, 5000), (0, 2500)):  # overlap!
+        part = ids.where((F.col("k") >= lo) & (F.col("k") < hi))
+        for r in hll_registers(part, key="k", group_cols=["g"]).collect():
+            key = (r["g"], r["bucket"])
+            fold[key] = max(fold.get(key, -1), r["rho_max"])
+    # MAX-fold over overlapping (duplicate-delivering) chunks == batch
+    assert fold == full
