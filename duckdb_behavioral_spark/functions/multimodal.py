@@ -665,3 +665,84 @@ SELECT doc_id AS media_id,
        CAST(MAX(v) AS BIGINT) AS px_max
 FROM px GROUP BY doc_id, w, h
 """
+
+
+# --- file-based ingestion (binaryFile source) --------------------------------
+
+BINARYFILE_CAP = 500  # bounded file count for the declared query
+
+
+def q_multimodal_binaryfile_ingest(spark, sf_dir):
+    """REAL file-based media ingestion: the deterministic BMPs (same
+    pixel formula as ``multimodal_bmp_decode``) are written as
+    individual ``.bmp`` FILES and read back through Spark's
+    ``binaryFile`` source — the path a 100 TB image corpus actually
+    arrives on (millions of objects on a store, not rows in parquet).
+    ``media_id`` is recovered from the file name, the payload from the
+    source's ``content`` column, and the real header-parsing decode
+    must match the closed-form oracle — proving the source preserves
+    bytes exactly and the filename metadata round-trips.
+
+    Scale posture: binaryFile lists and reads files with normal Spark
+    partitioning (maxPartitionBytes over file sizes); the decode is
+    the same Arrow-batched mapInPandas as the parquet-payload path.
+    The test-side FILE WRITER is harness (bounded at BINARYFILE_CAP
+    files), exactly like the streaming gates' temp-parquet replay —
+    in production the files pre-exist.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    ids = [
+        int(r["doc_id"])
+        for r in _docs(spark, sf_dir)
+        .select("doc_id")
+        .where(F.col("doc_id") < BINARYFILE_CAP)
+        .collect()
+    ]
+    d = tempfile.mkdtemp(prefix="mm_binaryfile_")
+    try:
+        for did in ids:
+            w = 4 + did % 5
+            h = 3 + did % 4
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            px = ((did * 31 + r * 7 + c * 13) % 256).astype(np.uint8)
+            with open(os.path.join(d, f"{did:08d}.bmp"), "wb") as f:
+                f.write(encode_bmp_gray24(px))
+        files = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.bmp")
+            .load(d)
+        )
+        media = files.select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.bmp$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.col("content").alias("payload"),
+        )
+        # materialize before the temp dir is removed
+        return decode_bmp_stats(media).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+BINARYFILE_INGEST_SQL = f"""
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents WHERE doc_id < {BINARYFILE_CAP}
+), i AS (
+  SELECT unnest(generate_series(0, 7)) AS i
+), px AS (
+  SELECT d.doc_id, d.w, d.h,
+         (d.doc_id * 31 + r.i * 7 + c.i * 13) % 256 AS v
+  FROM d JOIN i r ON r.i < d.h JOIN i c ON c.i < d.w
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(min(v) AS BIGINT) AS px_min,
+       CAST(max(v) AS BIGINT) AS px_max,
+       CAST(sum(v) AS BIGINT) AS px_sum
+FROM px GROUP BY doc_id, w, h
+"""

@@ -107,6 +107,7 @@ EXT_QUERIES = {
     "events_salted_join": SKW.q_events_salted_join,
     "events_rollup_cascade": RC.q_events_rollup_cascade,
     "events_zorder_cells": ZO.q_events_zorder_cells,
+    "multimodal_binaryfile_ingest": M.q_multimodal_binaryfile_ingest,
     "events_gapfill_locf": GF.q_events_gapfill_locf,
     "table_profile": PF.q_table_profile,
     "text_bigram_lm": NL.q_text_bigram_lm,
@@ -230,6 +231,7 @@ EXT_ORACLES = {
     "events_salted_join": SKW.SALTED_JOIN_SQL,
     "events_rollup_cascade": RC.ROLLUP_CASCADE_SQL,
     "events_zorder_cells": ZO.ZORDER_CELLS_SQL,
+    "multimodal_binaryfile_ingest": M.BINARYFILE_INGEST_SQL,
     "events_gapfill_locf": GF.GAPFILL_LOCF_SQL,
     "table_profile": PF.TABLE_PROFILE_SQL,
     "text_bigram_lm": NL.BIGRAM_LM_SQL,

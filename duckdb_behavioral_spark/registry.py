@@ -49,7 +49,6 @@ DRIVER_PRIORITY = [
     "corpus_topk_terms",
     "dedup_simhash",
     "dedup_embedding_cosine",
-    "embedding_quantize",
     "multimodal_features",
     "pack_sequences",
     "sample_per_stratum_topk",
@@ -75,6 +74,7 @@ DRIVER_PRIORITY = [
     "events_rollup_cascade",
     "events_zorder_cells",
     "streaming_hll_parity",
+    "multimodal_binaryfile_ingest",
 ]
 
 
