@@ -199,3 +199,23 @@ def test_ppm_roundtrip_comments_and_errors():
         decode_ppm(enc[:-4])  # truncated pixel data
     with pt.raises(ValueError):
         decode_ppm(b"P6\n3 2\n65535\n")  # unsupported maxval
+
+
+def test_binaryfile_ingest_matches_closed_form(spark, sf_dir):
+    """binaryFile-source ingestion: files written to a temp dir, read
+    back through Spark's binaryFile reader, decoded by the real BMP
+    parser — stats must equal the closed-form pixel formula."""
+    from duckdb_behavioral_spark.functions.multimodal import (
+        q_multimodal_binaryfile_ingest,
+    )
+
+    rows = q_multimodal_binaryfile_ingest(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        did = r["media_id"]
+        w, h = 4 + did % 5, 3 + did % 4
+        assert (r["width"], r["height"]) == (w, h)
+        px = [(did * 31 + rr * 7 + cc * 13) % 256 for rr in range(h) for cc in range(w)]
+        assert r["px_min"] == min(px)
+        assert r["px_max"] == max(px)
+        assert r["px_sum"] == sum(px)
