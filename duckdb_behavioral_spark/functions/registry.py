@@ -39,6 +39,10 @@ from duckdb_behavioral_spark.functions import ngram_lm as NL
 from duckdb_behavioral_spark.functions import histogram as HG
 from duckdb_behavioral_spark.functions import inverted as IV
 from duckdb_behavioral_spark.functions import hll_sliding as HS
+from duckdb_behavioral_spark.functions import fuzzy as FZ
+from duckdb_behavioral_spark.functions import timeweight as TW
+from duckdb_behavioral_spark.functions import cusum as CU
+from duckdb_behavioral_spark.functions import churn as CN
 
 EXT_QUERIES = {
     # text analysis
@@ -108,6 +112,10 @@ EXT_QUERIES = {
     "events_rollup_cascade": RC.q_events_rollup_cascade,
     "events_zorder_cells": ZO.q_events_zorder_cells,
     "multimodal_binaryfile_ingest": M.q_multimodal_binaryfile_ingest,
+    "dedup_fuzzy_titles": FZ.q_dedup_fuzzy_titles,
+    "events_time_weighted_avg": TW.q_events_time_weighted_avg,
+    "events_cusum_daily": CU.q_events_cusum_daily,
+    "events_user_churn": CN.q_events_user_churn,
     "events_gapfill_locf": GF.q_events_gapfill_locf,
     "table_profile": PF.q_table_profile,
     "text_bigram_lm": NL.q_text_bigram_lm,
@@ -232,6 +240,10 @@ EXT_ORACLES = {
     "events_rollup_cascade": RC.ROLLUP_CASCADE_SQL,
     "events_zorder_cells": ZO.ZORDER_CELLS_SQL,
     "multimodal_binaryfile_ingest": M.BINARYFILE_INGEST_SQL,
+    "dedup_fuzzy_titles": FZ.FUZZY_TITLES_SQL,
+    "events_time_weighted_avg": TW.TIME_WEIGHTED_AVG_SQL,
+    "events_cusum_daily": CU.CUSUM_DAILY_SQL,
+    "events_user_churn": CN.USER_CHURN_SQL,
     "events_gapfill_locf": GF.GAPFILL_LOCF_SQL,
     "table_profile": PF.TABLE_PROFILE_SQL,
     "text_bigram_lm": NL.BIGRAM_LM_SQL,

@@ -52,13 +52,9 @@ DRIVER_PRIORITY = [
     "multimodal_features",
     "pack_sequences",
     "sample_per_stratum_topk",
-    "sample_stratified",
     "sketch_kmv_overlap",
     "text_token_stats",
     "text_lang_id",
-    "text_fingerprint",
-    "text_quality",
-    "text_repetition",
     "text_scrub_pii",
     # new in round 6, second wave — first driver rows (8)
     "cdc_merge_users",
@@ -75,6 +71,11 @@ DRIVER_PRIORITY = [
     "events_zorder_cells",
     "streaming_hll_parity",
     "multimodal_binaryfile_ingest",
+    # new in round 6, third wave — first driver rows (4)
+    "dedup_fuzzy_titles",
+    "events_time_weighted_avg",
+    "events_cusum_daily",
+    "events_user_churn",
 ]
 
 
