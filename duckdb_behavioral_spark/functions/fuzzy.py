@@ -69,11 +69,15 @@ def fuzzy_title_pairs(
             "block",
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.levenshtein(F.col("a.title"), F.col("b.title"))
+            # banded early-abort: exact within max_dist, -1 beyond —
+            # O(max_dist * len) per pair instead of O(len^2)
+            F.levenshtein(
+                F.col("a.title"), F.col("b.title"), threshold=max_dist
+            )
             .cast("long")
             .alias("dist"),
         )
-        .where(F.col("dist") <= max_dist)
+        .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
     )
 
 

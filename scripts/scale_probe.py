@@ -130,6 +130,14 @@ def probe(spark, path: str) -> dict:
     run("gapfill_locf", gapfill_locf(ev))
     run("value_histogram", value_histogram(ev))
     run("hll_sliding", hll_sliding_estimate(ev))
+    # round-6 wave 3: time-weighted mean, CUSUM, audience churn
+    from duckdb_behavioral_spark.functions.churn import user_churn_daily
+    from duckdb_behavioral_spark.functions.cusum import cusum_daily
+    from duckdb_behavioral_spark.functions.timeweight import time_weighted_avg
+
+    run("time_weighted_avg", time_weighted_avg(ev))
+    run("cusum_daily", cusum_daily(ev))
+    run("user_churn", user_churn_daily(ev))
     return out
 
 

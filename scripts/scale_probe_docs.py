@@ -101,6 +101,12 @@ def probe(spark, path: str) -> dict:
 
     run("bigram_lm", bigram_lm(docs))
     run("inverted_postings", inverted_postings(docs))
+    # round-6 wave 3: blocked edit-distance linkage (quadratic WITHIN
+    # blocks by design — the probe shows the in-block growth the
+    # docstring's blocking-granularity trade describes)
+    from duckdb_behavioral_spark.functions.fuzzy import fuzzy_title_pairs
+
+    run("fuzzy_title_pairs", fuzzy_title_pairs(docs))
     return out
 
 
