@@ -43,6 +43,8 @@ from duckdb_behavioral_spark.functions import fuzzy as FZ
 from duckdb_behavioral_spark.functions import timeweight as TW
 from duckdb_behavioral_spark.functions import cusum as CU
 from duckdb_behavioral_spark.functions import churn as CN
+from duckdb_behavioral_spark.functions import compaction as CPN
+from duckdb_behavioral_spark.functions import dq as DQ
 
 EXT_QUERIES = {
     # text analysis
@@ -117,6 +119,8 @@ EXT_QUERIES = {
     "events_cusum_daily": CU.q_events_cusum_daily,
     "events_user_churn": CN.q_events_user_churn,
     "events_gapfill_locf": GF.q_events_gapfill_locf,
+    "files_compaction_bins": CPN.q_files_compaction_bins,
+    "dq_constraint_audit": DQ.q_dq_constraint_audit,
     "table_profile": PF.q_table_profile,
     "text_bigram_lm": NL.q_text_bigram_lm,
     "events_value_histogram": HG.q_events_value_histogram,
@@ -245,6 +249,8 @@ EXT_ORACLES = {
     "events_cusum_daily": CU.CUSUM_DAILY_SQL,
     "events_user_churn": CN.USER_CHURN_SQL,
     "events_gapfill_locf": GF.GAPFILL_LOCF_SQL,
+    "files_compaction_bins": CPN.FILES_COMPACTION_SQL,
+    "dq_constraint_audit": DQ.DQ_AUDIT_SQL,
     "table_profile": PF.TABLE_PROFILE_SQL,
     "text_bigram_lm": NL.BIGRAM_LM_SQL,
     "events_value_histogram": HG.VALUE_HISTOGRAM_SQL,

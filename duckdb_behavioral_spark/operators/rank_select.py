@@ -36,7 +36,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["with_global_rank"]
+__all__ = ["with_global_rank", "with_global_prefix_sum"]
 
 
 def with_global_rank(
@@ -115,4 +115,77 @@ def with_global_rank(
         ranged.join(F.broadcast(offsets), ["__pid", *gcols])
         .withColumn(rank_name, (F.col("__off") + local).cast("long"))
         .drop("__pid", "__off")
+    )
+
+
+def with_global_prefix_sum(
+    df: DataFrame,
+    sort_cols: Sequence[Column],
+    value_col: str,
+    num_partitions: int | None = None,
+    prefix_name: str = "__gprefix",
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """``df`` + ``prefix_name``: the EXCLUSIVE running BIGINT sum of
+    ``value_col`` under ``sort_cols`` (per ``group_cols`` group), with
+    no unbounded single-partition stage — the same two-pass
+    range-partition + broadcast-offset shape as
+    :func:`with_global_rank`, but folding per-partition VALUE SUMS
+    instead of row counts. The distributed scan-prefix-sum primitive:
+    bin-packing quotas, cumulative token budgets, capacity cuts.
+
+    ``value_col`` must be integral (BIGINT arithmetic is exact and
+    commutative; callers with decimal scales pre-scale to integers).
+    The first row of each group gets prefix 0; a row's inclusive sum
+    is ``prefix + value``.
+    """
+    sort_cols = list(sort_cols)
+    gcols = list(group_cols)
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    part_cols = [F.col(g).asc() for g in gcols] + sort_cols
+    ranged = (
+        df.repartitionByRange(num_partitions, *part_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    sums = ranged.groupBy("__pid", *gcols).agg(
+        F.coalesce(F.sum(F.col(value_col).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("__psum")
+    )
+    one = sums.groupBy(*gcols).agg(
+        F.array_sort(F.collect_list(F.struct("__pid", "__psum"))).alias("__arr")
+    )
+    offs = F.when(
+        F.size("__arr") > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__arr")),
+            lambda i: F.struct(
+                F.element_at("__arr", i)["__pid"].alias("__pid"),
+                F.aggregate(
+                    F.slice("__arr", F.lit(1), i - 1),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x["__psum"],
+                ).alias("__voff"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<__pid:int,__voff:bigint>>"))
+    offsets = one.select(*gcols, F.explode(offs).alias("__o")).select(
+        *gcols,
+        F.col("__o.__pid").alias("__pid"),
+        F.col("__o.__voff").alias("__voff"),
+    )
+    w = (
+        Window.partitionBy("__pid", *gcols)
+        .orderBy(*sort_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.coalesce(F.sum(F.col(value_col).cast("long")).over(w), F.lit(0))
+    return (
+        ranged.join(F.broadcast(offsets), ["__pid", *gcols])
+        .withColumn(prefix_name, (F.col("__voff") + local).cast("long"))
+        .drop("__pid", "__voff")
     )

@@ -1,0 +1,116 @@
+"""Round-6 wave-4 operators: distributed prefix sums, compaction
+bin-packing, and the data-quality constraint audit."""
+
+import random
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from duckdb_behavioral_spark.functions.compaction import compaction_plan
+from duckdb_behavioral_spark.functions.dq import q_dq_constraint_audit
+from duckdb_behavioral_spark.operators.rank_select import with_global_prefix_sum
+
+
+def test_prefix_sum_matches_window_cumsum(spark):
+    rng = random.Random(406)
+    rows = [
+        (i, rng.choice("ab"), rng.randint(0, 1000)) for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, v long")
+    got = with_global_prefix_sum(
+        df,
+        [F.col("v").desc(), F.col("id").asc()],
+        "v",
+        prefix_name="p",
+        group_cols=["grp"],
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("v").desc(), F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = df.withColumn("p", F.coalesce(F.sum("v").over(w), F.lit(0)))
+    g = {(r["grp"], r["id"]): r["p"] for r in got.collect()}
+    e = {(r["grp"], r["id"]): r["p"] for r in want.collect()}
+    assert g == e
+
+
+def test_prefix_sum_no_group(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "id long, v long"
+    )
+    got = {
+        r["id"]: r["p"]
+        for r in with_global_prefix_sum(
+            df, [F.col("id").asc()], "v", prefix_name="p"
+        ).collect()
+    }
+    assert got == {1: 0, 2: 10, 3: 30}
+
+
+def test_compaction_bins_pack_to_target(spark):
+    # 6 files of 600 bytes, target 1000. Exclusive prefixes are
+    # 0,600,...,3000; quota binning (prefix // 1000) yields bins
+    # {f1,f2} {f3,f4} {f5} {f6}: each bin owns one 1000-byte window of
+    # the cumulative quota, and an overshoot (1200b in bin 0) charges
+    # the NEXT window, so f5/f6 land in separate windows.
+    files = spark.createDataFrame(
+        [("s", i, 600) for i in range(1, 7)],
+        "source string, file_id long, bytes long",
+    )
+    row = compaction_plan(files, target=1000).collect()[0]
+    assert row["n_files"] == 6
+    assert row["n_bins"] == 4
+    assert row["total_bytes"] == 3600
+    assert row["max_bin_bytes"] == 1200
+    assert row["min_bin_bytes"] == 600
+    assert row["fill_permille"] == 900
+    assert row["runt_bins"] == 2
+
+
+def test_compaction_oversized_file_gets_own_bin_boundary(spark):
+    # One 5000-byte file then tiny ones: the big file fills bins 0-4's
+    # quota alone; the tiny files start at prefix 5000 -> bin 5.
+    files = spark.createDataFrame(
+        [("s", 1, 5000), ("s", 2, 10), ("s", 3, 10)],
+        "source string, file_id long, bytes long",
+    )
+    row = compaction_plan(files, target=1000).collect()[0]
+    assert row["n_bins"] == 2  # bin 0 (big file) + bin 5 (tinies)
+    assert row["max_bin_bytes"] == 5000
+    assert row["min_bin_bytes"] == 20
+    assert row["runt_bins"] == 1
+
+
+def test_compaction_orders_desc_then_id(spark):
+    # sizes 900, 300, 300 with target 1000: desc order puts 900 first,
+    # prefix 0/900/1200 -> bins 0,0,1 (id breaks the 300/300 tie).
+    files = spark.createDataFrame(
+        [("s", 3, 300), ("s", 1, 900), ("s", 2, 300)],
+        "source string, file_id long, bytes long",
+    )
+    row = compaction_plan(files, target=1000).collect()[0]
+    assert row["n_bins"] == 2
+    assert row["max_bin_bytes"] == 1200
+    assert row["min_bin_bytes"] == 300
+
+
+def test_dq_audit_clean_testdata(spark, sf_dir):
+    rows = {r["constraint"]: r for r in
+            q_dq_constraint_audit(spark, sf_dir).collect()}
+    assert len(rows) == 13
+    # synthetic tables are referentially clean and key-unique
+    for name in (
+        "orders.orderkey_unique",
+        "events.event_id_unique",
+        "lineitem.orderkey_fk_orders",
+        "orders.custkey_fk_customer",
+        "customer.nationkey_fk_nation",
+        "documents.n_chars_matches_text",
+    ):
+        assert rows[name]["violations"] == 0, name
+        assert rows[name]["ok"] is True
+    # events.ts HAS injected nulls in the synthetic stream
+    assert rows["events.ts_not_null"]["checked"] > 0
+    for r in rows.values():
+        assert 0 <= r["violations"] <= r["checked"]
