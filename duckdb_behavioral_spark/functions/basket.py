@@ -1,0 +1,128 @@
+"""Market-basket association rules — pairwise item co-occurrence
+with support / confidence / lift, the Apriori-at-k=2 pass every
+recommender bootstrap runs over an order-lines fact table.
+
+Itemsets: the distinct (order, part) pairs of ``lineitem`` (a part
+appearing on two lines of one order counts once). Pair generation is
+a SELF-EQUI-JOIN ON THE ORDER KEY with ``part_a < part_b`` — the
+per-order item count is bounded by order size (TPC-H: <= 7 lines), so
+the blowup is O(orders x size^2) with both sides co-partitioned on
+the same key: one exchange pair, no cross join, no skew (order keys
+are unique). Item and pair supports are plain hash aggregates;
+confidence and lift come from broadcast-joining the bounded item-
+support table onto the pair table. The report is the distributed
+top-k (TakeOrderedAndProject) by pair support.
+
+Metrics are integer-exact permille:
+  confidence(a->b) = 1000 * n_ab // n_a
+  lift(a,b)        = 1000 * n_ab * n_orders // (n_a * n_b)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_behavioral_spark.functions.topk import ranked_topk
+
+__all__ = ["market_basket_pairs", "q_orders_market_basket"]
+
+TOPK = 50
+
+
+def market_basket_pairs(lineitem: DataFrame, k: int = TOPK) -> DataFrame:
+    items = lineitem.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    n_orders = items.select("okey").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("__n_orders")
+    )
+    item_cnt = items.groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt")
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(b, "okey")
+        .where(F.col("a.part") < F.col("b.part"))
+        .groupBy(
+            F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_orders"))
+    )
+    enriched = (
+        pairs.join(
+            F.broadcast(item_cnt.select(F.col("part").alias("part_a"),
+                                        F.col("__cnt").alias("__na"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(item_cnt.select(F.col("part").alias("part_b"),
+                                        F.col("__cnt").alias("__nb"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_orders",
+            F.col("__na").alias("orders_a"),
+            F.col("__nb").alias("orders_b"),
+            F.expr("div(pair_orders * 1000, __na)")
+            .cast("long")
+            .alias("confidence_ab_permille"),
+            F.expr("div(pair_orders * 1000, __nb)")
+            .cast("long")
+            .alias("confidence_ba_permille"),
+            F.expr("div(pair_orders * 1000 * __n_orders, __na * __nb)")
+            .cast("long")
+            .alias("lift_permille"),
+        )
+    )
+    return ranked_topk(
+        enriched,
+        [
+            F.col("pair_orders").desc(),
+            F.col("part_a").asc(),
+            F.col("part_b").asc(),
+        ],
+        k,
+    )
+
+
+def q_orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_behavioral_spark.sources import load_table
+
+    return market_basket_pairs(load_table(spark, sf_dir, "lineitem"))
+
+
+MARKET_BASKET_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+), n_orders AS (
+  SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n FROM items
+), item_cnt AS (
+  SELECT part, CAST(count(*) AS BIGINT) AS cnt FROM items GROUP BY part
+), pairs AS (
+  SELECT a.part AS part_a, b.part AS part_b,
+         CAST(count(*) AS BIGINT) AS pair_orders
+  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+  GROUP BY a.part, b.part
+)
+SELECT part_a, part_b, pair_orders,
+       ca.cnt AS orders_a, cb.cnt AS orders_b,
+       CAST(pair_orders * 1000 // ca.cnt AS BIGINT)
+         AS confidence_ab_permille,
+       CAST(pair_orders * 1000 // cb.cnt AS BIGINT)
+         AS confidence_ba_permille,
+       CAST(pair_orders * 1000 * n.n // (ca.cnt * cb.cnt) AS BIGINT)
+         AS lift_permille,
+       CAST(row_number() OVER (
+         ORDER BY pair_orders DESC, part_a, part_b) AS BIGINT) AS rank
+FROM pairs
+JOIN item_cnt ca ON ca.part = pairs.part_a
+JOIN item_cnt cb ON cb.part = pairs.part_b
+CROSS JOIN n_orders n
+ORDER BY pair_orders DESC, part_a, part_b
+LIMIT {TOPK}
+"""

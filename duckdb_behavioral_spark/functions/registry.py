@@ -45,6 +45,8 @@ from duckdb_behavioral_spark.functions import cusum as CU
 from duckdb_behavioral_spark.functions import churn as CN
 from duckdb_behavioral_spark.functions import compaction as CPN
 from duckdb_behavioral_spark.functions import dq as DQ
+from duckdb_behavioral_spark.functions import basket as BK
+from duckdb_behavioral_spark.operators import triangles as TRI
 
 EXT_QUERIES = {
     # text analysis
@@ -121,6 +123,8 @@ EXT_QUERIES = {
     "events_gapfill_locf": GF.q_events_gapfill_locf,
     "files_compaction_bins": CPN.q_files_compaction_bins,
     "dq_constraint_audit": DQ.q_dq_constraint_audit,
+    "orders_market_basket": BK.q_orders_market_basket,
+    "graph_triangle_count": TRI.q_graph_triangle_count,
     "table_profile": PF.q_table_profile,
     "text_bigram_lm": NL.q_text_bigram_lm,
     "events_value_histogram": HG.q_events_value_histogram,
@@ -251,6 +255,8 @@ EXT_ORACLES = {
     "events_gapfill_locf": GF.GAPFILL_LOCF_SQL,
     "files_compaction_bins": CPN.FILES_COMPACTION_SQL,
     "dq_constraint_audit": DQ.DQ_AUDIT_SQL,
+    "orders_market_basket": BK.MARKET_BASKET_SQL,
+    "graph_triangle_count": TRI.GRAPH_TRIANGLES_SQL,
     "table_profile": PF.TABLE_PROFILE_SQL,
     "text_bigram_lm": NL.BIGRAM_LM_SQL,
     "events_value_histogram": HG.VALUE_HISTOGRAM_SQL,

@@ -114,3 +114,54 @@ def test_dq_audit_clean_testdata(spark, sf_dir):
     assert rows["events.ts_not_null"]["checked"] > 0
     for r in rows.values():
         assert 0 <= r["violations"] <= r["checked"]
+
+
+def test_market_basket_small_closed_form(spark):
+    # orders: 1 -> {10,20,30}, 2 -> {10,20}, 3 -> {10} (dup line collapses)
+    rows = [(1, 10), (1, 20), (1, 30), (2, 10), (2, 20), (2, 20), (3, 10)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    from duckdb_behavioral_spark.functions.basket import market_basket_pairs
+
+    got = {(r["part_a"], r["part_b"]): r
+           for r in market_basket_pairs(li, k=10).collect()}
+    assert set(got) == {(10, 20), (10, 30), (20, 30)}
+    ab = got[(10, 20)]
+    assert ab["pair_orders"] == 2
+    assert ab["orders_a"] == 3 and ab["orders_b"] == 2
+    assert ab["confidence_ab_permille"] == 666   # 2000 // 3
+    assert ab["confidence_ba_permille"] == 1000  # 2000 // 2
+    assert ab["lift_permille"] == 1000           # 2*3*1000 // (3*2)
+    assert ab["rank"] == 1  # highest support
+
+
+def test_triangle_count_k4_and_path(spark):
+    from duckdb_behavioral_spark.operators.triangles import triangle_stats
+
+    # K4: 4 triangles, wedges = 4 * C(3,2) = 12, clustering = 1.0
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)], "a long, b long"
+    )
+    r = triangle_stats(k4).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_wedges"], r["triangles"]) == (
+        4, 6, 12, 4)
+    assert r["clustering_permille"] == 1000
+
+    # path 0-1-2-3: no triangles, 2 wedges
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "a long, b long")
+    r = triangle_stats(path).collect()[0]
+    assert r["triangles"] == 0
+    assert r["n_wedges"] == 2
+    assert r["clustering_permille"] == 0
+
+
+def test_triangle_count_star_with_closure(spark):
+    from duckdb_behavioral_spark.operators.triangles import triangle_stats
+
+    # star center 0 with leaves 1..5, plus edge (1,2): exactly 1 triangle.
+    # Degree ordering builds wedges at low-degree leaves, never the
+    # center — the Suri-Vassilvitskii skew guarantee this test pins.
+    edges = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    r = triangle_stats(df).collect()[0]
+    assert r["triangles"] == 1
+    assert r["n_edges"] == 6
