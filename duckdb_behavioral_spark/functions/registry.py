@@ -47,6 +47,7 @@ from duckdb_behavioral_spark.functions import compaction as CPN
 from duckdb_behavioral_spark.functions import dq as DQ
 from duckdb_behavioral_spark.functions import basket as BK
 from duckdb_behavioral_spark.operators import triangles as TRI
+from duckdb_behavioral_spark.functions import stats as ST
 
 EXT_QUERIES = {
     # text analysis
@@ -125,6 +126,8 @@ EXT_QUERIES = {
     "dq_constraint_audit": DQ.q_dq_constraint_audit,
     "orders_market_basket": BK.q_orders_market_basket,
     "graph_triangle_count": TRI.q_graph_triangle_count,
+    "lineitem_price_qty_ols": ST.q_lineitem_price_qty_ols,
+    "events_daily_acf": ST.q_events_daily_acf,
     "table_profile": PF.q_table_profile,
     "text_bigram_lm": NL.q_text_bigram_lm,
     "events_value_histogram": HG.q_events_value_histogram,
@@ -257,6 +260,8 @@ EXT_ORACLES = {
     "dq_constraint_audit": DQ.DQ_AUDIT_SQL,
     "orders_market_basket": BK.MARKET_BASKET_SQL,
     "graph_triangle_count": TRI.GRAPH_TRIANGLES_SQL,
+    "lineitem_price_qty_ols": ST.PRICE_QTY_OLS_SQL,
+    "events_daily_acf": ST.DAILY_ACF_SQL,
     "table_profile": PF.TABLE_PROFILE_SQL,
     "text_bigram_lm": NL.BIGRAM_LM_SQL,
     "events_value_histogram": HG.VALUE_HISTOGRAM_SQL,

@@ -165,3 +165,78 @@ def test_triangle_count_star_with_closure(spark):
     r = triangle_stats(df).collect()[0]
     assert r["triangles"] == 1
     assert r["n_edges"] == 6
+
+
+def test_ols_exact_line(spark):
+    # y = 250*x + 1000 cents exactly -> slope_micro = 250e6 exactly,
+    # intercept 1000, r2 = 1.0
+    from duckdb_behavioral_spark.functions.stats import (
+        _ols_estimates,
+        ols_sufficient,
+    )
+
+    rows = [("A", x, 250 * x + 1000) for x in range(1, 51)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    stats = ols_sufficient(df, F.col("x"), F.col("y"), ["g"])
+    r = _ols_estimates(stats, ["g"]).collect()[0]
+    assert r["slope_micro"] == 250_000_000
+    assert r["intercept_cents"] == 1000
+    assert r["r2_permille"] == 1000
+
+
+def test_ols_matches_numpy(spark):
+    import numpy as np
+
+    from duckdb_behavioral_spark.functions.stats import (
+        _ols_estimates,
+        ols_sufficient,
+    )
+
+    rng = random.Random(64)
+    xs = [rng.randint(1, 50) for _ in range(500)]
+    ys = [3 * x + rng.randint(-40, 40) for x in xs]
+    df = spark.createDataFrame(
+        list(zip(["g"] * 500, xs, ys)), "g string, x long, y long"
+    )
+    r = _ols_estimates(
+        ols_sufficient(df, F.col("x"), F.col("y"), ["g"]), ["g"]
+    ).collect()[0]
+    slope, intercept = np.polyfit(np.array(xs, float), np.array(ys, float), 1)
+    assert abs(r["slope_micro"] / 1e6 - slope) < 1e-5
+    assert abs(r["intercept_cents"] - np.floor(intercept)) <= 1
+    cc = np.corrcoef(xs, ys)[0, 1]
+    assert abs(r["r2_permille"] / 1000 - cc * cc) < 2e-3
+
+
+def test_daily_acf_alternating_series(spark, sf_dir):
+    # sanity on the declared query: lags 1..7 present, |r| <= 1
+    from duckdb_behavioral_spark.functions.stats import q_events_daily_acf
+
+    rows = q_events_daily_acf(spark, sf_dir).collect()
+    assert [r["lag"] for r in rows] == [1, 2, 3, 4, 5, 6, 7]
+    for r in rows:
+        assert -1_000_000 <= r["r_micro"] <= 1_000_000
+        assert r["n_pairs"] > 0
+
+
+def test_daily_acf_matches_numpy_on_synthetic(spark):
+    import datetime as dt
+
+    import numpy as np
+
+    from duckdb_behavioral_spark.functions.stats import ols_sufficient
+
+    # deterministic pseudo-series, paired manually for lag 2
+    series = [((17 * i * i + 3 * i) % 101) + 1 for i in range(40)]
+    lag = 2
+    xs, ys = series[:-lag], series[lag:]
+    df = spark.createDataFrame(
+        [(x, y) for x, y in zip(xs, ys)], "x long, y long"
+    ).withColumn("g", F.lit(1))
+    s = ols_sufficient(df, F.col("x"), F.col("y"), ["g"]).collect()[0]
+    n, sx, sy = s["n"], s["sx"], s["sy"]
+    sxy, sxx, syy = int(s["sxy"]), int(s["sxx"]), int(s["syy"])
+    r = (n * sxy - sx * sy) / np.sqrt(
+        float(n * sxx - sx * sx) * float(n * syy - sy * sy)
+    )
+    assert abs(r - np.corrcoef(xs, ys)[0, 1]) < 1e-12
