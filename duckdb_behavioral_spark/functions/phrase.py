@@ -1,0 +1,115 @@
+"""Positional phrase search — the adjacency query an inverted index
+with positions exists to answer (``"new york"`` must match the words
+ADJACENT, not merely co-occurring; see functions/inverted.py for the
+posting store this logically runs against).
+
+The declared query is self-contained: stage 1 finds the corpus's most
+frequent word bigram (ties broken lexicographically — a deterministic
+1-row result), stage 2 returns the top documents containing that
+bigram as an adjacent phrase, with match counts and the first match
+position.
+
+Scale shape: stage 1 is the passage-dedup shingle pipeline (map-side
+explode of materialized 2-grams, one vocabulary-keyed count, then
+TakeOrderedAndProject for the argmax — no global sort). Stage 2
+re-scans with the 1-row phrase BROADCAST and filters gram == phrase
+BEFORE the per-document aggregate, so the exchange carries only
+matching positions (a production index would prune to one posting
+bucket instead of re-scanning; the relational shape — filter, then
+doc-keyed count/min — is the same). Positions are 1-based.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_behavioral_spark.functions.common import (
+    sql_tokens,
+    sql_word_grams,
+    tokens,
+    word_grams_indexed,
+)
+from duckdb_behavioral_spark.functions.topk import ranked_topk
+
+__all__ = ["phrase_match_topk", "q_search_phrase_match"]
+
+TOPK = 50
+
+
+def _doc_bigrams(docs: DataFrame, id_col: str, text: str) -> DataFrame:
+    toked = docs.where(F.col(text).isNotNull()).select(
+        F.col(id_col), tokens(F.lower(F.col(text))).alias("__toks")
+    )
+    return toked.select(
+        id_col,
+        F.posexplode(word_grams_indexed(F.col("__toks"), 2)).alias(
+            "__pos0", "__gram"
+        ),
+    )
+
+
+def phrase_match_topk(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    k: int = TOPK,
+) -> DataFrame:
+    grams = _doc_bigrams(docs, id_col, text).localCheckpoint(eager=False)
+    top_phrase = (
+        grams.groupBy("__gram")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .orderBy(F.col("__cnt").desc(), F.col("__gram").asc())
+        .limit(1)
+        .select(F.col("__gram").alias("phrase"))
+    )
+    matched = (
+        grams.join(
+            F.broadcast(top_phrase),
+            grams["__gram"] == F.col("phrase"),
+        )
+        .groupBy(id_col, "phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            (F.min("__pos0") + 1).cast("long").alias("first_pos"),
+        )
+    )
+    return ranked_topk(
+        matched.select(id_col, "phrase", "n_matches", "first_pos"),
+        [F.col("n_matches").desc(), F.col(id_col).asc()],
+        k,
+    )
+
+
+def q_search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_behavioral_spark.sources import load_table
+
+    return phrase_match_topk(load_table(spark, sf_dir, "documents"))
+
+
+PHRASE_MATCH_SQL = f"""
+WITH toked AS (
+  SELECT doc_id, {sql_tokens('lower(text)')} AS toks
+  FROM documents WHERE text IS NOT NULL
+), grams AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(gs, 1) AS BIGINT) AS pos,
+         unnest(gs) AS gram
+  FROM (SELECT doc_id, {sql_word_grams('toks', 2)} AS gs FROM toked) g
+), top_phrase AS (
+  SELECT gram AS phrase FROM grams
+  GROUP BY gram ORDER BY count(*) DESC, gram LIMIT 1
+), matched AS (
+  SELECT doc_id, phrase,
+         CAST(count(*) AS BIGINT) AS n_matches,
+         CAST(min(pos) AS BIGINT) AS first_pos
+  FROM grams JOIN top_phrase ON gram = phrase
+  GROUP BY doc_id, phrase
+)
+SELECT doc_id, phrase, n_matches, first_pos,
+       CAST(row_number() OVER (ORDER BY n_matches DESC, doc_id) AS BIGINT)
+         AS rank
+FROM matched
+ORDER BY n_matches DESC, doc_id
+LIMIT {TOPK}
+"""

@@ -48,6 +48,8 @@ from duckdb_behavioral_spark.functions import dq as DQ
 from duckdb_behavioral_spark.functions import basket as BK
 from duckdb_behavioral_spark.operators import triangles as TRI
 from duckdb_behavioral_spark.functions import stats as ST
+from duckdb_behavioral_spark.functions import dimcov as DC
+from duckdb_behavioral_spark.functions import phrase as PH
 
 EXT_QUERIES = {
     # text analysis
@@ -128,6 +130,8 @@ EXT_QUERIES = {
     "graph_triangle_count": TRI.q_graph_triangle_count,
     "lineitem_price_qty_ols": ST.q_lineitem_price_qty_ols,
     "events_daily_acf": ST.q_events_daily_acf,
+    "embedding_dim_covariance": DC.q_embedding_dim_covariance,
+    "search_phrase_match": PH.q_search_phrase_match,
     "table_profile": PF.q_table_profile,
     "text_bigram_lm": NL.q_text_bigram_lm,
     "events_value_histogram": HG.q_events_value_histogram,
@@ -262,6 +266,8 @@ EXT_ORACLES = {
     "graph_triangle_count": TRI.GRAPH_TRIANGLES_SQL,
     "lineitem_price_qty_ols": ST.PRICE_QTY_OLS_SQL,
     "events_daily_acf": ST.DAILY_ACF_SQL,
+    "embedding_dim_covariance": DC.DIM_COV_SQL,
+    "search_phrase_match": PH.PHRASE_MATCH_SQL,
     "table_profile": PF.TABLE_PROFILE_SQL,
     "text_bigram_lm": NL.BIGRAM_LM_SQL,
     "events_value_histogram": HG.VALUE_HISTOGRAM_SQL,

@@ -240,3 +240,69 @@ def test_daily_acf_matches_numpy_on_synthetic(spark):
         float(n * sxx - sx * sx) * float(n * syy - sy * sy)
     )
     assert abs(r - np.corrcoef(xs, ys)[0, 1]) < 1e-12
+
+
+def test_dim_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from duckdb_behavioral_spark.functions.dimcov import dim_covariance_topk
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(300, 8)
+    vecs[:, 3] = vecs[:, 1] * 2 + rng.randn(300) * 0.01  # strong pair (1,3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = dim_covariance_topk(df, k=5).collect()
+    assert rows[0]["dim_i"] == 1 and rows[0]["dim_j"] == 3
+    # exact check of the top value against a python re-derivation of
+    # the same quantized integer covariance
+    maxabs = np.max(np.abs(vecs), axis=1)
+    q = np.floor(vecs * 127.0 / maxabs[:, None]).astype(np.int64)
+    n = len(q)
+    num = n * int((q[:, 1] * q[:, 3]).sum()) - int(q[:, 1].sum()) * int(
+        q[:, 3].sum()
+    )
+    expect = int(1000 * num / (n * (n - 1)))  # trunc toward zero
+    assert rows[0]["cov_milli"] == expect
+    assert rows[0]["n_vectors"] == 300
+
+
+def test_dim_covariance_zero_vector_guard(spark):
+    from duckdb_behavioral_spark.functions.dimcov import dim_covariance_topk
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, 2.0, -1.0]), (3, [2.0, 1.0, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = dim_covariance_topk(df, k=3).collect()
+    assert len(rows) == 3  # C(3,2) pairs, no div-by-zero on the zero vec
+
+
+def test_phrase_match_counts_and_positions(spark):
+    from duckdb_behavioral_spark.functions.phrase import phrase_match_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x y x y z"),      # 'x y' at pos 1 and 3
+            (2, "a b x y"),        # 'x y' at pos 3
+            (3, "no match here"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = phrase_match_topk(docs, k=10).collect()
+    assert all(r["phrase"] == "x y" for r in rows)
+    got = {r["doc_id"]: (r["n_matches"], r["first_pos"], r["rank"]) for r in rows}
+    assert got == {1: (2, 1, 1), 2: (1, 3, 2)}
+
+
+def test_phrase_match_tie_breaks_lexicographic(spark):
+    from duckdb_behavioral_spark.functions.phrase import phrase_match_topk
+
+    # bigrams 'b c' and 'a b' both occur once; lexicographic min wins
+    docs = spark.createDataFrame([(1, "b c"), (2, "a b")],
+                                 "doc_id long, text string")
+    rows = phrase_match_topk(docs, k=10).collect()
+    assert rows[0]["phrase"] == "a b"
