@@ -110,6 +110,7 @@ def all_queries():
             streaming_sessionize_parity,
             streaming_bloom_parity,
             streaming_hll_parity,
+            streaming_cdc_parity,
         )
 
         out["streaming_funnel_parity"] = streaming_funnel_parity
@@ -125,6 +126,7 @@ def all_queries():
         out["streaming_scd2_parity"] = streaming_scd2_parity
         out["streaming_bloom_parity"] = streaming_bloom_parity
         out["streaming_hll_parity"] = streaming_hll_parity
+        out["streaming_cdc_parity"] = streaming_cdc_parity
     except ImportError:
         pass
     return _prioritized(out)
@@ -165,4 +167,6 @@ def all_oracles():
         out["streaming_bloom_parity"] = out.get("sketch_bloom_membership")
         # the MAX-folded streaming registers must equal the batch sketch
         out["streaming_hll_parity"] = out.get("sketch_hll")
+        # the ARGMAX-folded incremental merge must equal the batch MERGE
+        out["streaming_cdc_parity"] = out.get("cdc_merge_users")
     return _prioritized(out)

@@ -966,3 +966,100 @@ def streaming_hll_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def streaming_cdc_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARED query: incremental CDC dimension maintenance — replay
+    events as 4 micro-batches interleaved on ``event_id % 4`` (NOT
+    time-ordered) and merge each batch into an on-disk per-user state
+    table; the classified merge result must hash-match the one-shot
+    batch ``cdc_merge_users`` oracle (operators/cdc.CDC_MERGE_SQL).
+
+    The fold algebra here is ARGMAX: per user the maintained state is
+    ``(arg_max(state, ts), max(ts), OR has_chg, OR has_snap)``.
+    Because per-user timestamps are unique in the events model, the
+    argmax pair-merge is commutative, associative AND idempotent —
+    like the Bloom gate's OR and the HLL gate's MAX, and unlike the
+    CMS gate's duplicate-sensitive ADD — so latest-wins upsert
+    survives out-of-order and at-least-once delivery with no
+    sequencing state. That is why production MERGE pipelines key on a
+    version/timestamp column instead of trusting arrival order.
+    Tombstone semantics stay a READ-time classification (final
+    changelog state 'error' drops the row): a tombstone must not
+    delete fold state, or a late pre-tombstone change could resurrect
+    with the wrong timestamp.
+
+    Scale posture: each epoch's table is one keyed hash-agg of
+    |batch| + |table| rows written behind a fresh-directory pointer
+    flip (torn-write-safe, as in the SCD2 gate); the production
+    equivalent is MERGE INTO on a transactional table where only
+    touched keys rewrite.
+    """
+    from duckdb_behavioral_spark.operators.cdc import CUTOFF
+    from duckdb_behavioral_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_type")
+    src = tempfile.mkdtemp(prefix="sg_cdc_src_")
+    tbl_root = tempfile.mkdtemp(prefix="sg_cdc_tbl_")
+    try:
+        base = ev.where(F.col("ts").isNotNull()).withColumn(
+            "event_id_like", F.hash("user_id", "ts")
+        )
+        for i in range(N_CHUNKS):
+            (base.where(F.abs(F.col("event_id_like")) % N_CHUNKS == i)
+             .drop("event_id_like")
+             .coalesce(1).write.mode("append").parquet(src))
+
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, event_type string"
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+
+        cut = F.lit(CUTOFF).cast("timestamp")
+        state = {"dir": None}
+
+        def fold(df: DataFrame) -> DataFrame:
+            return df.groupBy("user_id").agg(
+                F.max_by("state", "state_ts").alias("state"),
+                F.max("state_ts").alias("state_ts"),
+                F.max("has_chg").alias("has_chg"),
+                F.max("has_snap").alias("has_snap"),
+            )
+
+        def merge_batch(bdf: DataFrame, epoch: int) -> None:
+            sp = bdf.sparkSession
+            rows = bdf.select(
+                "user_id",
+                F.col("event_type").alias("state"),
+                F.col("ts").alias("state_ts"),
+                (F.col("ts") >= cut).alias("has_chg"),
+                (F.col("ts") < cut).alias("has_snap"),
+            )
+            if state["dir"] is not None:
+                rows = rows.unionByName(sp.read.parquet(state["dir"]))
+            out = f"{tbl_root}/epoch_{epoch}"
+            fold(rows).write.mode("overwrite").parquet(out)
+            state["dir"] = out
+
+        q = stream.writeStream.outputMode("append").foreachBatch(merge_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        final = spark.read.parquet(state["dir"])
+        action = (
+            F.when(~F.col("has_chg"), F.lit("kept"))
+            .when(F.col("has_snap"), F.lit("updated"))
+            .otherwise(F.lit("inserted"))
+        )
+        return (
+            final.withColumn("action", action)
+            .where(~(F.col("has_chg") & (F.col("state") == "error")))
+            .select("user_id", "state", "state_ts", "action")
+            .orderBy("user_id")
+            # materialize now: the table dirs are deleted on return
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(tbl_root, ignore_errors=True)
