@@ -50,6 +50,7 @@ from duckdb_behavioral_spark.operators import triangles as TRI
 from duckdb_behavioral_spark.functions import stats as ST
 from duckdb_behavioral_spark.functions import dimcov as DC
 from duckdb_behavioral_spark.functions import phrase as PH
+from duckdb_behavioral_spark.functions import distribution as DSB
 
 EXT_QUERIES = {
     # text analysis
@@ -132,6 +133,8 @@ EXT_QUERIES = {
     "events_daily_acf": ST.q_events_daily_acf,
     "embedding_dim_covariance": DC.q_embedding_dim_covariance,
     "search_phrase_match": PH.q_search_phrase_match,
+    "events_median_gap": DSB.q_events_median_gap,
+    "customer_revenue_gini": DSB.q_customer_revenue_gini,
     "table_profile": PF.q_table_profile,
     "text_bigram_lm": NL.q_text_bigram_lm,
     "events_value_histogram": HG.q_events_value_histogram,
@@ -268,6 +271,8 @@ EXT_ORACLES = {
     "events_daily_acf": ST.DAILY_ACF_SQL,
     "embedding_dim_covariance": DC.DIM_COV_SQL,
     "search_phrase_match": PH.PHRASE_MATCH_SQL,
+    "events_median_gap": DSB.MEDIAN_GAP_SQL,
+    "customer_revenue_gini": DSB.REVENUE_GINI_SQL,
     "table_profile": PF.TABLE_PROFILE_SQL,
     "text_bigram_lm": NL.BIGRAM_LM_SQL,
     "events_value_histogram": HG.VALUE_HISTOGRAM_SQL,

@@ -306,3 +306,46 @@ def test_phrase_match_tie_breaks_lexicographic(spark):
                                  "doc_id long, text string")
     rows = phrase_match_topk(docs, k=10).collect()
     assert rows[0]["phrase"] == "a b"
+
+
+def test_median_gap_closed_form(spark):
+    import datetime as dt
+
+    from duckdb_behavioral_spark.functions.distribution import (
+        median_gap_by_type,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: events at +0s,+10s,+30s,+60s -> gaps 10s,20s,30s (type a)
+    for i, off in enumerate([0, 10, 30, 60]):
+        rows.append((1, base + dt.timedelta(seconds=off), "a"))
+    # user 2: single event -> no gap; user 3: null ts dropped
+    rows.append((2, base, "a"))
+    rows.append((3, None, "a"))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    r = {x["event_type"]: x for x in median_gap_by_type(df).collect()}
+    assert set(r) == {"a"}
+    # gaps sorted: [10s, 20s, 30s]; nearest-rank median ((3-1)*500//1000+1 = 2)
+    assert r["a"]["n_gaps"] == 3
+    assert r["a"]["p50_us"] == 20_000_000
+    assert r["a"]["p90_us"] == 20_000_000  # (3-1)*900//1000+1 = 2
+    assert r["a"]["max_us"] == 30_000_000
+
+
+def test_gini_uniform_vs_concentrated(spark):
+    from duckdb_behavioral_spark.functions.distribution import revenue_gini
+
+    uniform = spark.createDataFrame(
+        [(i, 100) for i in range(10)], "id long, cents long"
+    )
+    r = revenue_gini(uniform).collect()[0]
+    assert r["gini_permille"] == 0  # perfect equality
+    assert r["total_cents"] == 1000
+
+    concentrated = spark.createDataFrame(
+        [(i, 0) for i in range(9)] + [(9, 1000)], "id long, cents long"
+    )
+    r = revenue_gini(concentrated).collect()[0]
+    # closed form: (2*10*1000 - 11*1000) / (10*1000) = 0.9
+    assert r["gini_permille"] == 900
