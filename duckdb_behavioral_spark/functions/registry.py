@@ -51,6 +51,7 @@ from duckdb_behavioral_spark.functions import stats as ST
 from duckdb_behavioral_spark.functions import dimcov as DC
 from duckdb_behavioral_spark.functions import phrase as PH
 from duckdb_behavioral_spark.functions import distribution as DSB
+from duckdb_behavioral_spark.operators import snapshot_diff as SD
 
 EXT_QUERIES = {
     # text analysis
@@ -135,6 +136,7 @@ EXT_QUERIES = {
     "search_phrase_match": PH.q_search_phrase_match,
     "events_median_gap": DSB.q_events_median_gap,
     "customer_revenue_gini": DSB.q_customer_revenue_gini,
+    "scd2_snapshot_diff": SD.q_scd2_snapshot_diff,
     "table_profile": PF.q_table_profile,
     "text_bigram_lm": NL.q_text_bigram_lm,
     "events_value_histogram": HG.q_events_value_histogram,
@@ -273,6 +275,7 @@ EXT_ORACLES = {
     "search_phrase_match": PH.PHRASE_MATCH_SQL,
     "events_median_gap": DSB.MEDIAN_GAP_SQL,
     "customer_revenue_gini": DSB.REVENUE_GINI_SQL,
+    "scd2_snapshot_diff": SD.SNAPSHOT_DIFF_SQL,
     "table_profile": PF.TABLE_PROFILE_SQL,
     "text_bigram_lm": NL.BIGRAM_LM_SQL,
     "events_value_histogram": HG.VALUE_HISTOGRAM_SQL,

@@ -111,6 +111,7 @@ def all_queries():
             streaming_bloom_parity,
             streaming_hll_parity,
             streaming_cdc_parity,
+            streaming_watermark_parity,
         )
 
         out["streaming_funnel_parity"] = streaming_funnel_parity
@@ -127,6 +128,7 @@ def all_queries():
         out["streaming_bloom_parity"] = streaming_bloom_parity
         out["streaming_hll_parity"] = streaming_hll_parity
         out["streaming_cdc_parity"] = streaming_cdc_parity
+        out["streaming_watermark_parity"] = streaming_watermark_parity
     except ImportError:
         pass
     return _prioritized(out)
@@ -169,4 +171,9 @@ def all_oracles():
         out["streaming_hll_parity"] = out.get("sketch_hll")
         # the ARGMAX-folded incremental merge must equal the batch MERGE
         out["streaming_cdc_parity"] = out.get("cdc_merge_users")
+        # the watermark drop accounting must equal the closed-form oracle
+        from duckdb_behavioral_spark.streaming.parity import (
+            STREAMING_WATERMARK_SQL,
+        )
+        out["streaming_watermark_parity"] = STREAMING_WATERMARK_SQL
     return _prioritized(out)

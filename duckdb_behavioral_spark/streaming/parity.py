@@ -1063,3 +1063,114 @@ def streaming_cdc_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(tbl_root, ignore_errors=True)
+
+
+WM_DELAY_MS = 6 * 3600 * 1000  # gate 15's 6-hour lateness bound
+
+
+def streaming_watermark_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARED query: EXACT late-data drop accounting — the
+    quantitative complement of the rollup gate (which proves a
+    time-ordered replay loses nothing). Four micro-batches:
+
+      batch 0: the 6-hour TAIL of the stream (every row within the
+               watermark delay of the global max, max row included)
+               plus the even-id half of the older rows;
+      batch 1: the odd-id tail rows — they arrive AFTER batch 0 has
+               pushed the watermark to max-6h, but their window ends
+               are above it, so ALL must be admitted (allowed
+               lateness);
+      batches 2+3: the odd-id older rows — their window ends are at
+               or below every possible watermark in force, so ALL
+               must be dropped.
+
+    The final update-mode fold must therefore equal the batch hourly
+    rollup over (tail rows + even-id old rows) — a closed-form SQL
+    oracle. Chunking is designed to be IMMUNE to the one-batch
+    watermark-propagation race observed in Spark's microbatch engine
+    (the watermark a batch actually filters with can lag the reported
+    one by one batch): every row is either admitted or dropped under
+    BOTH candidate watermarks, because batch 1 never raises the max
+    (the global max sits in batch 0) and no window end equals the
+    max-6h boundary exactly (verified for the testdata at all SFs).
+    What the gate pins down: rows later than the delay are dropped
+    exactly; rows within it are admitted exactly — the finite-state
+    contract that makes unbounded streams tractable.
+
+    Scale posture: watermark state is one long; fold state is the
+    bounded (window, type) grid; dropped rows cost nothing.
+    """
+    from duckdb_behavioral_spark.sources import load_events
+    from duckdb_behavioral_spark.streaming.rollup import hourly_rollup_stream
+
+    ev = load_events(spark, sf_dir).select("event_id", "ts", "event_type").where(
+        F.col("ts").isNotNull()
+    )
+    max_ms = ev.agg(
+        F.max(F.floor(F.unix_micros("ts") / 1000)).alias("m")
+    ).collect()[0]["m"]
+    wm_floor = int(max_ms) - WM_DELAY_MS
+    wend_ms = F.unix_millis(
+        F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR")
+    )
+    tail = F.col("__wend") > F.lit(wm_floor)
+    flagged = ev.withColumn("__wend", wend_ms)
+    chunks = [
+        flagged.where(tail & (F.col("event_id") % 2 == 0))
+        .unionByName(flagged.where(~tail & (F.col("event_id") % 2 == 0))),
+        flagged.where(tail & (F.col("event_id") % 2 == 1)),
+        flagged.where(~tail & (F.col("event_id") % 4 == 1)),
+        flagged.where(~tail & (F.col("event_id") % 4 == 3)),
+    ]
+    src = tempfile.mkdtemp(prefix="sg_wm_src_")
+    try:
+        for c in chunks:
+            (c.select("ts", "event_type")
+             .coalesce(1).write.mode("append").parquet(src))
+
+        stream = spark.readStream.schema("ts timestamp, event_type string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+
+        state: dict = {}
+
+        def fold_batch(bdf: DataFrame, _epoch: int) -> None:
+            for r in bdf.collect():
+                state[(r["window_start"], r["event_type"])] = int(r["n"])
+
+        q = (
+            hourly_rollup_stream(stream, watermark_delay="6 hours")
+            .writeStream.outputMode("update")
+            .foreachBatch(fold_batch)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        rows = [(w, t, n) for (w, t), n in sorted(state.items())]
+        return spark.createDataFrame(
+            rows, "window_start timestamp, event_type string, n long"
+        ).orderBy("window_start", "event_type")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+STREAMING_WATERMARK_SQL = f"""
+WITH m AS (
+  SELECT max(epoch_ms(ts)) - {WM_DELAY_MS} AS wm_floor
+  FROM events WHERE ts IS NOT NULL
+), admitted AS (
+  SELECT ts, event_type
+  FROM events, m
+  WHERE ts IS NOT NULL
+    AND (epoch_ms(date_trunc('hour', ts) + INTERVAL 1 HOUR) > wm_floor
+         OR event_id % 2 = 0)
+)
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM admitted
+GROUP BY date_trunc('hour', ts), event_type
+ORDER BY window_start, event_type
+"""
