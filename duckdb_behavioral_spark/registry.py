@@ -35,27 +35,28 @@ DRIVER_PRIORITY = [
     "streaming_scd2_parity",
     "sketch_bloom_membership",
     "sample_negatives",
-    # latest check r03 — oldest green history (29)
+    # new in round 6, fourth wave — first driver rows (13)
+    "files_compaction_bins",
+    "dq_constraint_audit",
+    "orders_market_basket",
+    "graph_triangle_count",
+    "lineitem_price_qty_ols",
+    "events_daily_acf",
+    "embedding_dim_covariance",
+    "search_phrase_match",
+    "events_median_gap",
+    "customer_revenue_gini",
+    "scd2_snapshot_diff",
+    "streaming_cdc_parity",
+    "streaming_watermark_parity",
+    # latest check r03 — oldest green history (7 refresh slots)
     "q5_sequence_match_adjacent",
     "q7_sequence_count",
     "q9_next_node_forward",
     "q10_next_node_backward",
     "q13_funnel_strict",
     "q14_funnel_strict_order",
-    "q15_funnel_timestamp_dedup",
-    "q16_funnel_allow_reentry",
     "q17_session_quantiles",
-    "chunk_documents",
-    "corpus_topk_terms",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "multimodal_features",
-    "pack_sequences",
-    "sample_per_stratum_topk",
-    "sketch_kmv_overlap",
-    "text_token_stats",
-    "text_lang_id",
-    "text_scrub_pii",
     # new in round 6, second wave — first driver rows (8)
     "cdc_merge_users",
     "events_gapfill_locf",
