@@ -52,6 +52,10 @@ from duckdb_behavioral_spark.functions import dimcov as DC
 from duckdb_behavioral_spark.functions import phrase as PH
 from duckdb_behavioral_spark.functions import distribution as DSB
 from duckdb_behavioral_spark.operators import snapshot_diff as SD
+from duckdb_behavioral_spark.functions import lm_score as LS
+from duckdb_behavioral_spark.operators import path_mining as PM
+from duckdb_behavioral_spark.functions import ann_eval as AE
+from duckdb_behavioral_spark.operators import ltv as LT
 
 EXT_QUERIES = {
     # text analysis
@@ -137,6 +141,10 @@ EXT_QUERIES = {
     "events_median_gap": DSB.q_events_median_gap,
     "customer_revenue_gini": DSB.q_customer_revenue_gini,
     "scd2_snapshot_diff": SD.q_scd2_snapshot_diff,
+    "text_lm_likelihood": LS.q_text_lm_likelihood,
+    "session_trigrams_topk": PM.q_session_trigrams_topk,
+    "ann_recall_eval": AE.q_ann_recall_eval,
+    "user_ltv_cohort_curve": LT.q_user_ltv_cohort_curve,
     "table_profile": PF.q_table_profile,
     "text_bigram_lm": NL.q_text_bigram_lm,
     "events_value_histogram": HG.q_events_value_histogram,
@@ -276,6 +284,10 @@ EXT_ORACLES = {
     "events_median_gap": DSB.MEDIAN_GAP_SQL,
     "customer_revenue_gini": DSB.REVENUE_GINI_SQL,
     "scd2_snapshot_diff": SD.SNAPSHOT_DIFF_SQL,
+    "text_lm_likelihood": LS.LM_LIKELIHOOD_SQL,
+    "session_trigrams_topk": PM.SESSION_TRIGRAMS_SQL,
+    "ann_recall_eval": AE.ANN_RECALL_SQL,
+    "user_ltv_cohort_curve": LT.LTV_CURVE_SQL,
     "table_profile": PF.TABLE_PROFILE_SQL,
     "text_bigram_lm": NL.BIGRAM_LM_SQL,
     "events_value_histogram": HG.VALUE_HISTOGRAM_SQL,

@@ -27,12 +27,16 @@ ONE_ROW_OK = {
     "tpch_q17_small_qty_revenue", "sketch_bloom_membership",
     "q17_session_quantiles", "ab_funnel_significance",
     "sketch_quantile_sample", "funnel_step_timings",
+    # global .agg reports: one row with n=0 / NULL stats on empty input
+    "customer_revenue_gini", "graph_triangle_count",
 }
 
 # fixed-arity reports: one row per PROFILED COLUMN (not per data row) —
 # profiling an empty table still reports every column, with zero
 # counts and NULL min/max
-FIXED_ROWS_OK = {"table_profile": 6}
+# dq_constraint_audit: one row per DECLARED constraint (13), zero
+# violations over zero checked rows
+FIXED_ROWS_OK = {"table_profile": 6, "dq_constraint_audit": 13}
 
 BATCH_QUERIES = sorted(
     n for n in entrymod.queries() if not n.startswith("streaming_")

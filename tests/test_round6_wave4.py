@@ -349,3 +349,95 @@ def test_gini_uniform_vs_concentrated(spark):
     r = revenue_gini(concentrated).collect()[0]
     # closed form: (2*10*1000 - 11*1000) / (10*1000) = 0.9
     assert r["gini_permille"] == 900
+
+
+def test_lm_likelihood_template_vs_noise(spark):
+    from duckdb_behavioral_spark.functions.lm_score import lm_likelihood_tails
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b a b"),   # fully predictable bigrams
+            (2, "a b a b a b a b"),
+            (3, "a c b d a e b f"),   # every bigram unique-ish
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = lm_likelihood_tails(docs, k=2).collect()
+    top = [r for r in rows if r["tag"] == "top"]
+    bottom = [r for r in rows if r["tag"] == "bottom"]
+    assert {r["doc_id"] for r in top} == {1, 2}
+    assert bottom[0]["doc_id"] == 3
+    assert top[0]["mean_p_permille"] > bottom[0]["mean_p_permille"]
+    # doc 3's score is still a valid permille mean
+    assert 0 <= bottom[0]["mean_p_permille"] <= 1000
+
+
+def test_session_trigrams_respect_session_boundary(spark):
+    import datetime as dt
+
+    from duckdb_behavioral_spark.operators.path_mining import session_trigrams
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # session 1: a,b,c within minutes -> one trigram (a,b,c)
+        (1, base, "a"),
+        (1, base + dt.timedelta(minutes=1), "b"),
+        (1, base + dt.timedelta(minutes=2), "c"),
+        # >30 min gap -> new session: d,e,f -> trigram (d,e,f)
+        (1, base + dt.timedelta(hours=2), "d"),
+        (1, base + dt.timedelta(hours=2, minutes=1), "e"),
+        (1, base + dt.timedelta(hours=2, minutes=2), "f"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {(r["step1"], r["step2"], r["step3"]): r["n"]
+           for r in session_trigrams(df).collect()}
+    # no trigram crosses the boundary: (b,c,d) and (c,d,e) absent
+    assert got == {("a", "b", "c"): 1, ("d", "e", "f"): 1}
+
+
+def test_recall_summary_closed_form(spark):
+    from duckdb_behavioral_spark.functions.ann_eval import recall_summary
+
+    exact = spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 11), (2, 1, 20), (2, 2, 21)],
+        "query_id long, rank long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 11), (2, 1, 20), (2, 2, 99)],
+        "query_id long, rank long, neighbor_id long",
+    )
+    r = recall_summary(exact, approx).collect()[0]
+    assert r["n_queries"] == 2
+    assert r["n_exact_pairs"] == 4 and r["n_hit_pairs"] == 3
+    assert r["micro_recall_permille"] == 750
+    assert r["min_query_recall_permille"] == 500
+    assert r["n_perfect"] == 1
+
+
+def test_ltv_curve_cumulative_exact(spark):
+    import datetime as dt
+
+    from duckdb_behavioral_spark.operators.ltv import cohort_ltv_curve
+
+    w0 = dt.datetime(2024, 1, 1)  # a Monday
+    rows = [
+        (1, w0, "signup", 0.0),
+        (1, w0 + dt.timedelta(days=1), "purchase", 10.00),
+        (1, w0 + dt.timedelta(days=8), "purchase", 5.50),
+        (2, w0, "purchase", 2.25),  # first event IS a purchase
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double"
+    )
+    got = {(r["cohort_week"].isoformat(), r["age_weeks"]): r
+           for r in cohort_ltv_curve(df).collect()}
+    a0 = got[("2024-01-01", 0)]
+    a1 = got[("2024-01-01", 1)]
+    assert a0["cohort_size"] == 2 and a0["spenders"] == 2
+    assert a0["revenue_cents"] == 1225
+    assert a0["cum_revenue_cents"] == 1225
+    assert a0["ltv_cents_per_user"] == 612   # 1225 // 2
+    assert a1["revenue_cents"] == 550
+    assert a1["cum_revenue_cents"] == 1775
+    assert a1["ltv_cents_per_user"] == 887
