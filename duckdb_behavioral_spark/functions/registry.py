@@ -56,6 +56,8 @@ from duckdb_behavioral_spark.functions import lm_score as LS
 from duckdb_behavioral_spark.operators import path_mining as PM
 from duckdb_behavioral_spark.functions import ann_eval as AE
 from duckdb_behavioral_spark.operators import ltv as LT
+from duckdb_behavioral_spark.functions import abc as ABC
+from duckdb_behavioral_spark.functions import concentration as HH
 
 EXT_QUERIES = {
     # text analysis
@@ -145,6 +147,8 @@ EXT_QUERIES = {
     "session_trigrams_topk": PM.q_session_trigrams_topk,
     "ann_recall_eval": AE.q_ann_recall_eval,
     "user_ltv_cohort_curve": LT.q_user_ltv_cohort_curve,
+    "lineitem_abc_classes": ABC.q_lineitem_abc_classes,
+    "events_type_hhi": HH.q_events_type_hhi,
     "table_profile": PF.q_table_profile,
     "text_bigram_lm": NL.q_text_bigram_lm,
     "events_value_histogram": HG.q_events_value_histogram,
@@ -288,6 +292,8 @@ EXT_ORACLES = {
     "session_trigrams_topk": PM.SESSION_TRIGRAMS_SQL,
     "ann_recall_eval": AE.ANN_RECALL_SQL,
     "user_ltv_cohort_curve": LT.LTV_CURVE_SQL,
+    "lineitem_abc_classes": ABC.ABC_CLASSES_SQL,
+    "events_type_hhi": HH.TYPE_HHI_SQL,
     "table_profile": PF.TABLE_PROFILE_SQL,
     "text_bigram_lm": NL.BIGRAM_LM_SQL,
     "events_value_histogram": HG.VALUE_HISTOGRAM_SQL,

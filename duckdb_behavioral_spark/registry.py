@@ -49,13 +49,13 @@ DRIVER_PRIORITY = [
     "scd2_snapshot_diff",
     "streaming_cdc_parity",
     "streaming_watermark_parity",
-    # latest check r03 — oldest green history (7 refresh slots)
+    "text_lm_likelihood",
+    "session_trigrams_topk",
+    "ann_recall_eval",
+    "user_ltv_cohort_curve",
+    # latest check r03 — oldest green history (3 refresh slots)
     "q5_sequence_match_adjacent",
     "q7_sequence_count",
-    "q9_next_node_forward",
-    "q10_next_node_backward",
-    "q13_funnel_strict",
-    "q14_funnel_strict_order",
     "q17_session_quantiles",
     # new in round 6, second wave — first driver rows (8)
     "cdc_merge_users",

@@ -28,7 +28,7 @@ ONE_ROW_OK = {
     "q17_session_quantiles", "ab_funnel_significance",
     "sketch_quantile_sample", "funnel_step_timings",
     # global .agg reports: one row with n=0 / NULL stats on empty input
-    "customer_revenue_gini", "graph_triangle_count",
+    "customer_revenue_gini", "graph_triangle_count", "ann_recall_eval",
 }
 
 # fixed-arity reports: one row per PROFILED COLUMN (not per data row) —

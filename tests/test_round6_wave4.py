@@ -441,3 +441,41 @@ def test_ltv_curve_cumulative_exact(spark):
     assert a1["revenue_cents"] == 550
     assert a1["cum_revenue_cents"] == 1775
     assert a1["ltv_cents_per_user"] == 887
+
+
+def test_abc_classes_closed_form(spark):
+    from duckdb_behavioral_spark.functions.abc import abc_classes
+
+    # revenues 50, 30, 15, 4, 1 (total 100): inclusive shares 50%, 80%,
+    # 95%, 99%, 100% -> A = {50, 30} (<=80% incl), B = {15} (<=95%),
+    # C = {4, 1}. Boundary parts (exactly 80%, exactly 95%) stay in the
+    # better class.
+    df = spark.createDataFrame(
+        [(1, 50), (2, 30), (3, 15), (4, 4), (5, 1)], "id long, cents long"
+    )
+    got = {r["abc_class"]: r for r in abc_classes(df).collect()}
+    assert got["A"]["n_parts"] == 2 and got["A"]["class_cents"] == 80
+    assert got["B"]["n_parts"] == 1 and got["B"]["class_cents"] == 15
+    assert got["C"]["n_parts"] == 2 and got["C"]["class_cents"] == 5
+    assert got["A"]["share_permille"] == 800
+    assert got["B"]["share_permille"] == 150
+    assert got["C"]["share_permille"] == 50
+
+
+def test_type_hhi_mono_vs_spread(spark):
+    import datetime as dt
+
+    from duckdb_behavioral_spark.functions.concentration import type_hhi
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # 'bot': ONE user with 10 events -> HHI = 1.0
+    rows += [(1, t0, "bot")] * 10
+    # 'spread': 10 users x 1 event -> HHI = 1/10
+    rows += [(u, t0, "spread") for u in range(10, 20)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r["event_type"]: r for r in type_hhi(df).collect()}
+    assert got["bot"]["hhi_micro"] == 1_000_000
+    assert got["bot"]["top_user_permille"] == 1000
+    assert got["spread"]["hhi_micro"] == 100_000
+    assert got["spread"]["top_user_permille"] == 100
