@@ -53,9 +53,9 @@ DRIVER_PRIORITY = [
     "session_trigrams_topk",
     "ann_recall_eval",
     "user_ltv_cohort_curve",
-    # latest check r03 — oldest green history (3 refresh slots)
-    "q5_sequence_match_adjacent",
-    "q7_sequence_count",
+    "lineitem_abc_classes",
+    "events_type_hhi",
+    # latest check r03 — oldest green history (1 refresh slot)
     "q17_session_quantiles",
     # new in round 6, second wave — first driver rows (8)
     "cdc_merge_users",
