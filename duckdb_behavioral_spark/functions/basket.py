@@ -50,15 +50,19 @@ def market_basket_pairs(lineitem: DataFrame, k: int = TOPK) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("pair_orders"))
     )
+    # item_cnt is CATALOG-sized (one row per part) — at warehouse scale
+    # that is not a broadcastable dim, so both support joins stay plain
+    # equi-joins on the part key (AQE broadcasts them when small); only
+    # the 1-row order count is hint-broadcast.
     enriched = (
         pairs.join(
-            F.broadcast(item_cnt.select(F.col("part").alias("part_a"),
-                                        F.col("__cnt").alias("__na"))),
+            item_cnt.select(F.col("part").alias("part_a"),
+                            F.col("__cnt").alias("__na")),
             "part_a",
         )
         .join(
-            F.broadcast(item_cnt.select(F.col("part").alias("part_b"),
-                                        F.col("__cnt").alias("__nb"))),
+            item_cnt.select(F.col("part").alias("part_b"),
+                            F.col("__cnt").alias("__nb")),
             "part_b",
         )
         .crossJoin(F.broadcast(n_orders))
