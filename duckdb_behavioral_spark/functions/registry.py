@@ -58,6 +58,7 @@ from duckdb_behavioral_spark.functions import ann_eval as AE
 from duckdb_behavioral_spark.operators import ltv as LT
 from duckdb_behavioral_spark.functions import abc as ABC
 from duckdb_behavioral_spark.functions import concentration as HH
+from duckdb_behavioral_spark.functions import corpus_growth as CG
 
 EXT_QUERIES = {
     # text analysis
@@ -149,6 +150,8 @@ EXT_QUERIES = {
     "user_ltv_cohort_curve": LT.q_user_ltv_cohort_curve,
     "lineitem_abc_classes": ABC.q_lineitem_abc_classes,
     "events_type_hhi": HH.q_events_type_hhi,
+    "corpus_vocab_growth": CG.q_corpus_vocab_growth,
+    "dedup_cluster_sizes": CG.q_dedup_cluster_sizes,
     "table_profile": PF.q_table_profile,
     "text_bigram_lm": NL.q_text_bigram_lm,
     "events_value_histogram": HG.q_events_value_histogram,
@@ -294,6 +297,8 @@ EXT_ORACLES = {
     "user_ltv_cohort_curve": LT.LTV_CURVE_SQL,
     "lineitem_abc_classes": ABC.ABC_CLASSES_SQL,
     "events_type_hhi": HH.TYPE_HHI_SQL,
+    "corpus_vocab_growth": CG.VOCAB_GROWTH_SQL,
+    "dedup_cluster_sizes": CG._cluster_sizes_sql(),
     "table_profile": PF.TABLE_PROFILE_SQL,
     "text_bigram_lm": NL.BIGRAM_LM_SQL,
     "events_value_histogram": HG.VALUE_HISTOGRAM_SQL,

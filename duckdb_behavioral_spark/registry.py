@@ -55,8 +55,11 @@ DRIVER_PRIORITY = [
     "user_ltv_cohort_curve",
     "lineitem_abc_classes",
     "events_type_hhi",
-    # latest check r03 — oldest green history (1 refresh slot)
-    "q17_session_quantiles",
+    # wave 6: Heaps'-law growth curve (dedup_cluster_sizes is the ONE
+    # round-6 row deferred to the next rotation — its expensive
+    # machinery, dedup_clusters, has long driver-green history and the
+    # histogram layer is locally oracle-proven)
+    "corpus_vocab_growth",
     # new in round 6, second wave — first driver rows (8)
     "cdc_merge_users",
     "events_gapfill_locf",

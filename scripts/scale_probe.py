@@ -138,6 +138,30 @@ def probe(spark, path: str) -> dict:
     run("time_weighted_avg", time_weighted_avg(ev))
     run("cusum_daily", cusum_daily(ev))
     run("user_churn", user_churn_daily(ev))
+    # round-6 wave 4-5: prefix-sum consumers, rank-selected medians,
+    # concentration, LTV
+    from duckdb_behavioral_spark.functions.compaction import compaction_plan
+    from duckdb_behavioral_spark.functions.concentration import type_hhi
+    from duckdb_behavioral_spark.functions.distribution import median_gap_by_type
+    from duckdb_behavioral_spark.functions.abc import abc_classes
+    from duckdb_behavioral_spark.operators.ltv import cohort_ltv_curve
+    from duckdb_behavioral_spark.operators.snapshot_diff import snapshot_diff
+
+    files = ev.select(
+        F.col("event_type").alias("source"),
+        F.col("event_id").alias("file_id"),
+        (F.pmod(F.hash("event_id"), F.lit(100_000)) + 1).cast("long").alias("bytes"),
+    )
+    run("compaction_prefix_sum", compaction_plan(files))
+    rev = ev.groupBy(F.col("user_id").alias("id")).agg(
+        F.sum((F.col("value").cast("decimal(30,10)") * 100).cast("long"))
+        .cast("long").alias("cents"))
+    run("abc_prefix_classes", abc_classes(rev))
+    run("median_gap_rank_select", median_gap_by_type(ev))
+    run("type_hhi", type_hhi(ev))
+    run("snapshot_diff", snapshot_diff(ev, t1="2023-11-15 00:00:00",
+                                       t2="2023-11-20 00:00:00"))
+    run("ltv_curve", cohort_ltv_curve(ev))
     return out
 
 

@@ -21,6 +21,9 @@ SINGLE_PARTITION_OK = {
     "rolling_active_users": "calendar-grain sweep carry-in",
     # per-hour concurrency sweep: serial stage carries one row per hour
     "session_concurrency": "calendar-grain sweep carry-in",
+    # decile cumsum: the global window's input is the 10-row decile
+    # aggregate (N_DECILES constant), not data-sized
+    "corpus_vocab_growth": "constant-arity decile cumsum",
 }
 
 BATCH_QUERIES = sorted(

@@ -479,3 +479,54 @@ def test_type_hhi_mono_vs_spread(spark):
     assert got["bot"]["top_user_permille"] == 1000
     assert got["spread"]["hhi_micro"] == 100_000
     assert got["spread"]["top_user_permille"] == 100
+
+
+def test_vocab_growth_monotone_and_exact_total(spark, sf_dir):
+    from duckdb_behavioral_spark.functions.corpus_growth import vocab_growth
+    from duckdb_behavioral_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = vocab_growth(docs).collect()
+    assert [r["decile"] for r in rows] == list(range(10))
+    # cumulative columns are monotone; the final vocab equals the
+    # corpus-wide distinct token count
+    for a, b in zip(rows, rows[1:]):
+        assert b["docs_cum"] >= a["docs_cum"]
+        assert b["vocab_cum"] >= a["vocab_cum"]
+    total_vocab = (
+        docs.where(F.col("text").isNotNull())
+        .select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("t"))
+        .distinct()
+        .count()
+    )
+    assert rows[-1]["vocab_cum"] == total_vocab
+
+
+def test_vocab_growth_new_terms_in_birth_decile(spark):
+    docs = spark.createDataFrame(
+        [(i, "common w%d" % (i // 5)) for i in range(50)],
+        "doc_id long, text string",
+    )
+    from duckdb_behavioral_spark.functions.corpus_growth import vocab_growth
+
+    rows = {r["decile"]: r for r in vocab_growth(docs).collect()}
+    # decile 0 births 'common' + 'w0' = 2 terms; every later decile
+    # births exactly its own w<k>
+    assert rows[0]["new_terms"] == 2
+    for d in range(1, 10):
+        assert rows[d]["new_terms"] == 1
+    assert rows[9]["vocab_cum"] == 11
+
+
+def test_cluster_sizes_sum_to_corpus(spark, sf_dir):
+    from duckdb_behavioral_spark.functions.corpus_growth import (
+        q_dedup_cluster_sizes,
+    )
+    from duckdb_behavioral_spark.sources import load_table
+
+    rows = q_dedup_cluster_sizes(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+        assert r["removed_by_dedup"] == (r["cluster_size"] - 1) * r["n_clusters"]
