@@ -55,7 +55,12 @@ def phrase_match_topk(
     text: str = "text",
     k: int = TOPK,
 ) -> DataFrame:
-    grams = _doc_bigrams(docs, id_col, text).localCheckpoint(eager=False)
+    # NOT checkpointed: a barrier here would MATERIALIZE the exploded
+    # gram rows (O(total tokens) storage — measured 30x slower at 1M
+    # docs, and a non-starter at corpus scale). Both consumers
+    # recompute from the column-pruned parquet scan instead — two
+    # cheap map-side passes beat one materialized explosion.
+    grams = _doc_bigrams(docs, id_col, text)
     top_phrase = (
         grams.groupBy("__gram")
         .agg(F.count(F.lit(1)).alias("__cnt"))

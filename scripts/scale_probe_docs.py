@@ -107,6 +107,14 @@ def probe(spark, path: str) -> dict:
     from duckdb_behavioral_spark.functions.fuzzy import fuzzy_title_pairs
 
     run("fuzzy_title_pairs", fuzzy_title_pairs(docs))
+    # round-6 waves 4-6: phrase search, LM scoring, vocabulary growth
+    from duckdb_behavioral_spark.functions.corpus_growth import vocab_growth
+    from duckdb_behavioral_spark.functions.lm_score import lm_likelihood_tails
+    from duckdb_behavioral_spark.functions.phrase import phrase_match_topk
+
+    run("phrase_match", phrase_match_topk(docs))
+    run("lm_likelihood", lm_likelihood_tails(docs))
+    run("vocab_growth", vocab_growth(docs))
     return out
 
 
