@@ -31,8 +31,8 @@ B_PERMILLE = 950
 
 
 def abc_classes(per_part_cents: DataFrame) -> DataFrame:
-    """(abc_class, n_parts, class_cents, share_permille,
-    cum_share_permille) from (id, cents): the 80/95 cumulative cuts.
+    """(abc_class, n_parts, class_cents, share_permille) from
+    (id, cents): the 80/95 cumulative cuts.
     """
     pref = with_global_prefix_sum(
         per_part_cents,

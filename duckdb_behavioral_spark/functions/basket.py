@@ -78,7 +78,13 @@ def market_basket_pairs(lineitem: DataFrame, k: int = TOPK) -> DataFrame:
             F.expr("div(pair_orders * 1000, __nb)")
             .cast("long")
             .alias("confidence_ba_permille"),
-            F.expr("div(pair_orders * 1000 * __n_orders, __na * __nb)")
+            # second-order product: pair_orders * n_orders overflows
+            # BIGINT at warehouse scale, so the numerator rides
+            # DECIMAL(38,0) (HUGEINT on the oracle) like hhi/gini.
+            F.expr(
+                "div(cast(pair_orders as decimal(38,0)) * 1000 * __n_orders,"
+                " cast(__na as decimal(38,0)) * __nb)"
+            )
             .cast("long")
             .alias("lift_permille"),
         )
@@ -119,7 +125,8 @@ SELECT part_a, part_b, pair_orders,
          AS confidence_ab_permille,
        CAST(pair_orders * 1000 // cb.cnt AS BIGINT)
          AS confidence_ba_permille,
-       CAST(pair_orders * 1000 * n.n // (ca.cnt * cb.cnt) AS BIGINT)
+       CAST(CAST(pair_orders AS HUGEINT) * 1000 * n.n
+            // (CAST(ca.cnt AS HUGEINT) * cb.cnt) AS BIGINT)
          AS lift_permille,
        CAST(row_number() OVER (
          ORDER BY pair_orders DESC, part_a, part_b) AS BIGINT) AS rank

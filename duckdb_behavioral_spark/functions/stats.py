@@ -59,8 +59,12 @@ def _ols_estimates(stats: DataFrame, keep: list[str]) -> DataFrame:
     double with one shared expression shape."""
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     num = d("n") * d("sxy") - d("sx") * d("sy")
-    denx = d("n") * d("sxx") - d("sx") * d("sx")
-    deny = d("n") * d("syy") - d("sy") * d("sy")
+    # nullif guards the degenerate groups (constant x or y, single
+    # row): 0/0 would be NaN, which Spark's floor/cast folds to NULL
+    # while DuckDB's CAST(floor(NaN) AS BIGINT) raises — NULL on both
+    # engines is the only engine-stable answer.
+    denx = F.nullif(d("n") * d("sxx") - d("sx") * d("sx"), F.lit(0.0))
+    deny = F.nullif(d("n") * d("syy") - d("sy") * d("sy"), F.lit(0.0))
     slope = num / denx
     intercept = (d("sy") - slope * d("sx")) / d("n")
     r2 = (num / denx) * (num / deny)
@@ -109,24 +113,24 @@ WITH s AS (
 SELECT l_returnflag, n,
   CAST(floor(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+              / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0))
              * 1000000.0) AS BIGINT) AS slope_micro,
   CAST(floor((CAST(sy AS DOUBLE)
               - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                 / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0))
                 * CAST(sx AS DOUBLE))
              / CAST(n AS DOUBLE)) AS BIGINT) AS intercept_cents,
   CAST(floor(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+              / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0))
              * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                / (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                / NULLIF(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0))
              * 1000.0) AS BIGINT) AS r2_permille
 FROM s
 ORDER BY l_returnflag
@@ -168,7 +172,8 @@ def q_events_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = d("n") * d("sxy") - d("sx") * d("sy")
     denx = d("n") * d("sxx") - d("sx") * d("sx")
     deny = d("n") * d("syy") - d("sy") * d("sy")
-    r = num / F.sqrt(denx * deny)
+    # degenerate series (constant counts) → NULL, not NaN/raise
+    r = num / F.nullif(F.sqrt(denx * deny), F.lit(0.0))
     return stats.select(
         "lag",
         F.col("n").alias("n_pairs"),
@@ -199,10 +204,10 @@ WITH daily AS (
 SELECT lag, n AS n_pairs,
   CAST(floor(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-              / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              / NULLIF(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0))
              * 1000000.0) AS BIGINT) AS r_micro
 FROM s
 ORDER BY lag

@@ -970,8 +970,10 @@ def streaming_hll_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def streaming_cdc_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DECLARED query: incremental CDC dimension maintenance — replay
-    events as 4 micro-batches interleaved on ``event_id % 4`` (NOT
-    time-ordered) and merge each batch into an on-disk per-user state
+    events as 4 micro-batches interleaved on
+    ``abs(hash(user_id, ts)) % 4`` (NOT time-ordered — the hash
+    scatters each user's changes across all four batches) and merge
+    each batch into an on-disk per-user state
     table; the classified merge result must hash-match the one-shot
     batch ``cdc_merge_users`` oracle (operators/cdc.CDC_MERGE_SQL).
 
@@ -1073,13 +1075,15 @@ def streaming_watermark_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantitative complement of the rollup gate (which proves a
     time-ordered replay loses nothing). Four micro-batches:
 
-      batch 0: the 6-hour TAIL of the stream (every row within the
-               watermark delay of the global max, max row included)
-               plus the even-id half of the older rows;
-      batch 1: the odd-id tail rows — they arrive AFTER batch 0 has
-               pushed the watermark to max-6h, but their window ends
-               are above it, so ALL must be admitted (allowed
-               lateness);
+      batch 0: the even-id tail rows PLUS every row carrying the
+               global max timestamp (regardless of id parity — this
+               pins the post-batch-0 watermark at max-6h
+               deterministically) plus the even-id half of the older
+               rows;
+      batch 1: the remaining (odd-id, non-max) tail rows — they
+               arrive AFTER batch 0 has pushed the watermark to
+               max-6h, but their window ends are above it, so ALL
+               must be admitted (allowed lateness);
       batches 2+3: the odd-id older rows — their window ends are at
                or below every possible watermark in force, so ALL
                must be dropped.
@@ -1114,11 +1118,15 @@ def streaming_watermark_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR")
     )
     tail = F.col("__wend") > F.lit(wm_floor)
+    # Rows at the global max ts go to batch 0 whatever their id
+    # parity: "batch 1 never raises the max" must hold by
+    # construction, not by the accident of the max event's id.
+    is_max = F.floor(F.unix_micros("ts") / 1000) == F.lit(int(max_ms))
     flagged = ev.withColumn("__wend", wend_ms)
     chunks = [
-        flagged.where(tail & (F.col("event_id") % 2 == 0))
+        flagged.where(tail & ((F.col("event_id") % 2 == 0) | is_max))
         .unionByName(flagged.where(~tail & (F.col("event_id") % 2 == 0))),
-        flagged.where(tail & (F.col("event_id") % 2 == 1)),
+        flagged.where(tail & (F.col("event_id") % 2 == 1) & ~is_max),
         flagged.where(~tail & (F.col("event_id") % 4 == 1)),
         flagged.where(~tail & (F.col("event_id") % 4 == 3)),
     ]
