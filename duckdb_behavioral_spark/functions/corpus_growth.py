@@ -143,10 +143,21 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("size")
     )
-    n_docs = sizes.agg(F.sum("size").alias("__nd"))
-    return (
+    # Materialize the BOUNDED histogram (one row per distinct cluster
+    # size) once, then derive the doc total from it — otherwise the
+    # n_docs scalar branch re-runs the entire CC iteration a second
+    # time (sum over sizes == sum(size * n_clusters) over the
+    # histogram, exactly).
+    hist = (
         sizes.groupBy(F.col("size").alias("cluster_size"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .localCheckpoint(eager=True)
+    )
+    n_docs = hist.agg(
+        F.sum(F.col("cluster_size") * F.col("n_clusters")).alias("__nd")
+    )
+    return (
+        hist
         .crossJoin(F.broadcast(n_docs))
         .select(
             "cluster_size",

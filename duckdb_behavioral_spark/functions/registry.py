@@ -59,6 +59,13 @@ from duckdb_behavioral_spark.operators import ltv as LT
 from duckdb_behavioral_spark.functions import abc as ABC
 from duckdb_behavioral_spark.functions import concentration as HH
 from duckdb_behavioral_spark.functions import corpus_growth as CG
+from duckdb_behavioral_spark.functions import bloom_join as BJ
+from duckdb_behavioral_spark.functions import leakage as LK
+from duckdb_behavioral_spark.functions import feathash as FH
+from duckdb_behavioral_spark.functions import encoding as EN
+from duckdb_behavioral_spark.functions import seasonal as SN
+from duckdb_behavioral_spark.functions import chi2 as C2
+from duckdb_behavioral_spark.functions import containment as CT
 
 EXT_QUERIES = {
     # text analysis
@@ -152,6 +159,14 @@ EXT_QUERIES = {
     "events_type_hhi": HH.q_events_type_hhi,
     "corpus_vocab_growth": CG.q_corpus_vocab_growth,
     "dedup_cluster_sizes": CG.q_dedup_cluster_sizes,
+    # round 7: ML-prep / warehouse additions
+    "bloom_semijoin_pushdown": BJ.q_bloom_semijoin_pushdown,
+    "split_leakage_audit": LK.q_split_leakage_audit,
+    "feature_hashing": FH.q_feature_hashing,
+    "target_encoding": EN.q_target_encoding,
+    "dow_seasonal_profile": SN.q_dow_seasonal_profile,
+    "corpus_slice_chi2": C2.q_corpus_slice_chi2,
+    "dedup_containment": CT.q_dedup_containment,
     "table_profile": PF.q_table_profile,
     "text_bigram_lm": NL.q_text_bigram_lm,
     "events_value_histogram": HG.q_events_value_histogram,
@@ -299,6 +314,13 @@ EXT_ORACLES = {
     "events_type_hhi": HH.TYPE_HHI_SQL,
     "corpus_vocab_growth": CG.VOCAB_GROWTH_SQL,
     "dedup_cluster_sizes": CG._cluster_sizes_sql(),
+    "bloom_semijoin_pushdown": BJ.BLOOM_SEMIJOIN_SQL,
+    "split_leakage_audit": LK._leakage_sql(),
+    "feature_hashing": FH.FEATURE_HASHING_SQL,
+    "target_encoding": EN.TARGET_ENCODING_SQL,
+    "dow_seasonal_profile": SN.DOW_SEASONAL_SQL,
+    "corpus_slice_chi2": C2.CORPUS_SLICE_CHI2_SQL,
+    "dedup_containment": CT._containment_sql(),
     "table_profile": PF.TABLE_PROFILE_SQL,
     "text_bigram_lm": NL.BIGRAM_LM_SQL,
     "events_value_histogram": HG.VALUE_HISTOGRAM_SQL,

@@ -20,7 +20,25 @@ from __future__ import annotations
 # local-mirror coverage (scripts/driver_mirror.py +
 # tests/test_oracle_parity.py over all declared queries).
 DRIVER_PRIORITY = [
-    # new in round 6 — first driver rows (completes TPC-H 22/22)
+    # round 7, slot 1: the ONE query that has never had a driver row
+    # (deferred from round 6; locally oracle-proven since)
+    "dedup_cluster_sizes",
+    # new in round 7 — first driver rows
+    "bloom_semijoin_pushdown",
+    "split_leakage_audit",
+    "feature_hashing",
+    "target_encoding",
+    "dow_seasonal_profile",
+    "corpus_slice_chi2",
+    "dedup_containment",
+    # changed in round 7 (ADVICE fixes: overflow-safe lift, OLS/ACF
+    # degenerate guards, watermark batch-0 max pinning) — fresh rows
+    "orders_market_basket",
+    "lineitem_price_qty_ols",
+    "events_daily_acf",
+    "streaming_watermark_parity",
+    "streaming_cdc_parity",
+    # round-6 rotation continues (latest-checked r05/r06 history)
     "tpch_q9_profit",
     "tpch_q12_late_lines",
     "tpch_q16_supplier_counts",
