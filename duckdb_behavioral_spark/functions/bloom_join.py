@@ -7,9 +7,10 @@ the fact scan as a map-side predicate, and only then run the exact
 join on the (typically 100-1000x smaller) survivor set.
 
 ``bloom_semijoin_pushdown``: revenue by returnflag for lineitems of
-'red%' parts. The Bloom filter (512x60-bit words, reusing
-``functions/bloom.py``'s mergeable build — reference parity cites
-there) is collected to the driver as a BOUNDED control plane
+'red%' parts. The Bloom filter (512x60-bit words, same geometry as
+``functions/bloom.py``'s mergeable sketch but hashed with the cheap
+JVM ``xxhash64`` — see ``_xx_pos`` for why the portable md5 digest is
+not needed here) is collected to the driver as a BOUNDED control plane
 (<= 512 longs — the same sanctioned pattern as IVF centroids) and
 inlined as a constant-folded literal array, so the membership test is
 a pure JVM expression on the scan: ZERO extra shuffle, zero join for
@@ -33,11 +34,9 @@ from pyspark.sql import functions as F
 
 from duckdb_behavioral_spark.functions.bloom import (
     BLOOM_K,
+    BLOOM_M,
     BLOOM_WORD_BITS,
     BLOOM_WORDS,
-    _digest,
-    _pos_expr,
-    bloom_words,
 )
 
 __all__ = ["bloom_prefilter", "q_bloom_semijoin_pushdown"]
@@ -45,29 +44,53 @@ __all__ = ["bloom_prefilter", "q_bloom_semijoin_pushdown"]
 PART_PREDICATE = "red%"
 
 
+def _xx_pos(key_col: Column, j: int) -> Column:
+    """Bloom bit position j for a key — ``xxhash64``, the cheapest JVM
+    hash Spark exposes. The prefilter is invisible in the result (the
+    exact join removes false positives), so unlike ``functions/
+    bloom.py`` — whose DuckDB oracle must recompute the filter and
+    therefore pays the portable md5 digest — build and probe only have
+    to agree with EACH OTHER, and the hot per-fact-row path stays free
+    of string codecs entirely."""
+    return F.pmod(F.xxhash64(key_col, F.lit(j)), F.lit(BLOOM_M))
+
+
 def bloom_prefilter(fact: DataFrame, fact_key: str, keys: DataFrame, key: str) -> DataFrame:
     """``fact`` rows whose ``fact_key`` passes the Bloom filter built
     over ``keys.key`` — a superset of the true semi-join (callers must
     still join exactly to drop false positives; a Bloom 'no' is exact).
     """
-    rows = bloom_words(keys, key).collect()  # bounded: <= BLOOM_WORDS rows
+    cells = keys.select(
+        F.explode(
+            F.array(*[_xx_pos(F.col(key), j) for j in range(BLOOM_K)])
+        ).alias("__p")
+    ).select(
+        F.expr(f"cast(__p div {BLOOM_WORD_BITS} as int)").alias("word"),
+        F.expr(
+            f"shiftleft(cast(1 as bigint), cast(__p % {BLOOM_WORD_BITS} as int))"
+        ).alias("mask"),
+    )
+    rows = (
+        cells.groupBy("word").agg(F.bit_or("mask").alias("bits")).collect()
+    )  # bounded control plane: <= BLOOM_WORDS rows
     words = [0] * BLOOM_WORDS
     for r in rows:
         words[r["word"]] = int(r["bits"])
-    arr = F.array(*[F.lit(w).cast("long") for w in words])
-    probed = fact.withColumn("__bw", arr).withColumn(
-        "__h", _digest(F.col(fact_key))
-    )
-    hit: Column | None = None
+    arr = F.array(*[F.lit(w).cast("long") for w in words])  # constant-folded
+    probed = fact.withColumn("__bw", arr)
+    pos_cols = []
     for j in range(BLOOM_K):
-        p = _pos_expr(j)
-        c = F.expr(
-            f"(element_at(__bw, cast(({p}) div {BLOOM_WORD_BITS} as int) + 1)"
+        probed = probed.withColumn(f"__p{j}", _xx_pos(F.col(fact_key), j))
+        pos_cols.append(f"__p{j}")
+    hit = F.expr(
+        " AND ".join(
+            f"(element_at(__bw, cast(__p{j} div {BLOOM_WORD_BITS} as int) + 1)"
             f" & shiftleft(cast(1 as bigint),"
-            f" cast(({p}) % {BLOOM_WORD_BITS} as int))) != 0"
+            f" cast(__p{j} % {BLOOM_WORD_BITS} as int))) != 0"
+            for j in range(BLOOM_K)
         )
-        hit = c if hit is None else (hit & c)
-    return probed.where(hit).drop("__bw", "__h")
+    )
+    return probed.where(hit).drop("__bw", *pos_cols)
 
 
 def q_bloom_semijoin_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
