@@ -600,3 +600,65 @@ HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
 
 
 WINNOW_PAIRS_SQL = _winnow_pairs_sql()
+
+
+# ---------------------------------------------------------------------------
+# per-source exact-dup rate report
+# ---------------------------------------------------------------------------
+
+def dedup_rate_by_source(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, n_unique_texts, dup_docs, dup_permille) — the
+    per-provenance duplication scorecard a crawl pipeline reviews
+    before mixing sources: a source whose exact-dup rate spikes is
+    re-crawling itself (or mirroring another), and its mixing weight
+    should be set on UNIQUE documents, not raw ones.
+
+    Exact-dup grain is md5(text) WITHIN each source (the cross-source
+    transitive story belongs to ``dedup_clusters``). Scale shape: one
+    (source, md5) hash aggregate — map-side partial, then an
+    O(sources)-row rollup. Nothing pairwise, nothing collected.
+    """
+    per_text = docs.groupBy(
+        "source", F.md5(F.col("text").cast("binary")).alias("__h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    return (
+        per_text.groupBy("source")
+        .agg(
+            F.sum("__n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_unique_texts"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique_texts",
+            (F.col("n_docs") - F.col("n_unique_texts")).alias("dup_docs"),
+            F.expr("div((n_docs - n_unique_texts) * 1000, n_docs)")
+            .cast("long")
+            .alias("dup_permille"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_behavioral_spark.sources import load_table
+
+    return dedup_rate_by_source(load_table(spark, sf_dir, "documents"))
+
+
+DEDUP_RATE_BY_SOURCE_SQL = """
+WITH per_text AS (
+  SELECT source, md5(text) AS h, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, md5(text)
+), agg AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_unique_texts
+  FROM per_text GROUP BY source
+)
+SELECT source, n_docs, n_unique_texts,
+       n_docs - n_unique_texts AS dup_docs,
+       CAST((n_docs - n_unique_texts) * 1000 // n_docs AS BIGINT)
+         AS dup_permille
+FROM agg
+ORDER BY source
+"""

@@ -66,6 +66,9 @@ from duckdb_behavioral_spark.functions import encoding as EN
 from duckdb_behavioral_spark.functions import seasonal as SN
 from duckdb_behavioral_spark.functions import chi2 as C2
 from duckdb_behavioral_spark.functions import containment as CT
+from duckdb_behavioral_spark.functions import rrf as RF
+from duckdb_behavioral_spark.functions import oov as OV
+from duckdb_behavioral_spark.functions import deciles as DL
 
 EXT_QUERIES = {
     # text analysis
@@ -167,6 +170,10 @@ EXT_QUERIES = {
     "dow_seasonal_profile": SN.q_dow_seasonal_profile,
     "corpus_slice_chi2": C2.q_corpus_slice_chi2,
     "dedup_containment": CT.q_dedup_containment,
+    "search_rrf_fusion": RF.q_search_rrf_fusion,
+    "corpus_oov_rate": OV.q_corpus_oov_rate,
+    "lineitem_price_deciles": DL.q_lineitem_price_deciles,
+    "dedup_rate_by_source": D.q_dedup_rate_by_source,
     "table_profile": PF.q_table_profile,
     "text_bigram_lm": NL.q_text_bigram_lm,
     "events_value_histogram": HG.q_events_value_histogram,
@@ -321,6 +328,10 @@ EXT_ORACLES = {
     "dow_seasonal_profile": SN.DOW_SEASONAL_SQL,
     "corpus_slice_chi2": C2.CORPUS_SLICE_CHI2_SQL,
     "dedup_containment": CT._containment_sql(),
+    "search_rrf_fusion": RF._rrf_sql(),
+    "corpus_oov_rate": OV.CORPUS_OOV_SQL,
+    "lineitem_price_deciles": DL.PRICE_DECILES_SQL,
+    "dedup_rate_by_source": D.DEDUP_RATE_BY_SOURCE_SQL,
     "table_profile": PF.TABLE_PROFILE_SQL,
     "text_bigram_lm": NL.BIGRAM_LM_SQL,
     "events_value_histogram": HG.VALUE_HISTOGRAM_SQL,

@@ -31,6 +31,10 @@ DRIVER_PRIORITY = [
     "dow_seasonal_profile",
     "corpus_slice_chi2",
     "dedup_containment",
+    "search_rrf_fusion",
+    "corpus_oov_rate",
+    "lineitem_price_deciles",
+    "dedup_rate_by_source",
     # changed in round 7 (ADVICE fixes: overflow-safe lift, OLS/ACF
     # degenerate guards, watermark batch-0 max pinning) — fresh rows
     "orders_market_basket",

@@ -196,3 +196,89 @@ def test_containment_short_docs_no_crash(spark):
         [(1, "a b"), (2, "a b")], "doc_id long, text string"
     )
     assert containment_pairs(docs).count() == 0
+
+
+# ---------------------------------------------------------------------- rrf
+
+def test_rrf_fuse_outer_union_and_order(spark):
+    from duckdb_behavioral_spark.functions.rrf import RRF_C, rrf_fuse
+
+    t = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank long")
+    v = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rank long")
+    out = {r["doc_id"]: r for r in rrf_fuse(t, v).collect()}
+    # doc 2 in both runs wins; docs 1 and 3 still present (outer union)
+    assert set(out) == {1, 2, 3}
+    assert out[2]["rank"] == 1
+    assert out[2]["rrf_milli"] == 1000 // (RRF_C + 2) + 1000 // (RRF_C + 1)
+    assert out[1]["vec_rank"] is None and out[3]["text_rank"] is None
+
+
+# ------------------------------------------------------------------ deciles
+
+def test_price_deciles_uniform_10(spark):
+    from duckdb_behavioral_spark.functions.deciles import price_deciles
+
+    li = spark.createDataFrame(
+        [(float(i + 1), i // 7 + 1, i % 7 + 1) for i in range(100)],
+        "l_extendedprice double, l_orderkey long, l_linenumber int",
+    )
+    out = price_deciles(li).collect()
+    assert [r["decile"] for r in out] == list(range(10))
+    assert all(r["n_rows"] == 10 for r in out)
+    # bins are contiguous, non-overlapping, ordered
+    for lo, hi in zip(out, out[1:]):
+        assert lo["hi_cents"] < hi["lo_cents"]
+    assert sum(r["share_permille"] for r in out) <= 1000
+
+
+def test_price_deciles_fewer_rows_than_bins(spark):
+    from duckdb_behavioral_spark.functions.deciles import price_deciles
+
+    li = spark.createDataFrame(
+        [(10.0, 1, 1), (20.0, 1, 2), (30.0, 2, 1)],
+        "l_extendedprice double, l_orderkey long, l_linenumber int",
+    )
+    out = price_deciles(li).collect()
+    assert sum(r["n_rows"] for r in out) == 3
+    assert all(0 <= r["decile"] <= 9 for r in out)
+
+
+# ---------------------------------------------------------------------- oov
+
+def test_oov_rate_full_vocab_is_zero(spark):
+    from duckdb_behavioral_spark.functions.oov import oov_rate_by_lang
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en"), (2, "a b", "de")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["lang"]: r for r in oov_rate_by_lang(docs, v=10).collect()}
+    assert out["en"]["oov_permille"] == 0 and out["de"]["oov_permille"] == 0
+
+
+def test_oov_rate_small_vocab(spark):
+    from duckdb_behavioral_spark.functions.oov import oov_rate_by_lang
+
+    # vocab of 1 -> the single most common term ("a": 3 instances)
+    docs = spark.createDataFrame(
+        [(1, "a a b", "en"), (2, "a c", "de")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["lang"]: r for r in oov_rate_by_lang(docs, v=1).collect()}
+    assert out["en"]["n_oov"] == 1 and out["en"]["oov_permille"] == 333
+    assert out["de"]["n_oov"] == 1 and out["de"]["oov_terms"] == 1
+
+
+# --------------------------------------------------------------- dedup rate
+
+def test_dedup_rate_by_source(spark):
+    from duckdb_behavioral_spark.functions.dedup import dedup_rate_by_source
+
+    docs = spark.createDataFrame(
+        [(1, "x", "s1"), (2, "x", "s1"), (3, "y", "s1"), (4, "z", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in dedup_rate_by_source(docs).collect()}
+    assert out["s1"]["n_docs"] == 3 and out["s1"]["n_unique_texts"] == 2
+    assert out["s1"]["dup_docs"] == 1 and out["s1"]["dup_permille"] == 333
+    assert out["s2"]["dup_docs"] == 0
