@@ -35,7 +35,7 @@ from duckdb_behavioral_spark.functions.common import (
     sql_tokens,
     sql_word_grams,
     tokens,
-    word_grams,
+    word_grams_indexed,
 )
 
 # Every 20th doc plays the held-out eval set; threshold in permille of
@@ -168,24 +168,33 @@ def repetition_stats(
     window/agg. Linear in total token count; the doc_id+gram shuffle
     key is high-cardinality and skew-free.
     """
-    toks = tokens(F.col(text))
-    # One text scan: both gram arrays are built in a single projection,
-    # tagged, concatenated, and exploded once — one (doc, tag, gram)
-    # shuffle with map-side combine serves both signals (the 2-gram
-    # branch and the 3-gram branch reuse the same exchange). spread()
-    # unpins the gram build from a single-split local scan (3x on the
-    # sf0.1 bench; no-op on a real multi-split scan).
+    # One text scan: the token array is MATERIALIZED once per doc
+    # (``__toks`` attribute) and both gram orders are built from it
+    # with ``word_grams_indexed`` — one output string per gram, no
+    # intermediate k-gram arrays (the shifted-zip_with ``word_grams``
+    # construction allocated n-1 full interpreted-HOF arrays per
+    # order; this reshape took the sf0.1 query from ~4.9s to ~1.3s,
+    # the same fix that cut dedup_passage 26.5s -> 2s in round 4).
+    # Both arrays are tagged, concatenated, and exploded once — one
+    # (doc, tag, gram) shuffle with map-side combine serves both
+    # signals. spread() unpins the gram build from a single-split
+    # local scan (no-op on a real multi-split scan).
     df = spread(df, id_col)
-    tagged = df.select(
+    base = df.select(
+        F.col(id_col),
+        F.length(F.trim(F.col(text))).cast("long").alias("n_chars"),
+        tokens(F.col(text)).alias("__toks"),
+    )
+    tagged = base.select(
         F.col(id_col),
         F.explode(
             F.concat(
                 F.transform(
-                    word_grams(toks, 2),
+                    word_grams_indexed(F.col("__toks"), 2),
                     lambda g: F.struct(F.lit(2).alias("n"), g.alias("g")),
                 ),
                 F.transform(
-                    word_grams(toks, 3),
+                    word_grams_indexed(F.col("__toks"), 3),
                     lambda g: F.struct(F.lit(3).alias("n"), g.alias("g")),
                 ),
             )
@@ -218,10 +227,7 @@ def repetition_stats(
         .cast("long")
         .alias("__tot"),
     )
-    out = df.select(
-        F.col(id_col),
-        F.length(F.trim(F.col(text))).cast("long").alias("n_chars"),
-    ).join(
+    out = base.select(F.col(id_col), F.col("n_chars")).join(
         per_doc.select(
             F.col(id_col),
             F.col("__top2.g").alias("top2_gram"),

@@ -12,13 +12,16 @@ the batch sketch_hll query.
 
 Scale shape: daily registers are one keyed aggregate (map-side
 partial MAX, O(types x days x 512) rows out). The sliding merge is a
-3-way shifted UNION of the register table — a map-side operation on
-SKETCH rows, not events — followed by one keyed MAX-agg. A row-frame
-window over register rows would be WRONG here (a bucket observed on
-day d-1 but silent on day d must still reach day d's merged sketch;
-window frames only see rows that exist), which is why the shift-union
-form is the canonical distributed sketch-merge. The exact comparison
-side rides the same shift-union on distinct (type, day, user) rows.
+single ``explode(sequence(0, w-1))`` day-shift fan-out of the
+register table — a map-side operation on SKETCH rows, not events —
+followed by one keyed MAX-agg. A row-frame window over register rows
+would be WRONG here (a bucket observed on day d-1 but silent on day
+d must still reach day d's merged sketch; window frames only see
+rows that exist), which is why the shift-fan-out form is the
+canonical distributed sketch-merge. (A w-way self-UNION computes the
+same thing but re-runs the daily aggregation per shift — Spark does
+not reuse repeated subtrees.) The exact comparison side rides the
+same fan-out on distinct (type, day, user) rows.
 
 Determinism: register MAX and integer day shifts are exact; the
 estimator sum is exact per the 49-bit-window argument in sketches.py.
@@ -55,35 +58,46 @@ def hll_sliding_estimate(
         "event_type", F.to_date("ts").alias("day"), "user_id"
     )
     daily = hll_registers(base, key="user_id", group_cols=["event_type", "day"])
-    shifted = None
-    for off in range(window_days):
-        s = daily.select(
+    # One explode(sequence(0, w-1)) fan-out per register row, then ONE
+    # keyed MAX-agg. A w-way self-UNION here re-computes the whole
+    # daily aggregation (scan + hash + groupBy) once per shift — Spark
+    # does not reuse the repeated subtree — which is w full event
+    # passes for a merge that only needs w copies of SKETCH rows.
+    offs = F.explode(
+        F.sequence(F.lit(0), F.lit(window_days - 1))
+    ).alias("__off")
+    merged = (
+        daily.select("event_type", "day", "bucket", "rho_max", offs)
+        .select(
             "event_type",
-            F.date_add("day", off).alias("day"),
+            F.date_add("day", F.col("__off")).alias("day"),
             "bucket",
             "rho_max",
         )
-        shifted = s if shifted is None else shifted.unionByName(s)
-    merged = shifted.groupBy("event_type", "day", "bucket").agg(
-        F.max("rho_max").alias("rho_max")
+        .groupBy("event_type", "day", "bucket")
+        .agg(F.max("rho_max").alias("rho_max"))
     )
     observed = base.select("event_type", "day").distinct()
-    est = hll_estimate(merged, ["event_type", "day"]).join(
-        observed, ["event_type", "day"], "semi"
-    )
+    est = hll_estimate(merged, ["event_type", "day"])
 
-    dd = base.distinct()
-    ex_shift = None
-    for off in range(window_days):
-        s = dd.select("event_type", F.date_add("day", off).alias("day"), "user_id")
-        ex_shift = s if ex_shift is None else ex_shift.unionByName(s)
+    # Exact side rides the same explode fan-out on distinct
+    # (type, day, user) rows.
     exact = (
-        ex_shift.groupBy("event_type", "day")
+        base.distinct()
+        .select("event_type", "day", "user_id", offs)
+        .select(
+            "event_type",
+            F.date_add("day", F.col("__off")).alias("day"),
+            "user_id",
+        )
+        .groupBy("event_type", "day")
         .agg(F.count_distinct("user_id").alias("n_exact"))
-        .join(observed, ["event_type", "day"], "semi")
     )
+    # est and exact share the same extended day domain, so one semi
+    # join against observed (after the inner join) trims both.
     return (
         est.join(exact, ["event_type", "day"])
+        .join(observed, ["event_type", "day"], "semi")
         .select(
             "event_type",
             "day",

@@ -7,11 +7,10 @@ report (one row per column) with a uniform schema: numeric columns
 fill ``min_num``/``max_num`` (timestamps as days-since-epoch),
 string columns fill ``min_str``/``max_str``.
 
-Scale shape: a single aggregate over one scan. Spark plans the
-multi-column ``count(DISTINCT ...)`` via the Expand operator — one
-pass over the data, one shuffle whose width is |columns| × partial
-state, not row count. The final unpivot (``stack``) runs on the ONE
-aggregated row. At 100 TB you would swap the exact distincts for
+Scale shape: two one-row aggregates (simple stats / exact distincts)
+cross-joined — see ``table_profile``'s docstring for why they must
+not share one Aggregate node. The final unpivot (``stack``) runs on
+the ONE joined row. At 100 TB you would swap the exact distincts for
 ``approx_count_distinct`` (HLL, fixed-size state; the suite's
 sketch_hll shows the device) — the exact form is kept here because
 the correctness oracle must be value-identical, and |distinct| of
@@ -43,8 +42,28 @@ _ORDER_COLS = [
 def table_profile(df: DataFrame, cols=_ORDER_COLS) -> DataFrame:
     """(column, n_rows, n_nulls, n_distinct, min_num, max_num,
     min_str, max_str): one profiling row per column.
+
+    Two single-pass aggregates cross-joined (both one-row):
+
+    - ``simple`` — counts/nulls/min/max. No distinct -> no Expand;
+      the agg has no grouping keys, so the string min/max buffers
+      (which force SortAggregate) cost nothing — keys=[] means no
+      Sort operator, just one streaming pass with partial combine.
+    - ``dists`` — the exact per-column distincts alone. Spark's
+      multi-distinct rewrite Expands rows x |cols|, and with ONLY
+      count buffers (mutable longs) the whole path stays
+      HashAggregate: map-side partial dedup per (gid, value), one
+      narrow exchange of surviving values, final count.
+
+    Fusing them into one aggregate (the previous shape) dragged the
+    string min/max buffers into the expanded path, forcing
+    SortAggregate — a full 7-key Sort of rows x |cols| before any
+    combining, the one operator here that degrades superlinearly at
+    100 TB. Split, the heaviest node is a hash dedup whose state is
+    |distinct values|, not |rows|.
     """
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    simple_aggs = [F.count(F.lit(1)).alias("n_rows")]
+    dist_aggs = []
     for name, kind in cols:
         c = F.col(name)
         if kind == "ts":
@@ -55,15 +74,15 @@ def table_profile(df: DataFrame, cols=_ORDER_COLS) -> DataFrame:
             num = c.cast("double")
         else:
             num = None
-        aggs.append(F.count(F.when(c.isNull(), 1)).alias(f"{name}__nulls"))
-        aggs.append(F.count_distinct(c).alias(f"{name}__nd"))
+        simple_aggs.append(F.count(F.when(c.isNull(), 1)).alias(f"{name}__nulls"))
+        dist_aggs.append(F.count_distinct(c).alias(f"{name}__nd"))
         if num is not None:
-            aggs.append(F.min(num).alias(f"{name}__mn"))
-            aggs.append(F.max(num).alias(f"{name}__mx"))
+            simple_aggs.append(F.min(num).alias(f"{name}__mn"))
+            simple_aggs.append(F.max(num).alias(f"{name}__mx"))
         else:
-            aggs.append(F.min(c).alias(f"{name}__smn"))
-            aggs.append(F.max(c).alias(f"{name}__smx"))
-    one = df.agg(*aggs)
+            simple_aggs.append(F.min(c).alias(f"{name}__smn"))
+            simple_aggs.append(F.max(c).alias(f"{name}__smx"))
+    one = df.agg(*simple_aggs).crossJoin(df.agg(*dist_aggs))
     parts = []
     for name, kind in cols:
         if kind == "str":
