@@ -69,6 +69,10 @@ from duckdb_behavioral_spark.functions import containment as CT
 from duckdb_behavioral_spark.functions import rrf as RF
 from duckdb_behavioral_spark.functions import oov as OV
 from duckdb_behavioral_spark.functions import deciles as DL
+from duckdb_behavioral_spark.functions import ann_filtered as AF
+from duckdb_behavioral_spark.functions import canonical as CNP
+from duckdb_behavioral_spark.functions import wow as WW
+from duckdb_behavioral_spark.functions import curriculum as CUR
 
 EXT_QUERIES = {
     # text analysis
@@ -174,6 +178,10 @@ EXT_QUERIES = {
     "corpus_oov_rate": OV.q_corpus_oov_rate,
     "lineitem_price_deciles": DL.q_lineitem_price_deciles,
     "dedup_rate_by_source": D.q_dedup_rate_by_source,
+    "ann_filtered_topk": AF.q_ann_filtered_topk,
+    "dedup_canonical_pick": CNP.q_dedup_canonical_pick,
+    "events_wow_growth": WW.q_events_wow_growth,
+    "corpus_curriculum_phases": CUR.q_curriculum_phases,
     "table_profile": PF.q_table_profile,
     "text_bigram_lm": NL.q_text_bigram_lm,
     "events_value_histogram": HG.q_events_value_histogram,
@@ -332,6 +340,10 @@ EXT_ORACLES = {
     "corpus_oov_rate": OV.CORPUS_OOV_SQL,
     "lineitem_price_deciles": DL.PRICE_DECILES_SQL,
     "dedup_rate_by_source": D.DEDUP_RATE_BY_SOURCE_SQL,
+    "ann_filtered_topk": AF.ANN_FILTERED_SQL,
+    "dedup_canonical_pick": CNP.CANONICAL_PICK_SQL,
+    "events_wow_growth": WW.WOW_GROWTH_SQL,
+    "corpus_curriculum_phases": CUR.CURRICULUM_SQL,
     "table_profile": PF.TABLE_PROFILE_SQL,
     "text_bigram_lm": NL.BIGRAM_LM_SQL,
     "events_value_histogram": HG.VALUE_HISTOGRAM_SQL,

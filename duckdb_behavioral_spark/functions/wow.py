@@ -1,0 +1,80 @@
+"""Week-over-week growth — the KPI delta every warehouse report
+leads with: per event type, weekly event counts and value totals
+with WoW growth in basis points.
+
+Scale shape: ONE keyed aggregate (event_type, week) with map-side
+partial combine collapses the event stream to O(types x weeks) rows;
+the lag window then runs on that calendar-grain table (bounded by
+the date span, not the data — the same sanctioned shape as
+events_daily_trend / cusum). Growth is integer bps via div, NULL on
+the first week of each type (no prior) and NULL when the prior week
+is zero (nullif guards the ANSI divide on both engines).
+
+Determinism: date_trunc('week', ts) is Monday-start in Spark and
+DuckDB alike; v_mill rides the suite's floor(value*1000) convention
+(functions/timeweight.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+__all__ = ["wow_growth", "q_events_wow_growth", "WOW_GROWTH_SQL"]
+
+
+def wow_growth(events: DataFrame) -> DataFrame:
+    """(event_type, week, n_events, v_mill, n_growth_bps,
+    v_growth_bps): weekly totals per type with WoW deltas."""
+    weekly = (
+        events.where(F.col("ts").isNotNull())
+        .groupBy(
+            "event_type", F.to_date(F.date_trunc("week", "ts")).alias("week")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.floor(F.col("value") * F.lit(1000.0)).cast("long"))
+            .cast("long")
+            .alias("v_mill"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev_n = F.lag("n_events").over(w)
+    prev_v = F.lag("v_mill").over(w)
+    bps = lambda cur, prev: (
+        ((cur - prev) * F.lit(10000)) / F.nullif(prev, F.lit(0))
+    )
+    return weekly.select(
+        "event_type",
+        "week",
+        "n_events",
+        "v_mill",
+        F.floor(bps(F.col("n_events"), prev_n)).cast("long").alias("n_growth_bps"),
+        F.floor(bps(F.col("v_mill"), prev_v)).cast("long").alias("v_growth_bps"),
+    ).orderBy("event_type", "week")
+
+
+def q_events_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_behavioral_spark.sources import load_events
+
+    return wow_growth(load_events(spark, sf_dir))
+
+
+WOW_GROWTH_SQL = """
+WITH weekly AS (
+  SELECT event_type,
+         CAST(date_trunc('week', ts) AS DATE) AS week,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(floor(value * 1000.0) AS BIGINT)) AS BIGINT) AS v_mill
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT event_type, week, n_events, v_mill,
+       CAST(floor((n_events - lag(n_events) OVER w) * 10000.0
+            / NULLIF(lag(n_events) OVER w, 0)) AS BIGINT) AS n_growth_bps,
+       CAST(floor((v_mill - lag(v_mill) OVER w) * 10000.0
+            / NULLIF(lag(v_mill) OVER w, 0)) AS BIGINT) AS v_growth_bps
+FROM weekly
+WINDOW w AS (PARTITION BY event_type ORDER BY week)
+ORDER BY event_type, week
+"""

@@ -35,6 +35,15 @@ DRIVER_PRIORITY = [
     "corpus_oov_rate",
     "lineitem_price_deciles",
     "dedup_rate_by_source",
+    "ann_filtered_topk",
+    "dedup_canonical_pick",
+    "events_wow_growth",
+    "corpus_curriculum_phases",
+    # changed in round 7 (perf reshapes: indexed n-grams, split
+    # profile aggregates, explode fan-out sliding merge) — fresh rows
+    "text_repetition",
+    "table_profile",
+    "sketch_hll_sliding",
     # changed in round 7 (ADVICE fixes: overflow-safe lift, OLS/ACF
     # degenerate guards, watermark batch-0 max pinning) — fresh rows
     "orders_market_basket",
