@@ -162,6 +162,25 @@ def probe(spark, path: str) -> dict:
     run("snapshot_diff", snapshot_diff(ev, t1="2023-11-15 00:00:00",
                                        t2="2023-11-20 00:00:00"))
     run("ltv_curve", cohort_ltv_curve(ev))
+    # round-7 additions: featurization, encoding, seasonality, and the
+    # Bloom semi-join prefilter (dim = every 100th user)
+    from duckdb_behavioral_spark.functions.bloom_join import bloom_prefilter
+    from duckdb_behavioral_spark.functions.encoding import target_encode
+    from duckdb_behavioral_spark.functions.feathash import feature_hash_audit
+    from duckdb_behavioral_spark.functions.seasonal import dow_profile
+
+    run("feature_hash_audit", feature_hash_audit(ev))
+    run("target_encode", target_encode(ev))
+    run("dow_profile", dow_profile(ev))
+    dim = ev.select("user_id").distinct().where(
+        F.pmod("user_id", F.lit(100)) == 0
+    )
+    pre = bloom_prefilter(ev, "user_id", dim, "user_id")
+    run(
+        "bloom_semijoin",
+        pre.join(F.broadcast(dim), "user_id", "left_semi")
+        .groupBy("event_type").agg(F.count("*").alias("n")),
+    )
     return out
 
 

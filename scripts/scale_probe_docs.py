@@ -115,6 +115,19 @@ def probe(spark, path: str) -> dict:
     run("phrase_match", phrase_match_topk(docs))
     run("lm_likelihood", lm_likelihood_tails(docs))
     run("vocab_growth", vocab_growth(docs))
+    # round-7 additions: leakage (jaccard ∘ split), containment,
+    # OOV coverage, chi2 keywords, per-source dup rate
+    from duckdb_behavioral_spark.functions.chi2 import slice_chi2_terms
+    from duckdb_behavioral_spark.functions.containment import containment_pairs
+    from duckdb_behavioral_spark.functions.dedup import dedup_rate_by_source
+    from duckdb_behavioral_spark.functions.leakage import split_leakage
+    from duckdb_behavioral_spark.functions.oov import oov_rate_by_lang
+
+    run("split_leakage", split_leakage(docs))
+    run("containment_pairs", containment_pairs(docs))
+    run("oov_rate", oov_rate_by_lang(docs))
+    run("slice_chi2", slice_chi2_terms(docs))
+    run("dedup_rate_by_source", dedup_rate_by_source(docs))
     return out
 
 
