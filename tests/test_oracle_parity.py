@@ -25,7 +25,11 @@ def _normalize(v):
 
 
 def _rows_set(rows):
-    return sorted(tuple(_normalize(v) for v in row) for row in rows)
+    # key=repr: NULL-safe and mixed-type-safe total order (None is not
+    # comparable to int); equality below still compares actual tuples
+    return sorted(
+        (tuple(_normalize(v) for v in row) for row in rows), key=repr
+    )
 
 
 @pytest.fixture(scope="module")

@@ -103,7 +103,7 @@ def test_wow_growth_closed_form(spark):
         rows, "event_id long, ts string, user_id long, event_type string, value double"
     ).withColumn("ts", F.to_timestamp("ts"))
     got = {str(r["week"]): r for r in wow_growth(ev).collect()}
-    assert got["2024-01-01"]["n_growth_bps"] is None  # no prior week
+    assert "2024-01-01" not in got  # first week has no prior -> dropped
     assert got["2024-01-08"]["n_events"] == 3
     assert got["2024-01-08"]["n_growth_bps"] == 5000  # 2 -> 3 = +50%
     assert got["2024-01-08"]["v_growth_bps"] == 20000  # 2000 -> 6000 mill
