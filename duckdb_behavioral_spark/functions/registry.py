@@ -73,6 +73,9 @@ from duckdb_behavioral_spark.functions import ann_filtered as AF
 from duckdb_behavioral_spark.functions import canonical as CNP
 from duckdb_behavioral_spark.functions import wow as WW
 from duckdb_behavioral_spark.functions import curriculum as CUR
+from duckdb_behavioral_spark.functions import lifecycle as LC
+from duckdb_behavioral_spark.functions import novelty as NV
+from duckdb_behavioral_spark.operators import session_cap as SHC
 
 EXT_QUERIES = {
     # text analysis
@@ -182,6 +185,9 @@ EXT_QUERIES = {
     "dedup_canonical_pick": CNP.q_dedup_canonical_pick,
     "events_wow_growth": WW.q_events_wow_growth,
     "corpus_curriculum_phases": CUR.q_curriculum_phases,
+    "user_lifecycle_ledger": LC.q_user_lifecycle_ledger,
+    "session_hard_cap": SHC.q_session_hard_cap,
+    "corpus_ngram_novelty": NV.q_corpus_ngram_novelty,
     "table_profile": PF.q_table_profile,
     "text_bigram_lm": NL.q_text_bigram_lm,
     "events_value_histogram": HG.q_events_value_histogram,
@@ -344,6 +350,9 @@ EXT_ORACLES = {
     "dedup_canonical_pick": CNP.CANONICAL_PICK_SQL,
     "events_wow_growth": WW.WOW_GROWTH_SQL,
     "corpus_curriculum_phases": CUR.CURRICULUM_SQL,
+    "user_lifecycle_ledger": LC.LIFECYCLE_SQL,
+    "session_hard_cap": SHC.SESSION_CAP_SQL,
+    "corpus_ngram_novelty": NV.NOVELTY_SQL,
     "table_profile": PF.TABLE_PROFILE_SQL,
     "text_bigram_lm": NL.BIGRAM_LM_SQL,
     "events_value_histogram": HG.VALUE_HISTOGRAM_SQL,

@@ -39,6 +39,9 @@ DRIVER_PRIORITY = [
     "dedup_canonical_pick",
     "events_wow_growth",
     "corpus_curriculum_phases",
+    "user_lifecycle_ledger",
+    "session_hard_cap",
+    "corpus_ngram_novelty",
     # changed in round 7 (perf reshapes: indexed n-grams, split
     # profile aggregates, explode fan-out sliding merge) — fresh rows
     "text_repetition",
