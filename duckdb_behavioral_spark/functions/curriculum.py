@@ -14,6 +14,10 @@ projection. The phase report is one bounded groupBy.
 
 Determinism: (distinct_permille, n_tokens, doc_id) is a total order
 with integer keys; phase = 4*(rank-1) div n, exact on both engines.
+
+Reference scope note: no reference counterpart
+(/root/reference/src/lib.rs:11-19); extends SURVEY.md §2.5's
+LLM-pipeline family (curriculum learning data ordering).
 """
 
 from __future__ import annotations

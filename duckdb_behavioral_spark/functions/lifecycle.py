@@ -20,6 +20,11 @@ executors.
 
 Determinism: to_date/CAST-to-DATE agree under the UTC session;
 counts are exact integers.
+
+Reference scope note: the reference ships the seven behavioral
+aggregates only (/root/reference/src/lib.rs:11-19); this extends
+SURVEY.md §2.5's cohort/report family per the north-star
+product-analytics scope.
 """
 
 from __future__ import annotations

@@ -18,6 +18,10 @@ carry. No pairwise work anywhere.
 
 Determinism: min/count over exact integers; the shared md5-48 hash
 is engine-identical (functions/common.py).
+
+Reference scope note: no reference counterpart
+(/root/reference/src/lib.rs:11-19); extends SURVEY.md §2.5's
+corpus-audit family.
 """
 
 from __future__ import annotations

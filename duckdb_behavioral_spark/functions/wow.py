@@ -14,6 +14,10 @@ engines) rather than an error.
 Determinism: date_trunc('week', ts) is Monday-start in Spark and
 DuckDB alike; v_mill rides the suite's floor(value*1000) convention
 (functions/timeweight.py).
+
+Reference scope note: no reference counterpart
+(/root/reference/src/lib.rs:11-19); extends SURVEY.md §2.5's
+warehouse-report family.
 """
 
 from __future__ import annotations

@@ -181,6 +181,16 @@ def probe(spark, path: str) -> dict:
         pre.join(F.broadcast(dim), "user_id", "left_semi")
         .groupBy("event_type").agg(F.count("*").alias("n")),
     )
+    # round-7 wave 2/3: WoW growth, lifecycle ledger, capped sessions
+    from duckdb_behavioral_spark.functions.lifecycle import lifecycle_ledger
+    from duckdb_behavioral_spark.functions.wow import wow_growth
+    from duckdb_behavioral_spark.operators.session_cap import (
+        session_hard_cap_report,
+    )
+
+    run("wow_growth", wow_growth(ev))
+    run("lifecycle_ledger", lifecycle_ledger(ev))
+    run("session_hard_cap", session_hard_cap_report(ev))
     return out
 
 

@@ -128,6 +128,12 @@ def probe(spark, path: str) -> dict:
     run("oov_rate", oov_rate_by_lang(docs))
     run("slice_chi2", slice_chi2_terms(docs))
     run("dedup_rate_by_source", dedup_rate_by_source(docs))
+    # round-7 wave 2/3: curriculum rank-select, shingle novelty
+    from duckdb_behavioral_spark.functions.curriculum import curriculum_phases
+    from duckdb_behavioral_spark.functions.novelty import ngram_novelty
+
+    run("curriculum_phases", curriculum_phases(docs))
+    run("ngram_novelty", ngram_novelty(docs))
     return out
 
 
