@@ -76,6 +76,9 @@ from duckdb_behavioral_spark.functions import curriculum as CUR
 from duckdb_behavioral_spark.functions import lifecycle as LC
 from duckdb_behavioral_spark.functions import novelty as NV
 from duckdb_behavioral_spark.operators import session_cap as SHC
+from duckdb_behavioral_spark.functions import drift as DR
+from duckdb_behavioral_spark.functions import repeat as RPT
+from duckdb_behavioral_spark.functions import confusion as CF
 
 EXT_QUERIES = {
     # text analysis
@@ -188,6 +191,9 @@ EXT_QUERIES = {
     "user_lifecycle_ledger": LC.q_user_lifecycle_ledger,
     "session_hard_cap": SHC.q_session_hard_cap,
     "corpus_ngram_novelty": NV.q_corpus_ngram_novelty,
+    "dq_schema_drift": DR.q_dq_schema_drift,
+    "orders_repeat_rate": RPT.q_orders_repeat_rate,
+    "corpus_langid_confusion": CF.q_corpus_langid_confusion,
     "table_profile": PF.q_table_profile,
     "text_bigram_lm": NL.q_text_bigram_lm,
     "events_value_histogram": HG.q_events_value_histogram,
@@ -353,6 +359,9 @@ EXT_ORACLES = {
     "user_lifecycle_ledger": LC.LIFECYCLE_SQL,
     "session_hard_cap": SHC.SESSION_CAP_SQL,
     "corpus_ngram_novelty": NV.NOVELTY_SQL,
+    "dq_schema_drift": DR.SCHEMA_DRIFT_SQL,
+    "orders_repeat_rate": RPT.REPEAT_RATE_SQL,
+    "corpus_langid_confusion": CF.LANGID_CONFUSION_SQL,
     "table_profile": PF.TABLE_PROFILE_SQL,
     "text_bigram_lm": NL.BIGRAM_LM_SQL,
     "events_value_histogram": HG.VALUE_HISTOGRAM_SQL,

@@ -42,6 +42,9 @@ DRIVER_PRIORITY = [
     "user_lifecycle_ledger",
     "session_hard_cap",
     "corpus_ngram_novelty",
+    "dq_schema_drift",
+    "orders_repeat_rate",
+    "corpus_langid_confusion",
     # changed in round 7 (perf reshapes: indexed n-grams, split
     # profile aggregates, explode fan-out sliding merge) — fresh rows
     "text_repetition",

@@ -37,7 +37,9 @@ ONE_ROW_OK = {
 # counts and NULL min/max
 # dq_constraint_audit: one row per DECLARED constraint (13), zero
 # violations over zero checked rows
-FIXED_ROWS_OK = {"table_profile": 6, "dq_constraint_audit": 13}
+# dq_schema_drift: one row per profiled column, like table_profile
+FIXED_ROWS_OK = {"table_profile": 6, "dq_constraint_audit": 13,
+                 "dq_schema_drift": 6}
 
 BATCH_QUERIES = sorted(
     n for n in entrymod.queries() if not n.startswith("streaming_")
