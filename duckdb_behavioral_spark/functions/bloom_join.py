@@ -59,6 +59,14 @@ def bloom_prefilter(fact: DataFrame, fact_key: str, keys: DataFrame, key: str) -
     """``fact`` rows whose ``fact_key`` passes the Bloom filter built
     over ``keys.key`` — a superset of the true semi-join (callers must
     still join exactly to drop false positives; a Bloom 'no' is exact).
+
+    Contract notes:
+    - The filter build runs a driver ``collect()`` AT CALL TIME (an
+      eager, bounded <=512-row control plane — not deferred to the
+      first action on the returned DataFrame).
+    - Internal scratch columns are suffixed until they collide with
+      nothing in ``fact.columns``, so a fact that already carries
+      ``__bw``/``__p0`` passes through unharmed.
     """
     cells = keys.select(
         F.explode(
@@ -77,20 +85,28 @@ def bloom_prefilter(fact: DataFrame, fact_key: str, keys: DataFrame, key: str) -
     for r in rows:
         words[r["word"]] = int(r["bits"])
     arr = F.array(*[F.lit(w).cast("long") for w in words])  # constant-folded
-    probed = fact.withColumn("__bw", arr)
+    # Collision-safe scratch names: suffix until nothing in the fact
+    # schema matches (withColumn would silently REPLACE a same-named
+    # caller column, corrupting its data on the drop below).
+    suffix = ""
+    existing = set(fact.columns)
+    while {f"__bw{suffix}", *(f"__p{j}{suffix}" for j in range(BLOOM_K))} & existing:
+        suffix += "_"
+    bw = f"__bw{suffix}"
+    probed = fact.withColumn(bw, arr)
     pos_cols = []
     for j in range(BLOOM_K):
-        probed = probed.withColumn(f"__p{j}", _xx_pos(F.col(fact_key), j))
-        pos_cols.append(f"__p{j}")
+        probed = probed.withColumn(f"__p{j}{suffix}", _xx_pos(F.col(fact_key), j))
+        pos_cols.append(f"__p{j}{suffix}")
     hit = F.expr(
         " AND ".join(
-            f"(element_at(__bw, cast(__p{j} div {BLOOM_WORD_BITS} as int) + 1)"
+            f"(element_at({bw}, cast({p} div {BLOOM_WORD_BITS} as int) + 1)"
             f" & shiftleft(cast(1 as bigint),"
-            f" cast(__p{j} % {BLOOM_WORD_BITS} as int))) != 0"
-            for j in range(BLOOM_K)
+            f" cast({p} % {BLOOM_WORD_BITS} as int))) != 0"
+            for p in pos_cols
         )
     )
-    return probed.where(hit).drop("__bw", *pos_cols)
+    return probed.where(hit).drop(bw, *pos_cols)
 
 
 def q_bloom_semijoin_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -90,13 +90,10 @@ def q_dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _slice_profile_sql(pred: str) -> str:
     # the per-column UNION ALL profile of one slice, reusing the
-    # table_profile oracle blocks with the slice predicate injected
-    blocks = [
-        _profile_sql_block(n, k).replace(
-            "FROM orders", f"FROM orders WHERE {pred}"
-        )
-        for n, k in _ORDER_COLS
-    ]
+    # table_profile oracle blocks with the slice predicate passed as a
+    # structured WHERE parameter (not post-hoc string replacement,
+    # which would silently hit any future second FROM in the block)
+    blocks = [_profile_sql_block(n, k, where=pred) for n, k in _ORDER_COLS]
     return "\nUNION ALL\n".join(blocks)
 
 

@@ -106,7 +106,7 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_profile(load_table(spark, sf_dir, "orders"))
 
 
-def _profile_sql_block(name: str, kind: str) -> str:
+def _profile_sql_block(name: str, kind: str, where: str | None = None) -> str:
     if kind == "ts":
         num_mn = f"CAST(min(CAST({name} AS DATE) - DATE '1970-01-01') AS DOUBLE)"
         num_mx = f"CAST(max(CAST({name} AS DATE) - DATE '1970-01-01') AS DOUBLE)"
@@ -125,7 +125,7 @@ def _profile_sql_block(name: str, kind: str) -> str:
          CAST(count(DISTINCT {name}) AS BIGINT) AS n_distinct,
          {num_mn} AS min_num, {num_mx} AS max_num,
          {smn} AS min_str, {smx} AS max_str
-  FROM orders"""
+  FROM orders{f" WHERE {where}" if where else ""}"""
 
 
 TABLE_PROFILE_SQL = (

@@ -263,6 +263,14 @@ def kmeans_centroids(e: DataFrame, n_iter: int = KMEANS_ITERS) -> DataFrame:
     whose cosine is undefined) keep their previous centroid.
     """
     spark = e.sparkSession
+    state = _lloyd_rounds(e, n_iter)
+    return spark.createDataFrame(
+        [(cid, cv, cn) for cid, (cv, cn) in sorted(state.items())],
+        "ctr_id long, cv array<double>, cn double",
+    )
+
+
+def _lloyd_rounds(e: DataFrame, n_iter: int) -> dict:
     state = {
         int(r["ctr_id"]): (list(r["cv"]), float(r["cn"]))
         for r in _centroids(e).collect()
@@ -292,10 +300,7 @@ def kmeans_centroids(e: DataFrame, n_iter: int = KMEANS_ITERS) -> DataFrame:
             mn = math.sqrt(s)
             if mn > 0:
                 state[ctr_id] = (mv, mn)
-    return spark.createDataFrame(
-        [(cid, cv, cn) for cid, (cv, cn) in sorted(state.items())],
-        "ctr_id long, cv array<double>, cn double",
-    )
+    return state
 
 
 def ann_ivf_topk(
@@ -327,9 +332,17 @@ def ann_ivf_topk(
         )
         .withColumn("nrm", _norm(F.col("v")))
         .where(F.col("nrm") > 0)
+        # Materialize the quantized corpus projection ONCE: the seed
+        # job, every Lloyd assignment round, and the final assignment
+        # all rescan these blocks instead of re-reading parquet and
+        # re-deriving norms per action (the trained variant's cold-start
+        # cost was dominated by those repeated scans).
+        .localCheckpoint(eager=False)
     )
     cent = kmeans_centroids(e) if train else _centroids(e)
-    assigned = _assign_clusters(e, cent)
+    # Two consumers below (query-side filter + candidate side) — cut
+    # the lineage so the Arrow assignment pass runs once, not twice.
+    assigned = _assign_clusters(e, cent).localCheckpoint(eager=False)
     q = assigned.where(F.col("cid") < n_queries).select(
         F.col("cid").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     ).limit(n_queries)  # no-op cap; proves the broadcast bound to the auditor

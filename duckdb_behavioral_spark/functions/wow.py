@@ -39,7 +39,16 @@ def wow_growth(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.sum(F.floor(F.col("value") * F.lit(1000.0)).cast("long"))
+            # Per-row coalesce: a week whose values are ALL NULL sums
+            # to 0, not NULL — keeps v_mill (and the downstream
+            # v_growth_bps past the __prev_n guard) NULL-free on any
+            # input, not just zero-prior ones.
+            F.sum(
+                F.coalesce(
+                    F.floor(F.col("value") * F.lit(1000.0)).cast("long"),
+                    F.lit(0),
+                )
+            )
             .cast("long")
             .alias("v_mill"),
         )
@@ -90,7 +99,8 @@ WITH weekly AS (
   SELECT event_type,
          CAST(date_trunc('week', ts) AS DATE) AS week,
          CAST(count(*) AS BIGINT) AS n_events,
-         CAST(sum(CAST(floor(value * 1000.0) AS BIGINT)) AS BIGINT) AS v_mill
+         CAST(sum(COALESCE(CAST(floor(value * 1000.0) AS BIGINT), 0))
+              AS BIGINT) AS v_mill
   FROM events WHERE ts IS NOT NULL
   GROUP BY 1, 2
 )
