@@ -31,11 +31,19 @@ from duckdb_behavioral_spark.functions.text import quality_score
 __all__ = ["dedup_canonical_pick", "q_dedup_canonical_pick", "CANONICAL_PICK_SQL"]
 
 
-def dedup_canonical_pick(docs: DataFrame) -> DataFrame:
+def dedup_canonical_pick(
+    docs: DataFrame, clusters: DataFrame | None = None
+) -> DataFrame:
     """(cluster_id, n_members, canonical_doc, canonical_quality):
     for every near-dup cluster with >= 2 members, the argmax-quality
-    member (distinct_permille desc, n_tokens desc, doc_id asc)."""
-    clusters = dedup_clusters(docs).select("doc_id", "cluster_id")
+    member (distinct_permille desc, n_tokens desc, doc_id asc).
+
+    ``clusters`` lets callers supply a precomputed (doc_id, cluster_id)
+    assignment — e.g. the per-session memo — instead of rebuilding the
+    whole MinHash -> Jaccard -> CC pipeline."""
+    if clusters is None:
+        clusters = dedup_clusters(docs)
+    clusters = clusters.select("doc_id", "cluster_id")
     quality = quality_score(docs).select("doc_id", "n_tokens", "distinct_permille")
     j = clusters.join(quality, "doc_id")
     best = F.max(
@@ -61,9 +69,13 @@ def dedup_canonical_pick(docs: DataFrame) -> DataFrame:
 
 
 def q_dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_behavioral_spark.functions.dedup import clusters_for
     from duckdb_behavioral_spark.sources import load_table
 
-    return dedup_canonical_pick(load_table(spark, sf_dir, "documents"))
+    return dedup_canonical_pick(
+        load_table(spark, sf_dir, "documents"),
+        clusters=clusters_for(spark, sf_dir),
+    )
 
 
 # Oracle: the dedup_clusters recursive-CTE closure (same CTE text as

@@ -135,11 +135,9 @@ ORDER BY decile
 
 
 def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from duckdb_behavioral_spark.functions.dedup import dedup_clusters
-    from duckdb_behavioral_spark.sources import load_table
+    from duckdb_behavioral_spark.functions.dedup import clusters_for
 
-    docs = load_table(spark, sf_dir, "documents")
-    clusters = dedup_clusters(docs)
+    clusters = clusters_for(spark, sf_dir)
     sizes = clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("size")
     )

@@ -37,10 +37,12 @@ from duckdb_behavioral_spark.functions.sampling import (
 __all__ = ["split_leakage", "q_split_leakage_audit"]
 
 
-def split_leakage(docs: DataFrame) -> DataFrame:
+def split_leakage(docs: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
     from duckdb_behavioral_spark.functions.dedup import dedup_ngram_jaccard
 
-    pairs = dedup_ngram_jaccard(docs).select("doc_a", "doc_b")
+    if pairs is None:
+        pairs = dedup_ngram_jaccard(docs)
+    pairs = pairs.select("doc_a", "doc_b")
     labeled = pairs.select(
         "doc_a",
         "doc_b",
@@ -74,9 +76,13 @@ def split_leakage(docs: DataFrame) -> DataFrame:
 
 
 def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_behavioral_spark.functions.dedup import verified_pairs_for
     from duckdb_behavioral_spark.sources import load_table
 
-    return split_leakage(load_table(spark, sf_dir, "documents"))
+    return split_leakage(
+        load_table(spark, sf_dir, "documents"),
+        pairs=verified_pairs_for(spark, sf_dir),
+    )
 
 
 def _sql_split(expr: str) -> str:
