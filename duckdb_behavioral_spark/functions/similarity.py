@@ -241,26 +241,33 @@ def _assign_by_rows(e: DataFrame, state: dict) -> DataFrame:
 
 
 KMEANS_ITERS = 2  # Lloyd rounds for the trained-IVF variant
+KMEANS_SAMPLE = 8192  # bounded training sample — corpus-independent
 
 
 def kmeans_centroids(e: DataFrame, n_iter: int = KMEANS_ITERS) -> DataFrame:
-    """Spherical k-means (Lloyd) refinement of the sampled centroids.
+    """Spherical k-means (Lloyd) refinement of the sampled centroids,
+    trained on a BOUNDED deterministic sample (the FAISS discipline:
+    IVF coarse quantizers train on ~256 vectors per centroid, not the
+    corpus).
 
-    Each round: (1) assign every vector to its max-cosine centroid —
-    one Arrow-vectorized map pass, corpus scanned once, zero shuffle
-    (see :func:`_assign_clusters`); (2) recompute each centroid as the
-    component-wise mean of its members. The mean runs as ``SUM(CAST(x
-    AS DECIMAL(30,10)))`` — decimal addition is exact and commutative,
-    so the sum (hence the new centroid doubles, hence every downstream
-    assignment) is bit-identical at ANY parallelism, while still
-    aggregating with map-side partials: the shuffle after the
-    posexplode is O(clusters x dim) rows, collapsed to O(clusters x
-    dim) = 2048 driver-side rows per round — the MLlib-KMeans control
-    loop (bounded per-iteration collect of cluster sums; corpus-size
-    independent). Centroid state lives on the driver between rounds,
-    so there are no per-round join/checkpoint jobs and no lineage
-    growth. Clusters that end up empty (or with a zero-norm mean,
-    whose cosine is undefined) keep their previous centroid.
+    The top-``KMEANS_SAMPLE`` vectors by the same md5 rank that picks
+    the seed centroids are collected ONCE — an O(SAMPLE x dim) control
+    plane, corpus-size independent — and every Lloyd round then runs
+    driver-side: numpy assignment with the exact left-fold kernel of
+    :func:`_assign_by_rows`, and component means as exact decimal sums
+    (each component quantized to DECIMAL(30,10) half-up — byte-for-byte
+    what both engines' ``SUM(CAST(x AS DECIMAL(30,10)))`` computes —
+    summed as arbitrary-precision ints). Exact + commutative, so the
+    trained centroids are bit-identical at ANY parallelism, and
+    bit-identical to the oracle's unrolled SQL rounds.
+
+    vs the previous distributed Lloyd loop: one bounded collect
+    replaces (1 seed job + n_iter full-corpus assignment scans with
+    posexplode shuffles). At 100 TB that is the difference between
+    training cost O(sample) and n_iter more passes over the corpus;
+    the corpus is only ever scanned for the FINAL assignment. Clusters
+    that end up empty (or with a zero-norm mean, whose cosine is
+    undefined) keep their previous centroid.
     """
     spark = e.sparkSession
     state = _lloyd_rounds(e, n_iter)
@@ -270,30 +277,60 @@ def kmeans_centroids(e: DataFrame, n_iter: int = KMEANS_ITERS) -> DataFrame:
     )
 
 
+def _dec10(x: float) -> int:
+    """``CAST(x AS DECIMAL(30,10))`` as a scaled int: both engines
+    quantize the double's shortest decimal repr to 10 fractional
+    digits, round-half-up (Spark's Decimal.set goes through
+    ``BigDecimal.valueOf`` = ``Double.toString``; ``repr(x)`` is the
+    same shortest repr)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(repr(x)).quantize(Decimal("1e-10"), rounding=ROUND_HALF_UP).scaleb(10)
+    )
+
+
 def _lloyd_rounds(e: DataFrame, n_iter: int) -> dict:
-    state = {
-        int(r["ctr_id"]): (list(r["cv"]), float(r["cn"]))
-        for r in _centroids(e).collect()
-    }
+    from decimal import Decimal
+
+    h = F.conv(F.substring(F.md5(F.col("cid").cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+    rows = (
+        e.withColumn("__h", h)
+        .orderBy(F.asc("__h"), F.asc("cid"))
+        .limit(KMEANS_SAMPLE)
+        .select("__h", "cid", "v", "nrm")
+        .collect()  # bounded: <= KMEANS_SAMPLE x dim doubles
+    )
+    rows.sort(key=lambda r: (r["__h"], r["cid"]))
+    # seed = the first NCENT of the SAME ordering == _centroids(e)
+    state = {int(r["cid"]): (list(r["v"]), float(r["nrm"])) for r in rows[:NCENT]}
+    vm = np.array([r["v"] for r in rows], dtype=np.float64)
+    # exact decimal view of the sample, quantized once (values never
+    # change across rounds); python ints, so sums cannot overflow
+    qm = [[_dec10(x) for x in r["v"]] for r in rows]
     for _ in range(n_iter):
-        members = _assign_by_rows(e, state).select("cluster", "v")
-        sums = (
-            members.select("cluster", F.posexplode("v").alias("i", "x"))
-            .groupBy("cluster", "i")
-            .agg(
-                F.sum(F.col("x").cast("decimal(30,10)")).alias("s"),
-                F.count("*").alias("n"),
-            )
-            .select(
-                "cluster", "i", (F.col("s").cast("double") / F.col("n")).alias("m")
-            )
-            .collect()  # bounded: <= NCENT x EMB_DIM rows
-        )
-        by_cluster: dict[int, dict[int, float]] = {}
-        for r in sums:
-            by_cluster.setdefault(int(r["cluster"]), {})[int(r["i"])] = float(r["m"])
-        for ctr_id, comp in by_cluster.items():
-            mv = [comp[i] for i in sorted(comp)]
+        ordered = sorted(state.items())
+        cmat = np.array([cv for _, (cv, _) in ordered], dtype=np.float64)
+        cn = np.array([c for _, (_, c) in ordered], dtype=np.float64)
+        ids = [cid for cid, _ in ordered]
+        acc = np.zeros((vm.shape[0], cmat.shape[0]))
+        nr = np.zeros(vm.shape[0])
+        for i in range(vm.shape[1]):  # exact left fold, as _assign_by_rows
+            acc += vm[:, i, None] * cmat[None, :, i]
+            nr += vm[:, i] * vm[:, i]
+        sims = acc / (np.sqrt(nr)[:, None] * cn[None, :])
+        assign = np.argmax(sims, axis=1)  # first max == (sim DESC, ctr_id ASC)
+        for j, ctr_id in enumerate(ids):
+            members = [qm[r] for r in np.flatnonzero(assign == j)]
+            if not members:
+                continue  # empty cluster keeps its previous centroid
+            n = len(members)
+            mv = [
+                float(Decimal(sum(m[i] for m in members)).scaleb(-10)) / n
+                for i in range(vm.shape[1])
+            ]
             s = 0.0
             for x in mv:  # same left fold as _norm
                 s = s + x * x
@@ -339,10 +376,21 @@ def ann_ivf_topk(
         # cost was dominated by those repeated scans).
         .localCheckpoint(eager=False)
     )
-    cent = kmeans_centroids(e) if train else _centroids(e)
-    # Two consumers below (query-side filter + candidate side) — cut
-    # the lineage so the Arrow assignment pass runs once, not twice.
-    assigned = _assign_clusters(e, cent).localCheckpoint(eager=False)
+    if train:
+        # centroid state is already driver-held after the bounded
+        # sample training — feed the assignment kernel directly, no
+        # round-trip through a DataFrame + re-collect
+        state = _lloyd_rounds(e, KMEANS_ITERS)
+        cent = e.sparkSession.createDataFrame(
+            [(cid, cv, cn) for cid, (cv, cn) in sorted(state.items())],
+            "ctr_id long, cv array<double>, cn double",
+        )
+        assigned = _assign_by_rows(e, state).localCheckpoint(eager=False)
+    else:
+        cent = _centroids(e)
+        # Two consumers below (query-side filter + candidate side) — cut
+        # the lineage so the Arrow assignment pass runs once, not twice.
+        assigned = _assign_clusters(e, cent).localCheckpoint(eager=False)
     q = assigned.where(F.col("cid") < n_queries).select(
         F.col("cid").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     ).limit(n_queries)  # no-op cap; proves the broadcast bound to the auditor
@@ -394,10 +442,19 @@ WITH e AS (
 )"""
 
 
+_TRAIN_SAMPLE_SQL = f"""
+, train AS (
+  SELECT * FROM n2
+  ORDER BY ('0x' || substr(md5(CAST(cid AS VARCHAR)), 1, 12))::BIGINT ASC, cid ASC
+  LIMIT {KMEANS_SAMPLE}
+)"""
+
+
 def _kmeans_iter_sql(prev: str, out: str) -> str:
-    """One unrolled Lloyd round: cosine assignment against ``prev``,
-    exact-decimal component means, zero-norm/empty fallback — the SQL
-    mirror of one ``kmeans_centroids`` iteration."""
+    """One unrolled Lloyd round over the bounded ``train`` sample:
+    cosine assignment against ``prev``, exact-decimal component means,
+    zero-norm/empty fallback — the SQL mirror of one
+    ``kmeans_centroids`` iteration."""
     return f"""
 , {out}_asg AS (
   SELECT cid, v, cluster FROM (
@@ -406,7 +463,7 @@ def _kmeans_iter_sql(prev: str, out: str) -> str:
              PARTITION BY n2.cid
              ORDER BY {_fold_dot_sql('n2.v', 'c.cv')} / (n2.nrm * c.cn) DESC,
                       c.ctr_id ASC) AS rnk
-    FROM n2 CROSS JOIN {prev} c)
+    FROM train n2 CROSS JOIN {prev} c)
   WHERE rnk = 1
 ), {out}_mean AS (
   SELECT cluster AS ctr_id, list(m ORDER BY i) AS mv FROM (
@@ -469,6 +526,7 @@ ANN_IVF_SQL = _IVF_PREFIX_SQL + _ivf_search_sql("cent0")
 
 ANN_IVF_KMEANS_SQL = (
     _IVF_PREFIX_SQL
+    + _TRAIN_SAMPLE_SQL
     + "".join(
         _kmeans_iter_sql(f"cent{t}", f"cent{t + 1}") for t in range(KMEANS_ITERS)
     )
