@@ -78,6 +78,12 @@ from duckdb_behavioral_spark.functions import novelty as NV
 from duckdb_behavioral_spark.operators import session_cap as SHC
 from duckdb_behavioral_spark.functions import drift as DR
 from duckdb_behavioral_spark.functions import repeat as RPT
+from duckdb_behavioral_spark.functions import sweep as SW
+from duckdb_behavioral_spark.functions import backlog as BLG
+from duckdb_behavioral_spark.functions import brandshare as BS
+from duckdb_behavioral_spark.functions import norm_deciles as ND
+from duckdb_behavioral_spark.functions import streaks as STK
+from duckdb_behavioral_spark.functions import mad as MAD
 from duckdb_behavioral_spark.functions import confusion as CF
 
 EXT_QUERIES = {
@@ -194,6 +200,12 @@ EXT_QUERIES = {
     "dq_schema_drift": DR.q_dq_schema_drift,
     "orders_repeat_rate": RPT.q_orders_repeat_rate,
     "corpus_langid_confusion": CF.q_corpus_langid_confusion,
+    "dedup_threshold_sweep": SW.q_dedup_threshold_sweep,
+    "orders_backlog_daily": BLG.q_orders_backlog_daily,
+    "part_brand_share_top_other": BS.q_part_brand_share_top_other,
+    "embedding_norm_deciles": ND.q_embedding_norm_deciles,
+    "user_visit_streaks": STK.q_user_visit_streaks,
+    "events_anomaly_mad": MAD.q_events_anomaly_mad,
     "table_profile": PF.q_table_profile,
     "text_bigram_lm": NL.q_text_bigram_lm,
     "events_value_histogram": HG.q_events_value_histogram,
@@ -362,6 +374,12 @@ EXT_ORACLES = {
     "dq_schema_drift": DR.SCHEMA_DRIFT_SQL,
     "orders_repeat_rate": RPT.REPEAT_RATE_SQL,
     "corpus_langid_confusion": CF.LANGID_CONFUSION_SQL,
+    "dedup_threshold_sweep": SW._sweep_sql(),
+    "orders_backlog_daily": BLG.BACKLOG_SQL,
+    "part_brand_share_top_other": BS.BRAND_SHARE_SQL,
+    "embedding_norm_deciles": ND.NORM_DECILES_SQL,
+    "user_visit_streaks": STK.STREAKS_SQL,
+    "events_anomaly_mad": MAD.ANOMALY_MAD_SQL,
     "table_profile": PF.TABLE_PROFILE_SQL,
     "text_bigram_lm": NL.BIGRAM_LM_SQL,
     "events_value_histogram": HG.VALUE_HISTOGRAM_SQL,

@@ -20,103 +20,64 @@ from __future__ import annotations
 # local-mirror coverage (scripts/driver_mirror.py +
 # tests/test_oracle_parity.py over all declared queries).
 DRIVER_PRIORITY = [
-    # round 7, slot 1: the ONE query that has never had a driver row
-    # (deferred from round 6; locally oracle-proven since)
+    # --- round 8, first driver rows: the six new operators
+    "dedup_threshold_sweep",
+    "orders_backlog_daily",
+    "part_brand_share_top_other",
+    "embedding_norm_deciles",
+    "user_visit_streaks",
+    "events_anomaly_mad",
+    # --- changed in round 8 (shared CC memo; sample-trained IVF
+    # k-means + bounded 'train' oracle CTE) — fresh rows required
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
     "dedup_cluster_sizes",
-    # new in round 7 — first driver rows
-    "bloom_semijoin_pushdown",
-    "split_leakage_audit",
-    "feature_hashing",
-    "target_encoding",
-    "dow_seasonal_profile",
-    "corpus_slice_chi2",
-    "dedup_containment",
-    "search_rrf_fusion",
-    "corpus_oov_rate",
-    "lineitem_price_deciles",
-    "dedup_rate_by_source",
-    "ann_filtered_topk",
     "dedup_canonical_pick",
-    "events_wow_growth",
-    "corpus_curriculum_phases",
-    "user_lifecycle_ledger",
-    "session_hard_cap",
-    "corpus_ngram_novelty",
-    "dq_schema_drift",
-    "orders_repeat_rate",
-    "corpus_langid_confusion",
-    # changed in round 7 (perf reshapes: indexed n-grams, split
-    # profile aggregates, explode fan-out sliding merge) — fresh rows
-    "text_repetition",
-    "table_profile",
-    "sketch_hll_sliding",
-    # changed in round 7 (ADVICE fixes: overflow-safe lift, OLS/ACF
-    # degenerate guards, watermark batch-0 max pinning) — fresh rows
-    "orders_market_basket",
-    "lineitem_price_qty_ols",
-    "events_daily_acf",
-    "streaming_watermark_parity",
-    "streaming_cdc_parity",
-    # round-6 rotation continues (latest-checked r05/r06 history)
-    "tpch_q9_profit",
-    "tpch_q12_late_lines",
-    "tpch_q16_supplier_counts",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q20_promotion_suppliers",
-    # changed in round 6 (cross-engine decimal-division fix) — fresh rows
-    "tpch_q8_market_share",
-    "tpch_q22_idle_balances",
-    # new in round 6 — pipeline/warehouse additions
-    "attribution_time_decay",
-    "user_state_scd2",
-    "streaming_scd2_parity",
-    "sketch_bloom_membership",
-    "sample_negatives",
-    # new in round 6, fourth wave — first driver rows (13)
-    "files_compaction_bins",
-    "dq_constraint_audit",
-    "orders_market_basket",
-    "graph_triangle_count",
-    "lineitem_price_qty_ols",
-    "events_daily_acf",
-    "embedding_dim_covariance",
-    "search_phrase_match",
-    "events_median_gap",
-    "customer_revenue_gini",
-    "scd2_snapshot_diff",
-    "streaming_cdc_parity",
-    "streaming_watermark_parity",
-    "text_lm_likelihood",
-    "session_trigrams_topk",
-    "ann_recall_eval",
-    "user_ltv_cohort_curve",
-    "lineitem_abc_classes",
-    "events_type_hhi",
-    # wave 6: Heaps'-law growth curve (dedup_cluster_sizes is the ONE
-    # round-6 row deferred to the next rotation — its expensive
-    # machinery, dedup_clusters, has long driver-green history and the
-    # histogram layer is locally oracle-proven)
-    "corpus_vocab_growth",
-    # new in round 6, second wave — first driver rows (8)
-    "cdc_merge_users",
-    "events_gapfill_locf",
-    "table_profile",
-    "text_bigram_lm",
-    "events_value_histogram",
-    "search_inverted_postings",
-    "sketch_hll_sliding",
-    "streaming_bloom_parity",
-    "scd2_point_in_time",
-    "events_salted_join",
-    "events_rollup_cascade",
-    "events_zorder_cells",
-    "streaming_hll_parity",
-    "multimodal_binaryfile_ingest",
-    # new in round 6, third wave — first driver rows (4)
-    "dedup_fuzzy_titles",
-    "events_time_weighted_avg",
-    "events_cusum_daily",
-    "events_user_churn",
+    "split_leakage_audit",
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_topk",
+    # --- freshness rotation: the 8 core q-rows last checked in r03 —
+    # the engine's namesake operators (pattern executor, funnel modes,
+    # next-node) deserve recent driver rows
+    "q5_sequence_match_adjacent",
+    "q7_sequence_count",
+    "q9_next_node_forward",
+    "q10_next_node_backward",
+    "q13_funnel_strict",
+    "q14_funnel_strict_order",
+    "q15_funnel_timestamp_dedup",
+    "q16_funnel_allow_reentry",
+    # --- the other 20 rows whose latest driver check is r03
+    "ann_lsh_buckets",
+    "chunk_documents",
+    "corpus_topk_terms",
+    "dedup_embedding_cosine",
+    "dedup_simhash",
+    "embedding_quantize",
+    "multimodal_bmp_decode",
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_wav_decode",
+    "pack_sequences",
+    "sample_per_stratum_topk",
+    "sample_stratified",
+    "sketch_hll",
+    "sketch_kmv_overlap",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality",
+    "text_scrub_pii",
+    "text_token_stats",
+    # --- oldest r04 rows fill the remaining window slots
+    "q17_session_quantiles",
+    "ab_funnel_significance",
+    "attribution_last_touch",
+    "cohort_funnel",
+    "events_pct_of_total",
+    "retention_report",
+    "funnel_step_timings",
+    "corpus_doc_rarity",
+    "customers_inactive_antijoin",
 ]
 
 

@@ -24,6 +24,15 @@ SINGLE_PARTITION_OK = {
     # decile cumsum: the global window's input is the 10-row decile
     # aggregate (N_DECILES constant), not data-sized
     "corpus_vocab_growth": "constant-arity decile cumsum",
+    # backlog prefix-sum: serial stage folds one row per distinct
+    # change day — calendar-bounded, after the per-day delta aggregate
+    "orders_backlog_daily": "calendar-grain prefix sum",
+    # exact median/MAD rankings run over the per-day aggregate
+    # (calendar-bounded), never over raw events
+    "events_anomaly_mad": "calendar-grain exact medians",
+    # ranking window input is the per-brand aggregate — bounded by the
+    # brand domain (25 in TPC-H), not the fact table
+    "part_brand_share_top_other": "brand-domain-bounded ranking",
 }
 
 BATCH_QUERIES = sorted(

@@ -1,0 +1,237 @@
+"""Unit + randomized brute-force tests for the round-8 operators:
+threshold sweep, daily backlog, brand top-N/OTHER rollup, norm
+deciles, visit streaks, MAD anomalies. Hand-built edge inputs plus
+hash-random cross-checks (no rand(); reproducible)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+
+def _hash32(*xs):
+    h = 2166136261
+    for x in xs:
+        for b in str(x).encode():
+            h = ((h ^ b) * 16777619) & 0xFFFFFFFF
+    return h
+
+
+# --- dedup_threshold_sweep --------------------------------------------------
+
+
+def test_threshold_sweep_boundaries_and_distinct_docs(spark):
+    from duckdb_behavioral_spark.functions.sweep import dedup_threshold_sweep
+
+    # jaccard permille: (1,2)=600 exactly, (1,3)=700 exactly,
+    # (2,3)=1000, (4,5)=899 (just under 900)
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, 6, 10),
+            (1, 3, 7, 10),
+            (2, 3, 5, 5),
+            (4, 5, 899, 1000),
+        ],
+        "doc_a long, doc_b long, n_inter long, n_union long",
+    )
+    got = {
+        r["threshold_permille"]: (r["n_pairs"], r["n_docs"])
+        for r in dedup_threshold_sweep(None, pairs=pairs).collect()
+    }
+    # >= comparisons are exact rationals: 600 keeps all 4 pairs
+    assert got[600] == (4, 5)
+    assert got[700] == (3, 5)  # drops (1,2); docs {1,3,2,4,5}
+    assert got[800] == (2, 4)  # keeps (2,3),(4,5)
+    assert got[900] == (1, 2)  # 899 < 900 drops (4,5)
+
+
+# --- orders_backlog_daily ---------------------------------------------------
+
+
+def _d(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_backlog_overlap_and_same_day_close(spark):
+    from duckdb_behavioral_spark.functions.backlog import orders_backlog_daily
+
+    orders = spark.createDataFrame(
+        [
+            (1, _d("2024-01-01")),
+            (2, _d("2024-01-02")),
+            (3, _d("2024-01-10")),  # opens and ships same day
+        ],
+        "o_orderkey long, o_orderdate timestamp",
+    )
+    lineitem = spark.createDataFrame(
+        [
+            (1, _d("2024-01-03")),
+            (1, _d("2024-01-05")),  # order 1 open 01..05
+            (2, _d("2024-01-04")),  # order 2 open 02..04
+            (3, _d("2024-01-10")),
+        ],
+        "l_orderkey long, l_shipdate timestamp",
+    )
+    got = {
+        str(r["day"]): r["n_open"]
+        for r in orders_backlog_daily(orders, lineitem).collect()
+    }
+    assert got == {
+        "2024-01-01": 1,
+        "2024-01-02": 2,
+        "2024-01-05": 1,  # order 2 closed 01-04, so drops on 01-05
+        "2024-01-06": 0,
+        "2024-01-10": 1,
+        "2024-01-11": 0,
+    }
+
+
+def test_backlog_vs_bruteforce_random(spark):
+    from duckdb_behavioral_spark.functions.backlog import orders_backlog_daily
+
+    base = datetime.date(2024, 1, 1)
+    orders, lines, spans = [], [], {}
+    for k in range(60):
+        s = _hash32("s", k) % 40
+        orders.append((k, _d(str(base + datetime.timedelta(days=s)))))
+        last = s
+        for j in range(_hash32("n", k) % 3 + 1):
+            e = s + _hash32("e", k, j) % 15
+            last = max(last, e)
+            lines.append((k, _d(str(base + datetime.timedelta(days=e)))))
+        spans[k] = (s, last)
+    got = {
+        str(r["day"]): r["n_open"]
+        for r in orders_backlog_daily(
+            spark.createDataFrame(orders, "o_orderkey long, o_orderdate timestamp"),
+            spark.createDataFrame(lines, "l_orderkey long, l_shipdate timestamp"),
+        ).collect()
+    }
+    # brute force: count open orders on every change day
+    days = sorted({s for s, _ in spans.values()} | {e + 1 for _, e in spans.values()})
+    for d in days:
+        expect = sum(1 for s, e in spans.values() if s <= d <= e)
+        assert got[str(base + datetime.timedelta(days=d))] == expect
+    assert len(got) == len(days)
+
+
+# --- part_brand_share_top_other ---------------------------------------------
+
+
+def test_brand_share_top_other_rollup(spark):
+    from duckdb_behavioral_spark.functions.brandshare import brand_share_top_other
+
+    part = spark.createDataFrame(
+        [(i, f"B{i:02d}") for i in range(8)], "p_partkey long, p_brand string"
+    )
+    # brand i revenue = (i+1) * 100.00, no discount
+    li = spark.createDataFrame(
+        [(i, float((i + 1) * 100), 0.0) for i in range(8)],
+        "l_partkey long, l_extendedprice double, l_discount double",
+    )
+    rows = brand_share_top_other(li, part).collect()
+    by = {r["brand_group"]: r for r in rows}
+    assert set(by) == {"B07", "B06", "B05", "B04", "B03", "OTHER"}
+    assert by["OTHER"]["n_brands"] == 3  # B00..B02
+    assert by["OTHER"]["revenue_cents"] == (100 + 200 + 300) * 100
+    assert by["B07"]["revenue_cents"] == 800 * 100
+    total = sum(r["revenue_cents"] for r in rows)
+    assert by["B07"]["share_permille"] == 800 * 100 * 1000 // total
+
+
+# --- embedding_norm_deciles -------------------------------------------------
+
+
+def test_norm_deciles_exact_bounds_and_zero_vector(spark):
+    from duckdb_behavioral_spark.functions.norm_deciles import (
+        embedding_norm_deciles,
+    )
+
+    rows = [(i, [float(i), 0.0]) for i in range(20)]  # norms 0..19
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["decile"]: r for r in embedding_norm_deciles(emb).collect()}
+    assert len(got) == 10 and all(got[d]["n_rows"] == 2 for d in got)
+    assert got[0]["lo_norm_micro"] == 0  # zero-norm vector kept
+    assert got[0]["hi_norm_micro"] == 1_000_000
+    assert got[9]["hi_norm_micro"] == 19_000_000
+
+
+# --- user_visit_streaks -----------------------------------------------------
+
+
+def test_visit_streaks_gaps_islands_and_dups(spark):
+    from duckdb_behavioral_spark.functions.streaks import user_visit_streaks
+
+    rows = []
+    # user 1: days 1,2,3 then 7,8 -> longest 3; duplicate events one day
+    for d in (1, 2, 3, 3, 7, 8):
+        rows.append((1, _d(f"2024-03-{d:02d}")))
+    # user 2: single day -> longest 1
+    rows.append((2, _d("2024-03-05")))
+    # user 3: 10..14 -> longest 5
+    for d in range(10, 15):
+        rows.append((3, _d(f"2024-03-{d:02d}")))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r["streak_days"]: r["n_users"] for r in user_visit_streaks(ev).collect()}
+    assert got == {1: 1, 3: 1, 5: 1}
+
+
+def test_visit_streaks_vs_bruteforce_random(spark):
+    from duckdb_behavioral_spark.functions.streaks import user_visit_streaks
+
+    base = datetime.date(2024, 1, 1)
+    rows, by_user = [], {}
+    for u in range(50):
+        days = sorted({_hash32("d", u, i) % 30 for i in range(_hash32("n", u) % 12 + 1)})
+        by_user[u] = days
+        for d in days:
+            # two events per day: duplicates must not break streaks
+            rows.append((u, _d(str(base + datetime.timedelta(days=d))) ))
+            rows.append((u, _d(str(base + datetime.timedelta(days=d))) ))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r["streak_days"]: r["n_users"] for r in user_visit_streaks(ev).collect()}
+    expect = {}
+    for u, days in by_user.items():
+        best = run = 1
+        for a, b in zip(days, days[1:]):
+            run = run + 1 if b == a + 1 else 1
+            best = max(best, run)
+        expect[best] = expect.get(best, 0) + 1
+    assert got == expect
+
+
+# --- events_anomaly_mad -----------------------------------------------------
+
+
+def _events_for_daily(spark, counts):
+    rows = []
+    eid = 0
+    for d, c in counts.items():
+        for _ in range(c):
+            rows.append((eid, _d(f"2024-02-{d:02d} 12:00:00")))
+            eid += 1
+    return spark.createDataFrame(rows, "event_id long, ts timestamp")
+
+
+def test_anomaly_mad_flags_outlier(spark):
+    from duckdb_behavioral_spark.functions.mad import events_anomaly_mad
+
+    counts = {1: 10, 2: 11, 3: 9, 4: 10, 5: 12, 6: 10, 7: 90}
+    got = {str(r["day"]): r for r in events_anomaly_mad(
+        _events_for_daily(spark, counts)).collect()}
+    # sorted counts: 9,10,10,10,11,12,90 -> lower median rank 4 = 10
+    # deviations: 1,0,0,0,1,2,80 sorted 0,0,0,1,1,2,80 -> MAD = 1
+    assert got["2024-02-07"]["abs_dev"] == 80
+    assert got["2024-02-07"]["is_anomaly"] == 1
+    assert sum(r["is_anomaly"] for r in got.values()) == 1
+
+
+def test_anomaly_mad_zero_mad_degenerate(spark):
+    from duckdb_behavioral_spark.functions.mad import events_anomaly_mad
+
+    # >half the days share the count -> MAD 0; gate uses max(mad,1):
+    # dev 2 is NOT an anomaly (2 <= 3), dev 4 is
+    counts = {1: 10, 2: 10, 3: 10, 4: 10, 5: 12, 6: 14}
+    got = {str(r["day"]): r["is_anomaly"] for r in events_anomaly_mad(
+        _events_for_daily(spark, counts)).collect()}
+    assert got["2024-02-05"] == 0
+    assert got["2024-02-06"] == 1
