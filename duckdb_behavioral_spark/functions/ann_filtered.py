@@ -10,9 +10,11 @@ vectors BEFORE any distance arithmetic runs, instead of a
 nested-loop distance pass followed by a post-filter. At 100 TB with
 a selective label predicate this is the difference between scanning
 the corpus and scanning the slice; with label-partitioned parquet
-the filter would further prune at the scan (partition pruning — the
-loader here reads one file, so the join-key form is the operative
-device).
+the filter additionally prunes at the SCAN — demonstrated by
+``sources.bucketing.load_label_partitioned_embeddings`` and
+plan-asserted (PartitionFilters) in tests/test_bucketing.py. The
+single-file testdata loader keeps the join-key form as the operative
+device.
 
 Cross-engine determinism: same left-to-right fold dot/norm as
 ``ann_cosine_topk`` (functions/similarity.py) — IEEE doubles are

@@ -74,3 +74,36 @@ def load_bucketed_events(
             buckets=buckets,
         )
     return spark.table(table)
+
+
+def load_label_partitioned_embeddings(
+    spark: SparkSession, sf_dir: str, path: str | None = None
+) -> DataFrame:
+    """Load embeddings as a hive-partitioned layout (one directory per
+    ``label``), writing it on first use — the 100 TB layout for
+    label-filtered retrieval (``ann_filtered_topk``): a query slice's
+    ``label = N`` predicate prunes at the SCAN (PartitionFilters), so
+    non-matching vectors are never read, on top of the broadcast-hash
+    label join that prunes before distance arithmetic.
+
+    Idempotent per warehouse dir: the partitioned copy is written once
+    and reused (written under the session's warehouse unless ``path``
+    overrides). tests/test_bucketing.py plan-asserts the pruning.
+    """
+    import os
+    import re
+
+    if path is None:
+        tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir).strip("_")
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        path = f"{wh}/embeddings_bylabel_{tag}"
+    if not os.path.exists(path):
+        from duckdb_behavioral_spark.sources import load_table
+
+        (
+            load_table(spark, sf_dir, "embeddings")
+            .write.mode("overwrite")
+            .partitionBy("label")
+            .parquet(path)
+        )
+    return spark.read.parquet(path)

@@ -96,3 +96,43 @@ def test_env_gate_routes_suite_through_buckets(spark, sf_dir, monkeypatch):
     assert "Exchange" not in _executed_plan(f)
     assert sorted(map(tuple, s.collect())) == plain["q1"]
     assert sorted(map(tuple, f.collect())) == plain["q3"]
+
+
+# --- label-partitioned embeddings: scan-level pruning for filtered ANN ------
+
+
+@pytest.fixture(scope="module")
+def label_partitioned(spark, sf_dir, tmp_path_factory):
+    from duckdb_behavioral_spark.sources.bucketing import (
+        load_label_partitioned_embeddings,
+    )
+
+    path = str(tmp_path_factory.mktemp("bylabel") / "embeddings_bylabel")
+    return load_label_partitioned_embeddings(spark, sf_dir, path=path)
+
+
+def test_label_filter_prunes_partitions_at_scan(label_partitioned):
+    sliced = label_partitioned.where(F.col("label") == 3)
+    plan = sliced._jdf.queryExecution().executedPlan().toString()
+    # the predicate must land in PartitionFilters (directory pruning),
+    # not as a post-scan Filter over all rows
+    assert "PartitionFilters" in plan, plan
+    lo = plan.index("PartitionFilters")
+    hi = plan.index("]", lo)
+    assert "label" in plan[lo:hi], plan[lo:hi]
+
+
+def test_filtered_ann_identical_on_partitioned_layout(
+    spark, sf_dir, label_partitioned
+):
+    from duckdb_behavioral_spark.functions.ann_filtered import ann_filtered_topk
+    from duckdb_behavioral_spark.sources import load_table
+
+    plain = ann_filtered_topk(load_table(spark, sf_dir, "embeddings"))
+    parted = ann_filtered_topk(
+        # partitionBy moves `label` to the end; restore column order
+        label_partitioned.select("vec_id", "embedding", "label")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, parted.collect())
+    )
