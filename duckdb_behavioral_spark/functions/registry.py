@@ -84,6 +84,10 @@ from duckdb_behavioral_spark.functions import brandshare as BS
 from duckdb_behavioral_spark.functions import norm_deciles as ND
 from duckdb_behavioral_spark.functions import streaks as STK
 from duckdb_behavioral_spark.functions import mad as MAD
+from duckdb_behavioral_spark.functions import stickiness as STY
+from duckdb_behavioral_spark.functions import gaphist as GH
+from duckdb_behavioral_spark.functions import reorder as RO
+from duckdb_behavioral_spark.functions import hamming as HM
 from duckdb_behavioral_spark.functions import confusion as CF
 
 EXT_QUERIES = {
@@ -206,6 +210,10 @@ EXT_QUERIES = {
     "embedding_norm_deciles": ND.q_embedding_norm_deciles,
     "user_visit_streaks": STK.q_user_visit_streaks,
     "events_anomaly_mad": MAD.q_events_anomaly_mad,
+    "events_dau_mau_stickiness": STY.q_events_dau_mau_stickiness,
+    "events_gap_digits_histogram": GH.q_events_gap_digits_histogram,
+    "orders_reorder_quartiles": RO.q_orders_reorder_quartiles,
+    "dedup_simhash_hamming_hist": HM.q_dedup_simhash_hamming_hist,
     "table_profile": PF.q_table_profile,
     "text_bigram_lm": NL.q_text_bigram_lm,
     "events_value_histogram": HG.q_events_value_histogram,
@@ -380,6 +388,10 @@ EXT_ORACLES = {
     "embedding_norm_deciles": ND.NORM_DECILES_SQL,
     "user_visit_streaks": STK.STREAKS_SQL,
     "events_anomaly_mad": MAD.ANOMALY_MAD_SQL,
+    "events_dau_mau_stickiness": STY.STICKINESS_SQL,
+    "events_gap_digits_histogram": GH.GAP_DIGITS_SQL,
+    "orders_reorder_quartiles": RO.REORDER_QUARTILES_SQL,
+    "dedup_simhash_hamming_hist": HM._hamming_sql(),
     "table_profile": PF.TABLE_PROFILE_SQL,
     "text_bigram_lm": NL.BIGRAM_LM_SQL,
     "events_value_histogram": HG.VALUE_HISTOGRAM_SQL,

@@ -27,6 +27,10 @@ DRIVER_PRIORITY = [
     "embedding_norm_deciles",
     "user_visit_streaks",
     "events_anomaly_mad",
+    "events_dau_mau_stickiness",
+    "events_gap_digits_histogram",
+    "orders_reorder_quartiles",
+    "dedup_simhash_hamming_hist",
     # --- changed in round 8 (shared CC memo; sample-trained IVF
     # k-means + bounded 'train' oracle CTE) — fresh rows required
     "dedup_ngram_jaccard",
@@ -74,10 +78,6 @@ DRIVER_PRIORITY = [
     "attribution_last_touch",
     "cohort_funnel",
     "events_pct_of_total",
-    "retention_report",
-    "funnel_step_timings",
-    "corpus_doc_rarity",
-    "customers_inactive_antijoin",
 ]
 
 

@@ -28,9 +28,11 @@ from scale_probe_docs import build_spark, synthesize
 BASE = "/tmp/scale_probe_r8"
 
 
-def _run(out, name, df):
+def _run(out, name, build):
+    # build INSIDE the timer: operators with eager checkpoints
+    # (connected components) execute work at DataFrame construction
     t0 = time.time()
-    df.write.format("noop").mode("overwrite").save()
+    build().write.format("noop").mode("overwrite").save()
     out[name] = round(time.time() - t0, 2)
     print(f"    {name}: {out[name]}s", flush=True)
 
@@ -42,9 +44,9 @@ def probe_docs(spark, path):
 
     docs = spark.read.parquet(path)
     out = {}
-    _run(out, "ngram_novelty", ngram_novelty(docs))
-    _run(out, "threshold_sweep", dedup_threshold_sweep(docs))
-    _run(out, "canonical_pick", dedup_canonical_pick(docs))
+    _run(out, "ngram_novelty", lambda: ngram_novelty(docs))
+    _run(out, "threshold_sweep", lambda: dedup_threshold_sweep(docs))
+    _run(out, "canonical_pick", lambda: dedup_canonical_pick(docs))
     return out
 
 
@@ -68,8 +70,8 @@ def probe_events(spark, path):
 
     ev = spark.read.parquet(path)
     out = {}
-    _run(out, "visit_streaks", user_visit_streaks(ev))
-    _run(out, "anomaly_mad", events_anomaly_mad(ev))
+    _run(out, "visit_streaks", lambda: user_visit_streaks(ev))
+    _run(out, "anomaly_mad", lambda: events_anomaly_mad(ev))
     return out
 
 
@@ -101,7 +103,7 @@ def probe_orders(spark, n, path):
     _run(
         out,
         "backlog_daily",
-        orders_backlog_daily(
+        lambda: orders_backlog_daily(
             spark.read.parquet(f"{path}/o"), spark.read.parquet(f"{path}/l")
         ),
     )

@@ -235,3 +235,123 @@ def test_anomaly_mad_zero_mad_degenerate(spark):
         _events_for_daily(spark, counts)).collect()}
     assert got["2024-02-05"] == 0
     assert got["2024-02-06"] == 1
+
+
+# --- events_dau_mau_stickiness ------------------------------------------------
+
+
+def test_dau_mau_stickiness_exact_window(spark):
+    from duckdb_behavioral_spark.functions.stickiness import dau_mau_stickiness
+
+    # user 1 visits day 1; user 2 visits days 1 and 30 (outside the
+    # 28-day window of day 1's contribution by day 30? day 1
+    # contributes to MAU days 1..28, so day 30's MAU sees only day 30)
+    rows = [
+        (1, _d("2024-01-01")),
+        (2, _d("2024-01-01")),
+        (2, _d("2024-01-30")),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {str(r["day"]): r for r in dau_mau_stickiness(ev).collect()}
+    assert set(got) == {"2024-01-01", "2024-01-30"}
+    assert (got["2024-01-01"]["dau"], got["2024-01-01"]["mau"]) == (2, 2)
+    # day 30: only user 2's day-30 visit is inside the trailing window
+    assert (got["2024-01-30"]["dau"], got["2024-01-30"]["mau"]) == (1, 1)
+    assert got["2024-01-01"]["stickiness_permille"] == 1000
+
+
+def test_dau_mau_stickiness_vs_bruteforce_random(spark):
+    from duckdb_behavioral_spark.functions.stickiness import (
+        MAU_DAYS,
+        dau_mau_stickiness,
+    )
+
+    base = datetime.date(2024, 1, 1)
+    visits = set()
+    for u in range(30):
+        for i in range(_hash32("n", u) % 10 + 1):
+            visits.add((u, _hash32("d", u, i) % 60))
+    ev = spark.createDataFrame(
+        [(u, _d(str(base + datetime.timedelta(days=d)))) for u, d in visits],
+        "user_id long, ts timestamp",
+    )
+    got = {str(r["day"]): (r["dau"], r["mau"]) for r in dau_mau_stickiness(ev).collect()}
+    days_visited = sorted({d for _, d in visits})
+    for d in days_visited:
+        dau = len({u for u, vd in visits if vd == d})
+        mau = len({u for u, vd in visits if d - MAU_DAYS < vd <= d})
+        assert got[str(base + datetime.timedelta(days=d))] == (dau, mau)
+    assert len(got) == len(days_visited)
+
+
+# --- events_gap_digits_histogram ----------------------------------------------
+
+
+def test_gap_digits_buckets(spark):
+    from duckdb_behavioral_spark.functions.gaphist import gap_digits_histogram
+
+    # user 1 events at t=0, 0, 5, 105 -> gaps 0, 5, 100 -> digits 0,1,3
+    rows = [(1, 0, 1), (2, 0, 1), (3, 5, 1), (4, 105, 1)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, t long, user_id long"
+    ).select("event_id", F.timestamp_seconds("t").alias("ts"), "user_id")
+    got = {r["gap_digits"]: r for r in gap_digits_histogram(ev).collect()}
+    assert set(got) == {0, 1, 3}
+    assert got[0]["n_gaps"] == 1 and got[0]["max_gap_s"] == 0
+    assert got[1]["n_gaps"] == 1 and got[1]["min_gap_s"] == 5
+    assert got[3]["min_gap_s"] == 100
+
+
+# --- orders_reorder_quartiles ---------------------------------------------------
+
+
+def test_reorder_quartiles_exact(spark):
+    from duckdb_behavioral_spark.functions.reorder import reorder_quartiles
+
+    # one customer, orders on days 0,1,3,7,15,31 -> gaps 1,2,4,8,16
+    base = datetime.date(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [
+            (k, 1, _d(str(base + datetime.timedelta(days=d))))
+            for k, d in enumerate([0, 1, 3, 7, 15, 31])
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    got = {r["quartile"]: r for r in reorder_quartiles(orders).collect()}
+    # 5 gaps over 4 bins: ranks 1..5 -> bins 0,0,1,2,3
+    assert got[0]["n_gaps"] == 2 and got[0]["lo_days"] == 1 and got[0]["hi_days"] == 2
+    assert got[1]["lo_days"] == 4
+    assert got[3]["hi_days"] == 16
+    assert got[3]["sum_days"] == 16
+
+
+# --- dedup_simhash_hamming_hist -------------------------------------------------
+
+
+def test_hamming_hist_identical_docs_distance_zero(spark):
+    from duckdb_behavioral_spark.functions.hamming import simhash_hamming_hist
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "entirely different words compose this text body here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["hamming"]: r["n_pairs"] for r in simhash_hamming_hist(docs).collect()}
+    # identical docs -> identical simhash -> distance 0, found via bands
+    assert got.get(0, 0) >= 1
+
+
+def test_hamming_hist_counts_each_pair_once(spark):
+    from duckdb_behavioral_spark.functions.hamming import simhash_hamming_hist
+
+    # identical docs share ALL 4 bands; the distinct must collapse the
+    # 4 band hits into ONE pair
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    got = {r["hamming"]: r["n_pairs"] for r in simhash_hamming_hist(docs).collect()}
+    assert got == {0: 1}
