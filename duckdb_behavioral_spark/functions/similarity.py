@@ -303,6 +303,8 @@ def _lloyd_rounds(e: DataFrame, n_iter: int) -> dict:
         .select("__h", "cid", "v", "nrm")
         .collect()  # bounded: <= KMEANS_SAMPLE x dim doubles
     )
+    if not rows:  # empty corpus: no centroids, downstream stays empty
+        return {}
     rows.sort(key=lambda r: (r["__h"], r["cid"]))
     # seed = the first NCENT of the SAME ordering == _centroids(e)
     state = {int(r["cid"]): (list(r["v"]), float(r["nrm"])) for r in rows[:NCENT]}

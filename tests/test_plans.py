@@ -140,11 +140,26 @@ def test_ivf_centroids_fixed_size_and_broadcast(spark):
 
     plan = plan_of(S.ann_ivf_topk(_toy_embeddings(spark, 300)))
     assert "BroadcastExchange" in plan  # probe joins broadcast the O(NCENT) table
+    assert "partial_max_by" not in plan
     # round-5 assignment: ONE Arrow-vectorized map pass with the
     # centroid matrix in the UDF closure — no fan-out join, no
-    # max_by collapse, no assignment shuffle at all
-    assert "ArrowEvalPython" in plan
-    assert "partial_max_by" not in plan
+    # max_by collapse, no assignment shuffle at all. The full query
+    # plan hides it behind the round-7 checkpoint barrier (Scan
+    # ExistingRDD), so assert on the assignment stage directly.
+    e = (
+        _toy_embeddings(spark, 300)
+        .select(F.col("vec_id").alias("cid"),
+                F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", S._norm(F.col("v")))
+        .where(F.col("nrm") > 0)
+    )
+    state = {
+        int(r["ctr_id"]): (list(r["cv"]), float(r["cn"]))
+        for r in S._centroids(e).collect()
+    }
+    aplan = plan_of(S._assign_by_rows(e, state))
+    assert "ArrowEvalPython" in aplan
+    assert "Exchange" not in aplan  # zero-shuffle map-side pass
 
 
 # --- round-3 reporting/search layer ---------------------------------------
