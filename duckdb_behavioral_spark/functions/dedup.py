@@ -103,6 +103,15 @@ def verified_pairs_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def simhash_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized ``simhash32`` signatures for a testdata dir:
+    (doc_id, simhash) — shared by ``dedup_simhash`` and the
+    Hamming-band distance histogram."""
+    return _memoized(
+        spark, sf_dir, "simhash", lambda: simhash32(_docs(spark, sf_dir))
+    )
+
+
 def clusters_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized ``dedup_clusters`` output for a testdata dir:
     (doc_id, cluster_id, is_canonical) — built from the memoized
@@ -566,7 +575,7 @@ def q_dedup_minhash_pairs(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    return simhash32(_docs(spark, sf_dir))
+    return simhash_for(spark, sf_dir)
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):

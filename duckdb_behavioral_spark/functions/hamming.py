@@ -31,11 +31,18 @@ N_BANDS = 4  # 8-bit bands over the 32-bit simhash
 HAM_MAX = 8  # report pairs up to this Hamming distance
 
 
-def simhash_hamming_hist(docs: DataFrame) -> DataFrame:
-    """(hamming, n_pairs) over byte-band candidate pairs, d <= HAM_MAX."""
+def simhash_hamming_hist(docs: DataFrame, sig: DataFrame | None = None) -> DataFrame:
+    """(hamming, n_pairs) over byte-band candidate pairs, d <= HAM_MAX.
+
+    ``sig`` lets callers supply precomputed (doc_id, simhash)
+    signatures — e.g. the per-session memo shared with
+    ``dedup_simhash``."""
     from duckdb_behavioral_spark.functions.dedup import simhash32
 
-    sig = simhash32(docs).localCheckpoint(eager=False)  # two join sides
+    if sig is None:
+        # two join sides would re-run the signature pipeline — barrier
+        # it; a supplied sig (the parquet memo) is already a plain scan
+        sig = simhash32(docs).localCheckpoint(eager=False)
     banded = sig.select(
         "doc_id",
         "simhash",
@@ -80,9 +87,12 @@ def simhash_hamming_hist(docs: DataFrame) -> DataFrame:
 
 
 def q_dedup_simhash_hamming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_behavioral_spark.functions.dedup import simhash_for
     from duckdb_behavioral_spark.sources import load_table
 
-    return simhash_hamming_hist(load_table(spark, sf_dir, "documents"))
+    return simhash_hamming_hist(
+        load_table(spark, sf_dir, "documents"), sig=simhash_for(spark, sf_dir)
+    )
 
 
 def _hamming_sql() -> str:
