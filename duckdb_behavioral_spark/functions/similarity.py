@@ -279,14 +279,17 @@ def kmeans_centroids(e: DataFrame, n_iter: int = KMEANS_ITERS) -> DataFrame:
 
 def _dec10(x: float) -> int:
     """``CAST(x AS DECIMAL(30,10))`` as a scaled int: both engines
-    quantize the double's shortest decimal repr to 10 fractional
-    digits, round-half-up (Spark's Decimal.set goes through
-    ``BigDecimal.valueOf`` = ``Double.toString``; ``repr(x)`` is the
-    same shortest repr)."""
+    quantize the double's EXACT binary value to 10 fractional digits,
+    round-half-up. ``Decimal(x)`` is that exact value; a shortest-repr
+    construction (``Decimal(repr(x))``) disagrees by one ulp on
+    full-precision doubles whose exact expansion and shortest repr
+    straddle a rounding boundary (caught by
+    tests/test_round8_random2.py's 300-double property check against
+    both engines' casts)."""
     from decimal import ROUND_HALF_UP, Decimal
 
     return int(
-        Decimal(repr(x)).quantize(Decimal("1e-10"), rounding=ROUND_HALF_UP).scaleb(10)
+        Decimal(x).quantize(Decimal("1e-10"), rounding=ROUND_HALF_UP).scaleb(10)
     )
 
 
