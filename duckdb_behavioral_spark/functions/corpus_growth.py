@@ -145,10 +145,10 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size) once, then derive the doc total from it — otherwise the
     # n_docs scalar branch re-runs the entire CC iteration a second
     # time (sum over sizes == sum(size * n_clusters) over the
-    # histogram, exactly). eager=False: the checkpoint fires at first
-    # action, not at DataFrame construction, so plan-only tooling
-    # (scripts/audit_all_plans.py) never executes the CC pipeline just
-    # to build the plan.
+    # histogram, exactly). eager=False keeps THIS barrier out of
+    # DataFrame construction; note the upstream clusters_for memo
+    # still executes its one-per-session parquet build at first
+    # construction (a deliberate trade — see functions/dedup.py).
     hist = (
         sizes.groupBy(F.col("size").alias("cluster_size"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))

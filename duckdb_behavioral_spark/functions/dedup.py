@@ -87,9 +87,15 @@ def _memoized(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, kind)
     path = _MEMO.get(key)
     if path is None:
+        import atexit
+        import shutil
         import tempfile
 
-        path = tempfile.mkdtemp(prefix=f"dedup_memo_{kind}_") + "/data"
+        base = tempfile.mkdtemp(prefix=f"dedup_memo_{kind}_")
+        # memo files are session-scoped scratch: remove at interpreter
+        # exit so repeated test/bench sessions don't accumulate /tmp
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        path = base + "/data"
         build().write.mode("overwrite").parquet(path)
         _MEMO[key] = path
     return spark.read.parquet(path)

@@ -24,15 +24,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from duckdb_behavioral_spark.functions.timeutil import event_time
-
 __all__ = ["gap_digits_histogram", "q_events_gap_digits_histogram", "GAP_DIGITS_SQL"]
 
 
 def gap_digits_histogram(events: DataFrame) -> DataFrame:
     """(gap_digits, n_gaps, min_gap_s, max_gap_s)."""
-    sec = F.expr("div(unix_micros(ts), 1000000)")
-    base = events.select(
+    sec = F.expr("div(unix_micros(CAST(ts AS TIMESTAMP)), 1000000)")
+    base = events.where(F.col("ts").isNotNull()).select(
         "user_id", sec.alias("__s"), "event_id"
     )
     w = Window.partitionBy("user_id").orderBy("__s", "event_id")
@@ -61,7 +59,8 @@ def q_events_gap_digits_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
 
 GAP_DIGITS_SQL = """
 WITH base AS (
-  SELECT user_id, epoch_us(ts) // 1000000 AS s, event_id FROM events
+  SELECT user_id, epoch_us(ts) // 1000000 AS s, event_id
+  FROM events WHERE ts IS NOT NULL
 ), gaps AS (
   SELECT s - lag(s) OVER (PARTITION BY user_id ORDER BY s, event_id) AS gap_s
   FROM base

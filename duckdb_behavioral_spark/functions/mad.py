@@ -33,7 +33,8 @@ MAD_K = 3  # flag days beyond K robust deviations
 def events_anomaly_mad(events: DataFrame) -> DataFrame:
     """(day, n_events, abs_dev, is_anomaly) for every day."""
     daily = (
-        events.select(F.to_date(event_time(F.col("ts"))).alias("day"))
+        events.where(F.col("ts").isNotNull())  # NULL-free output contract
+        .select(F.to_date(event_time(F.col("ts"))).alias("day"))
         .groupBy("day")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
@@ -96,7 +97,7 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANOMALY_MAD_SQL = f"""
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events
-  FROM events GROUP BY 1
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
 ), med AS (
   SELECT n_events AS m FROM (
     SELECT n_events,

@@ -269,8 +269,11 @@ def kmeans_centroids(e: DataFrame, n_iter: int = KMEANS_ITERS) -> DataFrame:
     that end up empty (or with a zero-norm mean, whose cosine is
     undefined) keep their previous centroid.
     """
-    spark = e.sparkSession
-    state = _lloyd_rounds(e, n_iter)
+    return _state_df(e.sparkSession, _lloyd_rounds(e, n_iter))
+
+
+def _state_df(spark: SparkSession, state: dict) -> DataFrame:
+    """Driver-held centroid state -> (ctr_id, cv, cn) DataFrame."""
     return spark.createDataFrame(
         [(cid, cv, cn) for cid, (cv, cn) in sorted(state.items())],
         "ctr_id long, cv array<double>, cn double",
@@ -386,10 +389,7 @@ def ann_ivf_topk(
         # sample training — feed the assignment kernel directly, no
         # round-trip through a DataFrame + re-collect
         state = _lloyd_rounds(e, KMEANS_ITERS)
-        cent = e.sparkSession.createDataFrame(
-            [(cid, cv, cn) for cid, (cv, cn) in sorted(state.items())],
-            "ctr_id long, cv array<double>, cn double",
-        )
+        cent = _state_df(e.sparkSession, state)
         assigned = _assign_by_rows(e, state).localCheckpoint(eager=False)
     else:
         cent = _centroids(e)

@@ -97,7 +97,9 @@ def load_label_partitioned_embeddings(
         tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir).strip("_")
         wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
         path = f"{wh}/embeddings_bylabel_{tag}"
-    if not os.path.exists(path):
+    # gate on the _SUCCESS marker, not the directory: a crashed partial
+    # write must be rebuilt, never silently reused as a truncated corpus
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
         from duckdb_behavioral_spark.sources import load_table
 
         (

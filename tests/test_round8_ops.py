@@ -355,3 +355,33 @@ def test_hamming_hist_counts_each_pair_once(spark):
     )
     got = {r["hamming"]: r["n_pairs"] for r in simhash_hamming_hist(docs).collect()}
     assert got == {0: 1}
+
+
+def test_anomaly_mad_and_gaphist_drop_null_ts(spark):
+    # NULL-ts events must not emit a NULL day row (mad) or donate a
+    # NULL lag neighbor under engine-specific NULL ordering (gaphist)
+    from duckdb_behavioral_spark.functions.gaphist import gap_digits_histogram
+    from duckdb_behavioral_spark.functions.mad import events_anomaly_mad
+
+    ev = spark.createDataFrame(
+        [(1, _d("2024-02-01 10:00:00"), 1), (2, None, 1),
+         (3, _d("2024-02-01 10:00:05"), 1)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    mad_rows = events_anomaly_mad(ev).collect()
+    assert [str(r["day"]) for r in mad_rows] == ["2024-02-01"]
+    assert mad_rows[0]["n_events"] == 2
+    gh = {r["gap_digits"]: r["n_gaps"] for r in gap_digits_histogram(ev).collect()}
+    assert gh == {1: 1}  # the single 5s gap; NULL ts contributes nothing
+
+
+def test_gaphist_accepts_ntz_timestamps(spark):
+    # library contract: operators accept TIMESTAMP_NTZ inputs
+    from duckdb_behavioral_spark.functions.gaphist import gap_digits_histogram
+
+    ev = spark.createDataFrame(
+        [(1, _d("2024-02-01 10:00:00"), 1), (2, _d("2024-02-01 10:00:07"), 1)],
+        "event_id long, ts timestamp_ntz, user_id long",
+    )
+    got = {r["gap_digits"]: r["n_gaps"] for r in gap_digits_histogram(ev).collect()}
+    assert got == {1: 1}
