@@ -87,9 +87,11 @@ def bloom_prefilter(fact: DataFrame, fact_key: str, keys: DataFrame, key: str) -
     arr = F.array(*[F.lit(w).cast("long") for w in words])  # constant-folded
     # Collision-safe scratch names: suffix until nothing in the fact
     # schema matches (withColumn would silently REPLACE a same-named
-    # caller column, corrupting its data on the drop below).
+    # caller column, corrupting its data on the drop below). Compare
+    # lower-cased: Spark resolves withColumn/drop case-INsensitively
+    # by default, so a caller column `__BW` would also be replaced.
     suffix = ""
-    existing = set(fact.columns)
+    existing = {c.lower() for c in fact.columns}
     while {f"__bw{suffix}", *(f"__p{j}{suffix}" for j in range(BLOOM_K))} & existing:
         suffix += "_"
     bw = f"__bw{suffix}"

@@ -31,7 +31,9 @@ N_BANDS = 4  # 8-bit bands over the 32-bit simhash
 HAM_MAX = 8  # report pairs up to this Hamming distance
 
 
-def simhash_hamming_hist(docs: DataFrame, sig: DataFrame | None = None) -> DataFrame:
+def simhash_hamming_hist(
+    docs: DataFrame | None = None, sig: DataFrame | None = None
+) -> DataFrame:
     """(hamming, n_pairs) over byte-band candidate pairs, d <= HAM_MAX.
 
     ``sig`` lets callers supply precomputed (doc_id, simhash)
@@ -88,11 +90,8 @@ def simhash_hamming_hist(docs: DataFrame, sig: DataFrame | None = None) -> DataF
 
 def q_dedup_simhash_hamming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_behavioral_spark.functions.dedup import simhash_for
-    from duckdb_behavioral_spark.sources import load_table
 
-    return simhash_hamming_hist(
-        load_table(spark, sf_dir, "documents"), sig=simhash_for(spark, sf_dir)
-    )
+    return simhash_hamming_hist(sig=simhash_for(spark, sf_dir))
 
 
 def _hamming_sql() -> str:

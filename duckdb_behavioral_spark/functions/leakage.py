@@ -37,7 +37,9 @@ from duckdb_behavioral_spark.functions.sampling import (
 __all__ = ["split_leakage", "q_split_leakage_audit"]
 
 
-def split_leakage(docs: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+def split_leakage(
+    docs: DataFrame | None = None, pairs: DataFrame | None = None
+) -> DataFrame:
     from duckdb_behavioral_spark.functions.dedup import dedup_ngram_jaccard
 
     if pairs is None:
@@ -77,12 +79,8 @@ def split_leakage(docs: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
 
 def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_behavioral_spark.functions.dedup import verified_pairs_for
-    from duckdb_behavioral_spark.sources import load_table
 
-    return split_leakage(
-        load_table(spark, sf_dir, "documents"),
-        pairs=verified_pairs_for(spark, sf_dir),
-    )
+    return split_leakage(pairs=verified_pairs_for(spark, sf_dir))
 
 
 def _sql_split(expr: str) -> str:

@@ -30,9 +30,11 @@ MAU_DAYS = 28
 
 def dau_mau_stickiness(events: DataFrame) -> DataFrame:
     """(day, dau, mau, stickiness_permille) for every visited day."""
-    visits = events.select(
-        "user_id", F.to_date(event_time(F.col("ts"))).alias("day")
-    ).distinct()
+    visits = (
+        events.where(F.col("ts").isNotNull())  # explicit, not join-incidental
+        .select("user_id", F.to_date(event_time(F.col("ts"))).alias("day"))
+        .distinct()
+    )
     dau = visits.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
     contrib = visits.select(
         "user_id",
@@ -63,7 +65,8 @@ def q_events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STICKINESS_SQL = f"""
 WITH visits AS (
-  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+  FROM events WHERE ts IS NOT NULL
 ), dau AS (
   SELECT day, CAST(count(*) AS BIGINT) AS dau FROM visits GROUP BY day
 ), contrib AS (

@@ -24,9 +24,11 @@ __all__ = ["user_visit_streaks", "q_user_visit_streaks", "STREAKS_SQL"]
 def user_visit_streaks(events: DataFrame) -> DataFrame:
     """(streak_days, n_users): per user the LONGEST run of consecutive
     visit days, then how many users share each maximum."""
-    visits = events.select(
-        "user_id", F.to_date(event_time(F.col("ts"))).alias("__day")
-    ).distinct()
+    visits = (
+        events.where(F.col("ts").isNotNull())  # no phantom NULL-day visit
+        .select("user_id", F.to_date(event_time(F.col("ts"))).alias("__day"))
+        .distinct()
+    )
     w = Window.partitionBy("user_id").orderBy("__day")
     islands = visits.select(
         "user_id",
@@ -54,7 +56,8 @@ def q_user_visit_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STREAKS_SQL = """
 WITH visits AS (
-  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+  FROM events WHERE ts IS NOT NULL
 ), islands AS (
   SELECT user_id,
          (day - DATE '1970-01-01')

@@ -28,7 +28,7 @@ SWEEP_THRESHOLDS = (600, 700, 800, 900)  # permille; floor = verify threshold
 
 
 def dedup_threshold_sweep(
-    docs: DataFrame, pairs: DataFrame | None = None
+    docs: DataFrame | None = None, pairs: DataFrame | None = None
 ) -> DataFrame:
     """(threshold_permille, n_pairs, n_docs) per candidate threshold.
 
@@ -65,12 +65,8 @@ def dedup_threshold_sweep(
 
 def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_behavioral_spark.functions.dedup import verified_pairs_for
-    from duckdb_behavioral_spark.sources import load_table
 
-    return dedup_threshold_sweep(
-        load_table(spark, sf_dir, "documents"),
-        pairs=verified_pairs_for(spark, sf_dir),
-    )
+    return dedup_threshold_sweep(pairs=verified_pairs_for(spark, sf_dir))
 
 
 def _sweep_sql() -> str:

@@ -385,3 +385,19 @@ def test_gaphist_accepts_ntz_timestamps(spark):
     )
     got = {r["gap_digits"]: r["n_gaps"] for r in gap_digits_histogram(ev).collect()}
     assert got == {1: 1}
+
+
+def test_streaks_and_stickiness_drop_null_ts(spark):
+    from duckdb_behavioral_spark.functions.stickiness import dau_mau_stickiness
+    from duckdb_behavioral_spark.functions.streaks import user_visit_streaks
+
+    ev = spark.createDataFrame(
+        [(1, _d("2024-02-01")), (1, None), (2, None)],
+        "user_id long, ts timestamp",
+    )
+    # user 2 has ONLY NULL-ts events: no phantom 1-day streak for them
+    assert {r["streak_days"]: r["n_users"]
+            for r in user_visit_streaks(ev).collect()} == {1: 1}
+    rows = dau_mau_stickiness(ev).collect()
+    assert [str(r["day"]) for r in rows] == ["2024-02-01"]
+    assert (rows[0]["dau"], rows[0]["mau"]) == (1, 1)
