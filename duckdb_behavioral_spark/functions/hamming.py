@@ -2,18 +2,35 @@
 the calibration readout for a SimHash dedup deployment: how are
 candidate distances distributed, and where should the cut-off sit?
 
-Candidate generation is Hamming-LSH on the existing 32-bit SimHash
-(``functions/dedup.simhash32``): split the signature into 4 bytes; by
-pigeonhole, any pair within Hamming distance 3 shares at least one
-exact byte-band, so a 4-way band join finds ALL such pairs (and a
-superset up to the ``HAM_MAX`` report cut) with NO all-pairs stage —
-the same banding discipline as the MinHash family. Distances are
+Candidate generation is Hamming-LSH on a 64-bit SimHash: split the
+signature into 4 x 16-bit bands; by pigeonhole, any pair within
+Hamming distance 3 shares at least one exact band, so a 4-way band
+join finds ALL such pairs (and a superset up to the ``HAM_MAX``
+report cut) with NO all-pairs stage. Distances are
 ``bit_count(xor)`` — pure integer ops, identical on both engines.
 
-Scale shape: signatures are one token-hash pass; the band join keys
-on (band, byte) — 1024 coarse buckets whose fill mirrors real SimHash
-clustering; duplicate candidates from multiple shared bands collapse
-in one distinct before the bounded (<= HAM_MAX+1 row) histogram.
+Scale shape (the round-8 version keyed 8-bit bands over a 32-bit
+signature: <= 1024 distinct join keys, so bucket occupancy grew
+linearly with corpus size and the self-join emitted Theta(n^2/256)
+candidates — quadratic at 100x):
+
+- 16-bit bands give 65,536 keys per band (262,144 buckets total), a
+  256x cut in expected bucket occupancy at the same corpus size;
+- buckets are additionally FREQUENCY-CAPPED at ``HAM_BAND_CAP`` docs
+  (the ``WINNOW_FP_CAP`` convention, functions/dedup.py): a bucket
+  beyond the cap is a near-identical mega-cluster / boilerplate
+  pile-up whose intra-distances are ~0 and whose quadratic fan-out
+  would swamp the join; dropping it is the documented fidelity cut.
+  With the cap, per-bucket fan-out is <= CAP^2/2 candidates and the
+  TOTAL join output is bounded by buckets x CAP^2/2 — independent of
+  corpus size. The cap is mirrored verbatim in the oracle SQL, so
+  cross-engine parity holds at every scale, and it never triggers at
+  the test SFs (sf0.1 buckets hold ~1 doc).
+
+The 64-bit signature is two independent 32-bit sign-sum halves over
+two disjoint md5-prefix token hashes (bits 0-47 from hex chars 1-12,
+bits 48-63 from chars 13-24); bit 63 is assembled as the two's-
+complement term -2^63, representable as BIGINT in both engines.
 """
 
 from __future__ import annotations
@@ -22,29 +39,75 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = [
+    "simhash64",
     "simhash_hamming_hist",
     "q_dedup_simhash_hamming_hist",
-    "HAMMING_HIST_SQL",
 ]
 
-N_BANDS = 4  # 8-bit bands over the 32-bit simhash
+N_BANDS = 4  # 16-bit bands over the 64-bit simhash
+BAND_BITS = 16
+BAND_MASK = (1 << BAND_BITS) - 1  # 65535
 HAM_MAX = 8  # report pairs up to this Hamming distance
+HAM_BAND_CAP = 256  # drop band buckets larger than this (fidelity cut)
+
+_BIT63 = -(1 << 63)  # two's-complement value of a lone bit 63
+
+
+def simhash64(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash of token hashes (term-frequency weighted).
+
+    Same exploded sign-sum design as ``dedup.simhash32`` (one row per
+    token hash, grouped codegen'd aggregates with map-side partials),
+    widened to 64 bits via two disjoint 48-bit md5-prefix hashes per
+    token. ``explode_outer`` keeps zero-token docs (simhash 0)."""
+    base = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.transform(
+                F.split(F.trim(F.col(text)), r"\s+"),
+                lambda t: F.struct(
+                    F.conv(F.substring(F.md5(t.cast("binary")), 1, 12), 16, 10)
+                    .cast("long")
+                    .alias("h1"),
+                    F.conv(F.substring(F.md5(t.cast("binary")), 13, 12), 16, 10)
+                    .cast("long")
+                    .alias("h2"),
+                ),
+            )
+        ).alias("__h"),
+    )
+
+    def sign(src: str, b: int):
+        return (
+            F.when(F.col("__h").isNull(), 0)
+            .when(F.shiftright(F.col(f"__h.{src}"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        )
+
+    sums = base.groupBy(id_col).agg(
+        *[F.sum(sign("h1", b)).alias(f"__b{b}") for b in range(48)],
+        *[F.sum(sign("h2", b - 48)).alias(f"__b{b}") for b in range(48, 64)],
+    )
+    out = F.lit(0).cast("long")
+    for b in range(63):
+        out = out + F.when(
+            F.col(f"__b{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(0)
+    out = out + F.when(F.col("__b63") > 0, F.lit(_BIT63).cast("long")).otherwise(0)
+    return sums.select(F.col(id_col), out.alias("simhash"))
 
 
 def simhash_hamming_hist(
     docs: DataFrame | None = None, sig: DataFrame | None = None
 ) -> DataFrame:
-    """(hamming, n_pairs) over byte-band candidate pairs, d <= HAM_MAX.
+    """(hamming, n_pairs) over 16-bit-band candidate pairs, d <= HAM_MAX.
 
     ``sig`` lets callers supply precomputed (doc_id, simhash)
-    signatures — e.g. the per-session memo shared with
-    ``dedup_simhash``."""
-    from duckdb_behavioral_spark.functions.dedup import simhash32
-
+    signatures — e.g. the per-session ``simhash64`` parquet memo."""
     if sig is None:
         # two join sides would re-run the signature pipeline — barrier
         # it; a supplied sig (the parquet memo) is already a plain scan
-        sig = simhash32(docs).localCheckpoint(eager=False)
+        sig = simhash64(docs).localCheckpoint(eager=False)
     banded = sig.select(
         "doc_id",
         "simhash",
@@ -53,22 +116,36 @@ def simhash_hamming_hist(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), 8 * b)
-                        .bitwiseAND(F.lit(255))
-                        .alias("byte"),
+                        F.shiftright(F.col("simhash"), BAND_BITS * b)
+                        .bitwiseAND(F.lit(BAND_MASK))
+                        .alias("key"),
                     )
                     for b in range(N_BANDS)
                 ]
             )
         ).alias("__bb"),
-    ).select("doc_id", "simhash", F.col("__bb.band").alias("band"),
-             F.col("__bb.byte").alias("byte"))
-    a, b = banded.alias("a"), banded.alias("b")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("__bb.band").alias("band"),
+        F.col("__bb.key").alias("key"),
+    )
+    # frequency cap: only buckets with 2..HAM_BAND_CAP members join
+    # (singletons can't form pairs; oversize buckets are the documented
+    # fidelity cut — bounded fan-out at any corpus size)
+    ok = (
+        banded.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where((F.col("__n") >= 2) & (F.col("__n") <= HAM_BAND_CAP))
+        .select("band", "key")
+    )
+    capped = banded.join(ok, ["band", "key"])
+    a, b = capped.alias("a"), capped.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -88,26 +165,62 @@ def simhash_hamming_hist(
     )
 
 
-def q_dedup_simhash_hamming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from duckdb_behavioral_spark.functions.dedup import simhash_for
+def simhash64_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized ``simhash64`` signatures for a testdata dir."""
+    from duckdb_behavioral_spark.functions.dedup import _docs, _memoized
 
-    return simhash_hamming_hist(sig=simhash_for(spark, sf_dir))
+    return _memoized(
+        spark, sf_dir, "simhash64", lambda: simhash64(_docs(spark, sf_dir))
+    )
+
+
+def q_dedup_simhash_hamming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_hamming_hist(sig=simhash64_for(spark, sf_dir))
+
+
+def _simhash64_sql_bits() -> str:
+    terms = []
+    for b in range(48):
+        terms.append(
+            f"CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(th1, h -> CAST(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END AS BIGINT))), "
+            f"(x, y) -> x + y) > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        )
+    for b in range(48, 64):
+        val = _BIT63 if b == 63 else (1 << b)
+        terms.append(
+            f"CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(th2, h -> CAST(CASE WHEN (h >> {b - 48}) & 1 = 1 THEN 1 ELSE -1 END AS BIGINT))), "
+            f"(x, y) -> x + y) > 0 THEN CAST({val} AS BIGINT) ELSE 0 END"
+        )
+    return " + ".join(terms)
 
 
 def _hamming_sql() -> str:
-    from duckdb_behavioral_spark.functions.dedup import SIMHASH_SQL
+    from duckdb_behavioral_spark.functions.common import sql_tokens
 
     return f"""
-WITH sig AS ({SIMHASH_SQL}
+WITH t AS (
+  SELECT doc_id,
+         list_transform({sql_tokens('text')}, x -> CAST(('0x' || substr(md5(x), 1, 12)) AS BIGINT)) AS th1,
+         list_transform({sql_tokens('text')}, x -> CAST(('0x' || substr(md5(x), 13, 12)) AS BIGINT)) AS th2
+  FROM documents
+), sig AS (
+  SELECT doc_id, CAST({_simhash64_sql_bits()} AS BIGINT) AS simhash FROM t
 ), banded AS (
   SELECT doc_id, simhash, u.band,
-         (simhash >> (u.band * 8)) & 255 AS byte
+         (simhash >> (u.band * {BAND_BITS})) & {BAND_MASK} AS key
   FROM sig, unnest(generate_series(0, {N_BANDS - 1})) u(band)
+), ok AS (
+  SELECT band, key FROM banded GROUP BY band, key
+  HAVING count(*) BETWEEN 2 AND {HAM_BAND_CAP}
+), capped AS (
+  SELECT banded.* FROM banded JOIN ok USING (band, key)
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          bit_count(xor(a.simhash, b.simhash)) AS hamming
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
   WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAM_MAX}
 )
 SELECT CAST(hamming AS BIGINT) AS hamming,

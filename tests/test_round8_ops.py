@@ -357,6 +357,41 @@ def test_hamming_hist_counts_each_pair_once(spark):
     assert got == {0: 1}
 
 
+def test_hamming_band_cap_drops_oversize_buckets(spark, monkeypatch):
+    from duckdb_behavioral_spark.functions import hamming as HM
+
+    # 5 identical docs agree on every band; with the cap lowered to 3
+    # every bucket holds 5 > 3 docs and is dropped -> empty histogram
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(5)],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(HM, "HAM_BAND_CAP", 3)
+    assert HM.simhash_hamming_hist(docs).collect() == []
+    # default cap: all C(5,2)=10 distance-0 pairs survive
+    monkeypatch.undo()
+    got = {r["hamming"]: r["n_pairs"] for r in HM.simhash_hamming_hist(docs).collect()}
+    assert got == {0: 10}
+
+
+def test_simhash64_uses_high_bits(spark):
+    from duckdb_behavioral_spark.functions.hamming import simhash64
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "entirely different words compose this text body here"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert rows[1] != rows[2]
+    # the widened signature must populate bits above 31 (the round-8
+    # 32-bit version could not): at least one doc has a high half
+    assert any((v >> 32) & 0xFFFFFFFF for v in (rows[1], rows[2]))
+
+
 def test_anomaly_mad_and_gaphist_drop_null_ts(spark):
     # NULL-ts events must not emit a NULL day row (mad) or donate a
     # NULL lag neighbor under engine-specific NULL ordering (gaphist)
