@@ -50,13 +50,18 @@ def brand_share_top_other(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         F.floor(F.sum("__rev") * 100).cast("long").alias("revenue_cents"),
     )
     total = rolled.agg(F.sum("revenue_cents").cast("long").alias("__total"))
+    # permille in DECIMAL(38,0): revenue_cents * 1000 wraps BIGINT above
+    # ~sf400 (total cents ~2.2e13 per sf1). (A - A % T) is divisible by
+    # T, so the decimal division is EXACT (integral quotient <= 1000) —
+    # no rounded-quotient-then-floor off-by-one on either engine.
+    num = F.col("revenue_cents").cast("decimal(38,0)") * F.lit(1000)
     return (
         rolled.crossJoin(F.broadcast(total))
         .select(
             "brand_group",
             "n_brands",
             "revenue_cents",
-            F.expr("div(revenue_cents * 1000, __total)")
+            ((num - num % F.col("__total")) / F.col("__total"))
             .cast("long")
             .alias("share_permille"),
         )
@@ -92,7 +97,9 @@ WITH by_brand AS (
   FROM grouped GROUP BY brand_group
 ), t AS (SELECT CAST(sum(revenue_cents) AS BIGINT) AS total FROM rolled)
 SELECT brand_group, n_brands, revenue_cents,
-       CAST(revenue_cents * 1000 // t.total AS BIGINT) AS share_permille
+       CAST((CAST(revenue_cents AS DECIMAL(38,0)) * 1000
+             - (CAST(revenue_cents AS DECIMAL(38,0)) * 1000) % t.total)
+            / t.total AS BIGINT) AS share_permille
 FROM rolled, t
 ORDER BY revenue_cents DESC, brand_group ASC
 """

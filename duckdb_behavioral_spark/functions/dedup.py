@@ -80,6 +80,17 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # declared q_* wrappers, whose input is fully identified by sf_dir,
 # do. The first q_* call per session pays the build (including at
 # plan-construction time — bounded at the driver's SFs).
+#
+# LOCAL-MODE-ONLY assumptions, by design (this memo serves the driver
+# harness, which runs local[N]):
+# - tempfile.mkdtemp() is a driver-local path; on a multi-node cluster
+#   executors would resolve it to per-machine /tmp dirs. A cluster
+#   deployment must point the memo at shared storage — write under
+#   spark.sql.warehouse.dir (as load_label_partitioned_embeddings
+#   does) or any DFS path.
+# - the (applicationId, sf_dir, kind) key assumes the input dir is
+#   immutable within a session (true for the read-only testdata);
+#   inputs that mutate mid-session would be served a stale memo.
 _MEMO: dict[tuple[str, str, str], str] = {}
 
 

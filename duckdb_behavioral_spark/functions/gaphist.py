@@ -8,9 +8,14 @@ Bucketing trick: the bucket is the DIGIT COUNT of the gap in seconds
 bit-identical across engines, where a ``floor(log10())`` would ride
 libm rounding at bucket edges.
 
-Timestamps are floored to epoch SECONDS via ``epoch_us // 1_000_000``
-on both engines (DuckDB's ``epoch()::BIGINT`` rounds; the micros
-floor does not). Same-user ordering ties on (second, event_id); equal
+Timestamps are truncated TOWARD ZERO to epoch seconds via
+``epoch_us // 1_000_000`` on both engines (DuckDB's
+``epoch()::BIGINT`` rounds; integer division does not). Note this is
+truncation, not a floor: both Spark ``div`` and DuckDB ``//``
+truncate toward zero, so a pre-1970 (negative) epoch would round UP —
+identically on both engines, which is what parity needs; do not
+"fix" one side to a true floor. Same-user ordering ties on
+(second, event_id); equal
 seconds produce gap 0 under any tie order, so the gap multiset is
 deterministic.
 

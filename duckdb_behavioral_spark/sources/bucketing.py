@@ -100,12 +100,35 @@ def load_label_partitioned_embeddings(
     # gate on the _SUCCESS marker, not the directory: a crashed partial
     # write must be rebuilt, never silently reused as a truncated corpus
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        import shutil
+
+        # write to a session-unique temp dir and atomically rename into
+        # place: the shared default path is keyed only by sf_dir, and a
+        # mode('overwrite') directly on it deletes before rewriting —
+        # a concurrent session racing the _SUCCESS gate could read a
+        # partially deleted/rewritten copy. A rename publishes the
+        # layout complete-or-absent.
         from duckdb_behavioral_spark.sources import load_table
 
+        tmp = f"{path}.tmp.{spark.sparkContext.applicationId}"
         (
             load_table(spark, sf_dir, "embeddings")
             .write.mode("overwrite")
             .partitionBy("label")
-            .parquet(path)
+            .parquet(tmp)
         )
+        if os.path.isdir(path) and not os.path.exists(
+            os.path.join(path, "_SUCCESS")
+        ):
+            # stale partial from a crashed pre-rename writer: clear it
+            shutil.rmtree(path, ignore_errors=True)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # another session won the race with a COMPLETE copy (rename
+            # is atomic: the path only ever appears fully written) —
+            # drop ours and read theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                raise
     return spark.read.parquet(path)

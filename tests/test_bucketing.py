@@ -136,3 +136,27 @@ def test_filtered_ann_identical_on_partitioned_layout(
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, parted.collect())
     )
+
+
+def test_partitioned_layout_publishes_atomically(spark, sf_dir, tmp_path):
+    """The layout appears complete-or-absent: writes go to a unique tmp
+    dir and rename into place; a stale no-_SUCCESS partial is rebuilt,
+    and no .tmp scratch dir survives a successful publish."""
+    import os
+
+    from duckdb_behavioral_spark.sources.bucketing import (
+        load_label_partitioned_embeddings,
+    )
+
+    path = str(tmp_path / "embeddings_bylabel")
+    # simulate a crashed pre-rename writer: directory with junk, no
+    # _SUCCESS marker
+    os.makedirs(path)
+    with open(os.path.join(path, "part-stale.parquet"), "w") as f:
+        f.write("garbage")
+    df = load_label_partitioned_embeddings(spark, sf_dir, path=path)
+    assert df.count() > 0
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(path, "part-stale.parquet"))
+    parent = os.path.dirname(path)
+    assert not [d for d in os.listdir(parent) if ".tmp." in d]

@@ -138,6 +138,26 @@ def test_brand_share_top_other_rollup(spark):
     assert by["B07"]["share_permille"] == 800 * 100 * 1000 // total
 
 
+def test_brand_share_permille_no_bigint_wrap(spark):
+    from duckdb_behavioral_spark.functions.brandshare import brand_share_top_other
+
+    # three brands at 8e15 each -> revenue_cents = 8e17 per brand,
+    # total 2.4e18; revenue_cents * 1000 = 8e20 wraps BIGINT — the
+    # permille must compute in decimal (8e15 < 2^53, exact as a double)
+    part = spark.createDataFrame(
+        [(i, f"B{i}") for i in range(3)], "p_partkey long, p_brand string"
+    )
+    li = spark.createDataFrame(
+        [(i, 8.0e15, 0.0) for i in range(3)],
+        "l_partkey long, l_extendedprice double, l_discount double",
+    )
+    rows = brand_share_top_other(li, part).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["revenue_cents"] == 8 * 10**17
+        assert r["share_permille"] == (8 * 10**17 * 1000) // (24 * 10**17)  # 333
+
+
 # --- embedding_norm_deciles -------------------------------------------------
 
 
