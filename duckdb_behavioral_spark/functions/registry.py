@@ -89,6 +89,7 @@ from duckdb_behavioral_spark.functions import gaphist as GH
 from duckdb_behavioral_spark.functions import reorder as RO
 from duckdb_behavioral_spark.functions import hamming as HM
 from duckdb_behavioral_spark.functions import confusion as CF
+from duckdb_behavioral_spark.functions import sessfunnel as SFN
 
 EXT_QUERIES = {
     # text analysis
@@ -214,6 +215,8 @@ EXT_QUERIES = {
     "events_gap_digits_histogram": GH.q_events_gap_digits_histogram,
     "orders_reorder_quartiles": RO.q_orders_reorder_quartiles,
     "dedup_simhash_hamming_hist": HM.q_dedup_simhash_hamming_hist,
+    # round 9: flagship composition (sessionize + window_funnel + cohort)
+    "cohort_sessionized_funnel": SFN.q_cohort_sessionized_funnel,
     "table_profile": PF.q_table_profile,
     "text_bigram_lm": NL.q_text_bigram_lm,
     "events_value_histogram": HG.q_events_value_histogram,
@@ -392,6 +395,7 @@ EXT_ORACLES = {
     "events_gap_digits_histogram": GH.GAP_DIGITS_SQL,
     "orders_reorder_quartiles": RO.REORDER_QUARTILES_SQL,
     "dedup_simhash_hamming_hist": HM._hamming_sql(),
+    "cohort_sessionized_funnel": SFN.SESSIONIZED_FUNNEL_SQL,
     "table_profile": PF.TABLE_PROFILE_SQL,
     "text_bigram_lm": NL.BIGRAM_LM_SQL,
     "events_value_histogram": HG.VALUE_HISTOGRAM_SQL,
