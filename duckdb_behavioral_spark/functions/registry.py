@@ -90,6 +90,9 @@ from duckdb_behavioral_spark.functions import reorder as RO
 from duckdb_behavioral_spark.functions import hamming as HM
 from duckdb_behavioral_spark.functions import confusion as CF
 from duckdb_behavioral_spark.functions import sessfunnel as SFN
+from duckdb_behavioral_spark.functions import lang_deciles as LD
+from duckdb_behavioral_spark.functions import kmv_sliding as KS
+from duckdb_behavioral_spark.functions import sla as SLA
 
 EXT_QUERIES = {
     # text analysis
@@ -217,6 +220,9 @@ EXT_QUERIES = {
     "dedup_simhash_hamming_hist": HM.q_dedup_simhash_hamming_hist,
     # round 9: flagship composition (sessionize + window_funnel + cohort)
     "cohort_sessionized_funnel": SFN.q_cohort_sessionized_funnel,
+    "doc_length_deciles_by_lang": LD.q_doc_length_deciles_by_lang,
+    "sketch_kmv_sliding": KS.q_sketch_kmv_sliding,
+    "orders_ship_sla_bands": SLA.q_orders_ship_sla_bands,
     "table_profile": PF.q_table_profile,
     "text_bigram_lm": NL.q_text_bigram_lm,
     "events_value_histogram": HG.q_events_value_histogram,
@@ -396,6 +402,9 @@ EXT_ORACLES = {
     "orders_reorder_quartiles": RO.REORDER_QUARTILES_SQL,
     "dedup_simhash_hamming_hist": HM._hamming_sql(),
     "cohort_sessionized_funnel": SFN.SESSIONIZED_FUNNEL_SQL,
+    "doc_length_deciles_by_lang": LD.LANG_DECILES_SQL,
+    "sketch_kmv_sliding": KS.KMV_SLIDING_SQL,
+    "orders_ship_sla_bands": SLA.SLA_BANDS_SQL,
     "table_profile": PF.TABLE_PROFILE_SQL,
     "text_bigram_lm": NL.BIGRAM_LM_SQL,
     "events_value_histogram": HG.VALUE_HISTOGRAM_SQL,

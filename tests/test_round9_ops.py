@@ -102,3 +102,132 @@ def test_sessionized_funnel_no_null_columns(spark):
     ev = _events(spark, [(9, _ts(5), "view"), (9, None, "view")])
     for r in cohort_sessionized_funnel(ev).collect():
         assert all(v is not None for v in r)
+
+
+# --- doc_length_deciles_by_lang ----------------------------------------------
+
+
+def test_lang_deciles_independent_per_language(spark):
+    from duckdb_behavioral_spark.functions.lang_deciles import (
+        doc_length_deciles_by_lang,
+    )
+
+    # 20 'aa' docs with lengths 1..20 -> decile d holds lengths
+    # (2d+1, 2d+2); 3 'bb' docs fill deciles 0,3,6 (10*(rn-1)//3)
+    rows = [(i, "x", "aa", "s", i) for i in range(1, 21)]
+    rows += [(100 + i, "x", "bb", "s", 100 + i) for i in range(3)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        (r["lang"], r["decile"]): (r["n_docs"], r["lo_chars"], r["hi_chars"])
+        for r in doc_length_deciles_by_lang(docs).collect()
+    }
+    assert got[("aa", 0)] == (2, 1, 2)
+    assert got[("aa", 9)] == (2, 19, 20)
+    assert len([k for k in got if k[0] == "aa"]) == 10
+    assert {k[1] for k in got if k[0] == "bb"} == {0, 3, 6}
+    assert got[("bb", 0)] == (1, 100, 100)
+
+
+def test_lang_deciles_null_lang_dropped(spark):
+    from duckdb_behavioral_spark.functions.lang_deciles import (
+        doc_length_deciles_by_lang,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x", None, "s", 5), (2, "x", "en", "s", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = doc_length_deciles_by_lang(docs).collect()
+    assert [r["lang"] for r in rows] == ["en"]
+    for r in rows:
+        assert all(v is not None for v in r)
+
+
+# --- sketch_kmv_sliding -------------------------------------------------------
+
+
+def test_kmv_sliding_exact_below_k_and_window(spark):
+    import datetime
+
+    from duckdb_behavioral_spark.functions.kmv_sliding import kmv_sliding_estimate
+
+    # fewer than k distinct users -> the sketch IS the set: estimate
+    # exact on every day; day 3's window covers days 1-3
+    rows = []
+    for d in (1, 2, 3):
+        for u in range(d * 3):  # users 0..3d-1 active on day d
+            rows.append((u, datetime.datetime(2024, 1, d, 12), "view"))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r["day"].day: r for r in kmv_sliding_estimate(ev).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_exact"] == 3  # day 1 alone
+    assert got[2]["n_exact"] == 6  # union days 1-2
+    assert got[3]["n_exact"] == 9  # union days 1-3
+    for r in got.values():
+        assert r["kmv_estimate"] == r["n_exact"]
+        assert r["err_permille"] == 0
+
+
+def test_kmv_sliding_merge_equals_batch_kmv_on_union(spark):
+    import datetime
+
+    from duckdb_behavioral_spark.functions.kmv_sliding import kmv_sliding_estimate
+    from duckdb_behavioral_spark.functions.sketches import (
+        kmv_distinct_estimate,
+        kmv_sketch,
+    )
+
+    # >k distinct users spread over 3 days: the merged sliding sketch
+    # on the last day must equal the batch KMV over the 3-day union
+    rows = [
+        (u, datetime.datetime(2024, 2, 1 + (u % 3), 8), "view")
+        for u in range(500)
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    sliding = {
+        r["day"].day: r["kmv_estimate"] for r in kmv_sliding_estimate(ev).collect()
+    }
+    batch = kmv_distinct_estimate(
+        kmv_sketch(
+            ev.selectExpr("'view' AS event_type", "user_id"),
+            key="user_id",
+            group_cols=["event_type"],
+        ),
+        group_cols=["event_type"],
+    ).collect()[0]["kmv_estimate"]
+    assert sliding[3] == batch
+
+
+# --- orders_ship_sla_bands ----------------------------------------------------
+
+
+def test_sla_bands_edges_and_shares(spark):
+    import datetime
+
+    from duckdb_behavioral_spark.functions.sla import ship_sla_bands
+
+    base = datetime.datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [(k, base, "1-URGENT") for k in range(4)],
+        "o_orderkey long, o_orderdate timestamp, o_orderpriority string",
+    )
+    # lags 30 (edge in 0-30d), 31 (edge in 31-60d), 90, 91
+    li = spark.createDataFrame(
+        [
+            (0, base + datetime.timedelta(days=30)),
+            (1, base + datetime.timedelta(days=31)),
+            (2, base + datetime.timedelta(days=90)),
+            (3, base + datetime.timedelta(days=91)),
+        ],
+        "l_orderkey long, l_shipdate timestamp",
+    )
+    got = {r["sla_band"]: r for r in ship_sla_bands(li, orders).collect()}
+    assert set(got) == {"0-30d", "31-60d", "61-90d", "90d+"}
+    assert (got["0-30d"]["lag_lo"], got["0-30d"]["lag_hi"]) == (30, 30)
+    assert (got["31-60d"]["lag_lo"], got["31-60d"]["lag_hi"]) == (31, 31)
+    assert got["90d+"]["lag_lo"] == 91
+    for r in got.values():
+        assert r["n_items"] == 1
+        assert r["share_permille"] == 250  # 1000 * 1/4 exactly
