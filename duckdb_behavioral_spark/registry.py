@@ -11,73 +11,72 @@ history and ride local parity (tests/test_oracle_parity.py) this round.
 
 from __future__ import annotations
 
-# First-50 priority for the driver's correctness window (round 6).
-# After CORRECTNESS_r05's 50/50 green, every query declared through
-# round 5 has at least one driver-green row (125/125 all-time). This
-# window therefore leads with the queries that are NEW or CHANGED in
-# round 6, then rotates for freshness: the rows whose latest driver
-# check is oldest (r03), then r04. Everything displaced keeps
-# local-mirror coverage (scripts/driver_mirror.py +
-# tests/test_oracle_parity.py over all declared queries).
+# First-50 priority for the driver's correctness window (round 9).
+# Every query declared through round 8 is driver-green at its latest
+# check (CORRECTNESS_r08 50/50; zero rows older than r04). This window
+# leads with the queries NEW or CHANGED in round 9, then executes the
+# round-8 handoff's freshness plan: ALL 41 rows whose latest driver
+# check is r04, plus the oldest r05 rows in the remaining slots.
+# Everything displaced keeps local-mirror coverage
+# (scripts/driver_mirror.py + tests/test_oracle_parity.py over all
+# declared queries).
 DRIVER_PRIORITY = [
-    # --- round 8, first driver rows: the six new operators
-    "dedup_threshold_sweep",
-    "orders_backlog_daily",
-    "part_brand_share_top_other",
-    "embedding_norm_deciles",
-    "user_visit_streaks",
-    "events_anomaly_mad",
-    "events_dau_mau_stickiness",
-    "events_gap_digits_histogram",
-    "orders_reorder_quartiles",
+    # --- round 9, first driver rows: flagship composition + 3 operators
+    "cohort_sessionized_funnel",
+    "doc_length_deciles_by_lang",
+    "sketch_kmv_sliding",
+    "orders_ship_sla_bands",
+    # --- changed in round 9 (64-bit SimHash banding + bucket cap;
+    # decimal permille) — fresh rows required
     "dedup_simhash_hamming_hist",
-    # --- changed in round 8 (shared CC memo; sample-trained IVF
-    # k-means + bounded 'train' oracle CTE) — fresh rows required
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_cluster_sizes",
-    "dedup_canonical_pick",
-    "split_leakage_audit",
-    "ann_ivf_kmeans_topk",
-    "ann_ivf_topk",
-    # --- freshness rotation: the 8 core q-rows last checked in r03 —
-    # the engine's namesake operators (pattern executor, funnel modes,
-    # next-node) deserve recent driver rows
-    "q5_sequence_match_adjacent",
-    "q7_sequence_count",
-    "q9_next_node_forward",
-    "q10_next_node_backward",
-    "q13_funnel_strict",
-    "q14_funnel_strict_order",
-    "q15_funnel_timestamp_dedup",
-    "q16_funnel_allow_reentry",
-    # --- the other 20 rows whose latest driver check is r03
-    "ann_lsh_buckets",
-    "chunk_documents",
-    "corpus_topk_terms",
-    "dedup_embedding_cosine",
-    "dedup_simhash",
-    "embedding_quantize",
-    "multimodal_bmp_decode",
-    "multimodal_features",
-    "multimodal_frames",
-    "multimodal_wav_decode",
-    "pack_sequences",
-    "sample_per_stratum_topk",
-    "sample_stratified",
-    "sketch_hll",
-    "sketch_kmv_overlap",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality",
-    "text_scrub_pii",
-    "text_token_stats",
-    # --- oldest r04 rows fill the remaining window slots
-    "q17_session_quantiles",
-    "ab_funnel_significance",
-    "attribution_last_touch",
-    "cohort_funnel",
-    "events_pct_of_total",
+    "part_brand_share_top_other",
+    # --- the 41 rows whose latest driver check is r04
+    "corpus_doc_rarity",
+    "customers_inactive_antijoin",
+    "dedup_passage",
+    "events_daily_trend",
+    "events_hourly_anomaly",
+    "events_hourly_ohlc",
+    "events_hourly_rollup",
+    "events_props_json",
+    "events_rollup_cube",
+    "events_type_pivot",
+    "funnel_step_timings",
+    "mix_corpus",
+    "orders_by_nation",
+    "range_views_after_error",
+    "retention_report",
+    "retention_report_salted",
+    "rolling_active_users",
+    "sample_weighted",
+    "search_bm25_topk",
+    "session_concurrency",
+    "session_transitions",
+    "sketch_cms_heavy_hitters",
+    "streaming_cms_parity",
+    "streaming_dedup_parity",
+    "streaming_enrich_parity",
+    "streaming_funnel_parity",
+    "streaming_minhash_parity",
+    "streaming_rollup_parity",
+    "streaming_sessionize_parity",
+    "tpch_pricing_flags",
+    "tpch_q10_returned_topk",
+    "tpch_q14_promo",
+    "tpch_q18_large_orders",
+    "tpch_q3_topk",
+    "tpch_q4_late_orders",
+    "tpch_q5_region_revenue",
+    "tpch_q6_revenue",
+    "training_pipeline_pack",
+    "training_set_select",
+    "transition_pagerank",
+    "users_setops",
+    # --- oldest r05 rows fill the remaining slots: the namesake core
+    # operators deserve the freshest driver history
+    "q1_sessionize",
+    "q2_retention",
+    "q3_window_funnel",
 ]
 
 
