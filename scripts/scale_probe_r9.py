@@ -79,7 +79,7 @@ def probe_events(spark, path):
         cohort_sessionized_funnel,
     )
     from duckdb_behavioral_spark.functions.stickiness import (
-        events_dau_mau_stickiness,
+        dau_mau_stickiness,
     )
 
     ev = spark.read.parquet(path)
@@ -87,7 +87,7 @@ def probe_events(spark, path):
     _run(out, "sessionized_funnel", lambda: cohort_sessionized_funnel(ev))
     _run(out, "kmv_sliding", lambda: kmv_sliding_estimate(ev))
     # verdict item 8: confirm the x28 explode stays visit-set-bounded
-    _run(out, "dau_mau_stickiness", lambda: events_dau_mau_stickiness(ev))
+    _run(out, "dau_mau_stickiness", lambda: dau_mau_stickiness(ev))
     return out
 
 
