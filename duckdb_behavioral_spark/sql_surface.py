@@ -37,15 +37,19 @@ variants), and a same-scope ``WHERE`` — which the rewrite moves
 INSIDE the lag derived table, because SQL evaluates window functions
 after the WHERE (leaving it outside would let filtered-out rows
 donate ``__prev_ts`` values the reference never sees). ``JOIN`` in the
-same SELECT is supported when every column reference is UNQUALIFIED
-(the USING-join idiom): the lag derived table then wraps the whole
-FROM…JOIN…WHERE segment, so the window sees the joined+filtered rows
-— SQL's evaluation order. Qualified names (they cannot survive a
-derived table in a lexical rewrite) and ``GROUP BY`` (grouping
-changes the rows the window sees) raise a ``ValueError`` pointing at
-the CTE workaround rather than silently computing the window over the
-wrong row set. One statement may contain many behavioral aggregate
-calls but at most one sessionize-OVER.
+same SELECT wraps the whole FROM…JOIN…WHERE segment in the lag
+derived table, so the window sees the joined+filtered rows — SQL's
+evaluation order. Qualified chains in the outer scope (select items,
+ORDER BY) are HOISTED through the derived table (``a.b`` is projected
+as ``a.b AS __q_a_b`` inside, where the qualifier is still in scope,
+and renamed outside — valid for both the table-alias and struct-field
+readings, so the lexical rewrite needs no schema knowledge); shapes a
+hoist cannot express (qualified function calls, ``tbl.*``, outer
+subqueries) and ``GROUP BY`` (grouping changes the rows the window
+sees) raise a ``ValueError`` pointing at the CTE workaround rather
+than silently computing the window over the wrong row set. One
+statement may contain many behavioral aggregate calls but at most one
+sessionize-OVER.
 """
 
 from __future__ import annotations
@@ -570,38 +574,111 @@ def _rewrite_sessionize(sql: str) -> str:
         # JOIN form: the window runs over the JOINED (and WHERE-
         # filtered) rows, so the lag derived table must wrap the WHOLE
         # FROM…JOIN…WHERE segment, not just the first source. Table
-        # qualifiers don't survive a derived table, so this path is
-        # gated to statements whose window spec and select items use
-        # UNQUALIFIED column names (the USING-join idiom); qualified
-        # references keep the CTE-workaround error.
+        # qualifiers don't survive a derived table, so every qualified
+        # chain `a.b[.c…]` in the OUTER scope (select items — including
+        # the already-expanded sessionize expression — and the
+        # post-segment ORDER BY/LIMIT clauses) is HOISTED: projected
+        # inside the derived table as `a.b AS __q_a_b`, where the
+        # qualifier is still in scope, and renamed at its outer
+        # occurrences. Both readings of a dotted chain — table-alias
+        # column and struct-field path — are valid expressions inside
+        # the derived table, so the hoist needs NO schema knowledge.
+        # Chains inside the segment (ON/WHERE) stay untouched — they
+        # remain in scope. Shapes a hoist cannot express (qualified
+        # function calls, `.*` expansion, subqueries in the outer
+        # scope) keep the pointed CTE-workaround error.
         sel_pos = _mask_nested(out[:lo]).upper().rfind("SELECT")
-        # strip string literals (their dots aren't references), keep
-        # parenthesized expressions (MIN(a.ts) must still be caught)
-        # out[sel_pos:lo] = select items before the call; out[lo:m.start()]
-        # = the rewritten call plus any select items AFTER it (the
-        # rewrite itself introduces no qualified names, so scanning it
-        # is harmless and closes the `sessionize(...) AS sid, d.tier
-        # FROM … JOIN …` bypass)
-        scan = re.sub(
-            r"'(?:[^']|'')*'", " ", " ".join(
-                (tail, f"{ts} {keys} {ob}", out[sel_pos:lo], out[lo:m.start()])
-            )
-        )
-        if re.search(r"[A-Za-z_]\w*\.[A-Za-z_]\w*", scan):  # not 1.5
-            raise ValueError(
-                "sessionize … OVER with JOIN supports only unqualified "
-                "column references (join with USING) — for qualified "
-                "names compute the session ids in a CTE first"
-            )
+        items_lo = sel_pos + len("SELECT")
         seg_end_mo = _POST_WHERE_CLAUSES.search(masked)
         seg_end = seg_end_mo.start() if seg_end_mo else len(tail)
+        regions = [out[items_lo:m.start()], out[tail_lo + seg_end:tail_hi]]
+        blank = lambda s: re.sub(
+            r"'(?:[^']|'')*'", lambda mm: " " * len(mm.group(0)), s
+        )
+        chain_re = re.compile(r"(?<![\w.])[A-Za-z_]\w*(?:\s*\.\s*(?:[A-Za-z_]\w*|\*))+")
+        chains: list[str] = []
+        for b in map(blank, regions):
+            if re.search(r"\(\s*SELECT\b", b, re.IGNORECASE):
+                raise ValueError(
+                    "sessionize … OVER with JOIN does not support "
+                    "subqueries among the outer select items / ORDER BY "
+                    "— compute the session ids in a CTE first"
+                )
+            for cm in chain_re.finditer(b):
+                key = re.sub(r"\s*\.\s*", ".", cm.group(0))
+                if re.match(r"\s*\(", b[cm.end():]) or ".*" in key:
+                    raise ValueError(
+                        "sessionize … OVER with JOIN supports qualified "
+                        "column/struct references only (no qualified "
+                        "function calls or `.*`) — for those compute "
+                        "the session ids in a CTE first"
+                    )
+                if key not in chains:
+                    chains.append(key)
+        mangled = {c: "__q_" + c.replace(".", "_") for c in chains}
+        for c, mg in mangled.items():
+            if re.search(rf"\b{re.escape(mg)}\b", sql, re.IGNORECASE):
+                raise ValueError(
+                    f"sessionize … OVER with JOIN: the hoisted name "
+                    f"{mg} (for {c}) collides with an existing column — "
+                    "compute the session ids in a CTE first"
+                )
+
+        def _hoist(text: str, alias_bare: bool = False) -> str:
+            # replace outer chain occurrences with their hoisted names;
+            # match on a string-blanked copy, splice into the original.
+            # Longest chains first so a.b.c wins over a.b; matched
+            # spans are tombstoned to stop shorter-chain re-matches.
+            # ``alias_bare`` (select-items region): a chain that IS a
+            # whole top-depth select item must keep its output column
+            # name — emit `__q_a_b AS b`, matching SELECT a.b's name.
+            b = blank(text)
+            spans: list[tuple[int, int, str]] = []
+            for c in sorted(chains, key=len, reverse=True):
+                pat = re.compile(
+                    r"(?<![\w.])"
+                    + re.escape(c).replace(r"\.", r"\s*\.\s*")
+                    + r"(?![\w.])"
+                )
+                for mo2 in pat.finditer(b):
+                    spans.append((mo2.start(), mo2.end(), c))
+                b = pat.sub(lambda s: "\0" * len(s.group(0)), b)
+            spans.sort()
+            blanked = blank(text)
+            parts, prev = [], 0
+            for s0, s1, c in spans:
+                rep = mangled[c]
+                if alias_bare:
+                    before = blanked[:s0].strip()
+                    after = blanked[s1:].strip()
+                    depth0 = blanked.count("(", 0, s0) - blanked.count(")", 0, s0)
+                    if (
+                        depth0 == 0
+                        and (before == "" or before.endswith(",")
+                             or before.upper() in ("DISTINCT", "ALL"))
+                        and (after == "" or after.startswith(","))
+                    ):
+                        rep = f"{rep} AS {c.rsplit('.', 1)[1]}"
+                parts.append(text[prev:s0])
+                parts.append(rep)
+                prev = s1
+            parts.append(text[prev:])
+            return "".join(parts)
+
         segment = out[src_lo:src_hi] + tail[:seg_end]
+        hoists = "".join(f", {c} AS {mangled[c]}" for c in chains)
         derived = (
-            f"FROM (SELECT *, lag({ts}) "
+            f"FROM (SELECT *{hoists}, lag({ts}) "
             f"OVER ({part}ORDER BY {ob}) AS __prev_ts "
             f"FROM {segment})"
         )
-        out = out[: m.start()] + derived + tail[seg_end:] + out[tail_hi:]
+        out = (
+            out[:items_lo]
+            + _hoist(regions[0], alias_bare=True)
+            + derived
+            + _hoist(regions[1])
+            + out[tail_hi:]
+        )
         if _scan_call(out, "sessionize") is not None:
             raise ValueError(
                 "at most one sessionize call per statement is supported"

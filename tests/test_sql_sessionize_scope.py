@@ -94,16 +94,8 @@ def test_where_with_nested_subquery_passes(spark, ev):
     assert len(behavioral_sql(spark, sql).collect()) == 5
 
 
-@pytest.mark.parametrize(
-    "sql",
-    [
-        f"SELECT e.user_id, {SE} AS sid FROM sess_scope_ev e "
-        "JOIN sess_scope_ev x ON e.user_id = x.user_id",
-        f"SELECT user_id, {S} AS sid FROM sess_scope_ev GROUP BY user_id, ts",
-    ],
-    ids=["join", "group_by"],
-)
-def test_join_and_group_by_rejected_with_cte_hint(spark, ev, sql):
+def test_group_by_rejected_with_cte_hint(spark, ev):
+    sql = f"SELECT user_id, {S} AS sid FROM sess_scope_ev GROUP BY user_id, ts"
     with pytest.raises(ValueError, match="CTE"):
         behavioral_sql(spark, sql)
 
@@ -136,22 +128,81 @@ def test_unqualified_join_matches_cte_workaround(spark, ev, dims):
     assert got == want and len(got) == 4
 
 
-def test_qualified_join_still_directed_to_cte(spark, ev, dims):
-    sql = (
-        f"SELECT e.user_id, e.ts, {SE} AS sid "
-        "FROM sess_scope_ev e JOIN sess_scope_dim d ON e.user_id = d.user_id"
+def test_qualified_join_matches_cte_workaround(spark, ev, dims):
+    # round 9: qualified outer references HOIST through the derived
+    # table (a.b projected as `a.b AS __q_a_b` inside, renamed outside)
+    # — the ON-join form must equal the documented CTE workaround
+    join_form = (
+        f"SELECT e.user_id, e.ts, d.tier, {SE} AS sid "
+        "FROM sess_scope_ev e JOIN sess_scope_dim d ON e.user_id = d.user_id "
+        "WHERE d.tier = 'gold'"
     )
-    with pytest.raises(ValueError, match="unqualified|CTE"):
-        behavioral_sql(spark, sql)
+    cte_form = (
+        "WITH j AS (SELECT e.user_id, e.ts, d.tier "
+        "FROM sess_scope_ev e JOIN sess_scope_dim d ON e.user_id = d.user_id "
+        "WHERE d.tier = 'gold') "
+        f"SELECT user_id, ts, tier, {S} AS sid FROM j"
+    )
+    got = {tuple(r) for r in behavioral_sql(spark, join_form).collect()}
+    want = {tuple(r) for r in behavioral_sql(spark, cte_form).collect()}
+    assert got == want and len(got) == 4
 
 
-def test_qualified_select_item_after_call_directed_to_cte(spark, ev, dims):
-    # round 6 (ADVICE): a qualified reference AFTER the sessionize call
-    # (between it and FROM) must hit the same pointed error, not leak
-    # through to an unresolved-column analysis failure
+def test_qualified_self_join_ambiguous_names_hoist(spark, ev):
+    # self-join: BOTH sides expose user_id/ts, so unqualified outer
+    # refs would be ambiguous — the hoist keeps them qualified inside
+    sql = (
+        f"SELECT e.user_id, e.ts, {SE} AS sid FROM sess_scope_ev e "
+        "JOIN sess_scope_ev x ON e.user_id = x.user_id AND e.ts = x.ts"
+    )
+    import duckdb_behavioral_spark as B
+
+    got = {tuple(r) for r in behavioral_sql(spark, sql).collect()}
+    want = {
+        (r["user_id"], r["ts"], r["session_id"])
+        for r in B.sessionize(ev, "ts", "30 minutes", ["user_id"]).collect()
+    }
+    assert got == want
+
+
+def test_qualified_select_item_after_call_hoists(spark, ev, dims):
+    # round 6 kept this as a pointed error; round 9: the qualified item
+    # AFTER the call hoists like any other outer reference
     sql = (
         f"SELECT {S} AS sid, d.tier "
         "FROM sess_scope_ev a JOIN sess_scope_dim d USING (user_id)"
     )
-    with pytest.raises(ValueError, match="unqualified|CTE"):
+    rows = behavioral_sql(spark, sql).collect()
+    assert len(rows) == 5
+    assert {r["tier"] for r in rows} == {"gold", "basic"}
+
+
+def test_qualified_join_order_by_hoists(spark, ev, dims):
+    sql = (
+        f"SELECT e.user_id, e.ts, {SE} AS sid "
+        "FROM sess_scope_ev e JOIN sess_scope_dim d ON e.user_id = d.user_id "
+        "ORDER BY e.user_id, e.ts"
+    )
+    rows = behavioral_sql(spark, sql).collect()
+    assert len(rows) == 5
+    assert rows == sorted(rows, key=lambda r: (r["user_id"], r["ts"]))
+
+
+def test_qualified_function_call_still_directed_to_cte(spark, ev, dims):
+    # a qualified FUNCTION call can't hoist (it isn't a column/struct
+    # chain) — keep the pointed error
+    sql = (
+        f"SELECT builtin.abs(e.user_id), {SE} AS sid "
+        "FROM sess_scope_ev e JOIN sess_scope_dim d ON e.user_id = d.user_id"
+    )
+    with pytest.raises(ValueError, match="CTE"):
+        behavioral_sql(spark, sql)
+
+
+def test_outer_subquery_still_directed_to_cte(spark, ev, dims):
+    sql = (
+        f"SELECT (SELECT max(tier) FROM sess_scope_dim), {SE} AS sid "
+        "FROM sess_scope_ev e JOIN sess_scope_dim d ON e.user_id = d.user_id"
+    )
+    with pytest.raises(ValueError, match="CTE"):
         behavioral_sql(spark, sql)
