@@ -59,28 +59,30 @@ def simhash64(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Data
     Same exploded sign-sum design as ``dedup.simhash32`` (one row per
     token hash, grouped codegen'd aggregates with map-side partials),
     widened to 64 bits via two disjoint 48-bit md5-prefix hashes per
-    token. ``explode_outer`` keeps zero-token docs (simhash 0)."""
+    token. The md5 runs ONCE per token (the HOF lambda emits the hex
+    digest; the two 48-bit halves are derived from the MATERIALIZED
+    column, so the 64 aggregate expressions fold over plain attribute
+    refs — interpreted HOF evaluation does not CSE, and a per-half md5
+    in the lambda measured ~2x the signature stage). ``explode_outer``
+    keeps zero-token docs (simhash 0)."""
     base = df.select(
         F.col(id_col),
         F.explode_outer(
             F.transform(
                 F.split(F.trim(F.col(text)), r"\s+"),
-                lambda t: F.struct(
-                    F.conv(F.substring(F.md5(t.cast("binary")), 1, 12), 16, 10)
-                    .cast("long")
-                    .alias("h1"),
-                    F.conv(F.substring(F.md5(t.cast("binary")), 13, 12), 16, 10)
-                    .cast("long")
-                    .alias("h2"),
-                ),
+                lambda t: F.md5(t.cast("binary")),
             )
-        ).alias("__h"),
+        ).alias("__m"),
+    ).select(
+        id_col,
+        F.conv(F.substring(F.col("__m"), 1, 12), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(F.col("__m"), 13, 12), 16, 10).cast("long").alias("h2"),
     )
 
     def sign(src: str, b: int):
         return (
-            F.when(F.col("__h").isNull(), 0)
-            .when(F.shiftright(F.col(f"__h.{src}"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            F.when(F.col(src).isNull(), 0)
+            .when(F.shiftright(F.col(src), b).bitwiseAND(F.lit(1)) == 1, 1)
             .otherwise(-1)
         )
 
