@@ -206,3 +206,23 @@ def test_outer_subquery_still_directed_to_cte(spark, ev, dims):
     )
     with pytest.raises(ValueError, match="CTE"):
         behavioral_sql(spark, sql)
+
+
+def test_struct_field_chain_hoists(spark, ev, dims):
+    # `p.props.country` is lexically identical to an alias.column chain;
+    # the hoist must carry the struct path through the derived table
+    spark.createDataFrame(
+        [(u, (f"c{u % 2}",)) for u in range(3)],
+        "user_id long, props struct<country:string>",
+    ).createOrReplaceTempView("sess_scope_props")
+    sql = (
+        "SELECT e.user_id, p.props.country, "
+        "sessionize(e.ts, INTERVAL '30 minutes') "
+        "OVER (PARTITION BY e.user_id ORDER BY e.ts) AS sid "
+        "FROM sess_scope_ev e JOIN sess_scope_props p "
+        "ON e.user_id = p.user_id"
+    )
+    rows = behavioral_sql(spark, sql).collect()
+    assert len(rows) == 5
+    assert set(behavioral_sql(spark, sql).columns) == {"user_id", "country", "sid"}
+    assert {r["country"] for r in rows} == {"c0", "c1"}
