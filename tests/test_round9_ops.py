@@ -7,6 +7,14 @@ import datetime
 from pyspark.sql import functions as F
 
 
+def _hash32(*xs):
+    h = 2166136261
+    for x in xs:
+        for b in str(x).encode():
+            h = ((h ^ b) * 16777619) & 0xFFFFFFFF
+    return h
+
+
 def _ts(day, h=0, m=0, s=0):
     return datetime.datetime(2024, 1, day, h, m, s)
 
@@ -231,3 +239,88 @@ def test_sla_bands_edges_and_shares(spark):
     for r in got.values():
         assert r["n_items"] == 1
         assert r["share_permille"] == 250  # 1000 * 1/4 exactly
+
+
+def test_sessionized_funnel_vs_bruteforce_random(spark):
+    """Hash-random events (no RNG; reproducible) cross-checked against
+    a pure-Python model: sessionize by >30min gaps per user, funnel per
+    session via the exact reference kernel, cohort = min event day."""
+    import collections
+
+    from duckdb_behavioral_spark.functions.sessfunnel import (
+        cohort_sessionized_funnel,
+    )
+    from duckdb_behavioral_spark.kernels.funnel import funnel_max_step
+
+    types = ["view", "click", "purchase", "scroll"]
+    rows = []
+    for i in range(400):
+        u = _hash32("u", i) % 12
+        # timestamps over ~4 days at minute-ish spacing, all distinct
+        t = datetime.datetime(2024, 3, 1) + datetime.timedelta(
+            seconds=(_hash32("t", i) % (4 * 86400)) * 16 % (6 * 86400) + i
+        )
+        rows.append((u, t, types[_hash32("e", i) % 4]))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+
+    # --- python model ---
+    per_user = collections.defaultdict(list)
+    for u, t, e in rows:
+        per_user[u].append((t, e))
+    GAP = datetime.timedelta(minutes=30)
+    WIN_US = 3_600 * 1_000_000
+    agg = collections.defaultdict(lambda: [0, 0, 0, 0])  # n, s1, s2, s3
+    for u, evs in per_user.items():
+        evs.sort()
+        cohort = evs[0][0].replace(hour=0, minute=0, second=0, microsecond=0)
+        sessions = collections.defaultdict(list)
+        sid = 0
+        prev = None
+        for t, e in evs:
+            if prev is None or (t - prev) > GAP:
+                sid += 1
+            prev = t
+            mask = (
+                (1 if e == "view" else 0)
+                | (2 if e == "click" else 0)
+                | (4 if e == "purchase" else 0)
+            )
+            sessions[sid].append((int(t.timestamp() * 1_000_000), mask))
+        for evs_s in sessions.values():
+            ts = [t for t, _ in evs_s]
+            mask = [m for _, m in evs_s]
+            step = funnel_max_step(ts, mask, WIN_US, 3)
+            a = agg[cohort]
+            a[0] += 1
+            for s in range(1, 4):
+                if step >= s:
+                    a[s] += 1
+    want = {
+        c: (a[0], a[1], a[2], a[3], a[3] / a[0]) for c, a in agg.items()
+    }
+    got = {
+        r["cohort_day"]: (r["n_sessions"], r["s1"], r["s2"], r["s3"], r["conversion"])
+        for r in cohort_sessionized_funnel(ev).collect()
+    }
+    assert got == want
+
+
+def test_sessionized_funnel_single_event_volume_exchange(spark, sf_dir):
+    """The docstring's plan claim, asserted: the optimized plan carries
+    exactly three exchanges — ONE hash exchange of the event volume
+    (user_id) feeding sessionize + anchor + funnel windows + the
+    session aggregate, one hash exchange of the calendar-bounded
+    cohort rollup, and the final sort's range exchange."""
+    import re
+
+    from duckdb_behavioral_spark.functions.sessfunnel import (
+        q_cohort_sessionized_funnel,
+    )
+
+    df = q_cohort_sessionized_funnel(spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    header = plan.split("\n\n")[0]  # tree section, not the detail dump
+    n_exchanges = len(re.findall(r"\bExchange\b", header))
+    assert n_exchanges == 3, header
