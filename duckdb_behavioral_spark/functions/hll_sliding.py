@@ -52,8 +52,11 @@ def hll_sliding_estimate(
     """(event_type, day, n_exact, hll_estimate, err_permille): rolling
     ``window_days``-day distinct user_id per event type, sketch vs
     exact. Leading partial windows are kept (standard rolling
-    semantics); days past the data's end are dropped by the semi join
-    on observed (type, day) pairs."""
+    semantics). The report is keyed by OBSERVED (type, day) pairs —
+    the semi join drops days past the data's end AND any mid-calendar
+    day with zero same-day events for that type, even when its
+    trailing window is non-empty (gap-fill the day spine upstream if
+    a dense series is needed)."""
     base = events.where(F.col("ts").isNotNull()).select(
         "event_type", F.to_date("ts").alias("day"), "user_id"
     )

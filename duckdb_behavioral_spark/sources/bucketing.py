@@ -117,18 +117,36 @@ def load_label_partitioned_embeddings(
             .partitionBy("label")
             .parquet(tmp)
         )
-        if os.path.isdir(path) and not os.path.exists(
-            os.path.join(path, "_SUCCESS")
-        ):
-            # stale partial from a crashed pre-rename writer: clear it
-            shutil.rmtree(path, ignore_errors=True)
         try:
             os.rename(tmp, path)
         except OSError:
-            # another session won the race with a COMPLETE copy (rename
-            # is atomic: the path only ever appears fully written) —
-            # drop ours and read theirs
-            shutil.rmtree(tmp, ignore_errors=True)
-            if not os.path.exists(os.path.join(path, "_SUCCESS")):
-                raise
+            if os.path.exists(os.path.join(path, "_SUCCESS")):
+                # another session won the race with a COMPLETE copy
+                # (rename is atomic: the path only ever appears fully
+                # written) — drop ours and read theirs
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                # stale partial from a crashed pre-rename writer: move
+                # it ASIDE atomically (never rmtree the live path — a
+                # check-then-delete could destroy a copy published
+                # between the check and the delete), then publish ours;
+                # if yet another session published in that window,
+                # adopt theirs. Residual exposure: a copy published
+                # between the _SUCCESS probe and the aside-rename gets
+                # swapped for our (content-identical, deterministic)
+                # build, leaving the path absent for that instant —
+                # strictly narrower than the overwrite-delete window
+                # this replaces.
+                aside = f"{path}.stale.{spark.sparkContext.applicationId}"
+                try:
+                    os.rename(path, aside)
+                except OSError:
+                    pass  # raced: someone moved/published it already
+                shutil.rmtree(aside, ignore_errors=True)
+                try:
+                    os.rename(tmp, path)
+                except OSError:
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                        raise
     return spark.read.parquet(path)

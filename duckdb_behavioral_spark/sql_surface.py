@@ -587,7 +587,18 @@ def _rewrite_sessionize(sql: str) -> str:
         # remain in scope. Shapes a hoist cannot express (qualified
         # function calls, `.*` expansion, subqueries in the outer
         # scope) keep the pointed CTE-workaround error.
-        sel_pos = _mask_nested(out[:lo]).upper().rfind("SELECT")
+        # the enclosing SELECT = the last one before the call at the
+        # call's OWN paren depth (a prefix-masked rfind would miss it
+        # when the call sits inside a CTE body or FROM-subquery, whose
+        # prefix has an unbalanced open paren)
+        sel_pos = -1
+        for smo in re.finditer(r"\bSELECT\b", out[:lo], re.IGNORECASE):
+            if _in_string(out, smo.start()):
+                continue
+            if _depth_at(out, smo.start()) == call_depth:
+                sel_pos = smo.start()
+        if sel_pos < 0:
+            raise ValueError("sessionize rewrite: could not locate SELECT")
         items_lo = sel_pos + len("SELECT")
         seg_end_mo = _POST_WHERE_CLAUSES.search(masked)
         seg_end = seg_end_mo.start() if seg_end_mo else len(tail)
@@ -616,11 +627,22 @@ def _rewrite_sessionize(sql: str) -> str:
                 if key not in chains:
                     chains.append(key)
         mangled = {c: "__q_" + c.replace(".", "_") for c in chains}
+        seen_mangled: dict[str, str] = {}
         for c, mg in mangled.items():
             if re.search(rf"\b{re.escape(mg)}\b", sql, re.IGNORECASE):
                 raise ValueError(
                     f"sessionize … OVER with JOIN: the hoisted name "
                     f"{mg} (for {c}) collides with an existing column — "
+                    "compute the session ids in a CTE first"
+                )
+            # distinct chains may fold to one mangled name (dots and
+            # underscores both map to '_'; Spark resolution is
+            # case-insensitive) — ambiguous, keep the pointed error
+            prev = seen_mangled.setdefault(mg.lower(), c)
+            if prev != c:
+                raise ValueError(
+                    f"sessionize … OVER with JOIN: the references {prev} "
+                    f"and {c} would hoist to the same name {mg} — "
                     "compute the session ids in a CTE first"
                 )
 

@@ -226,3 +226,54 @@ def test_struct_field_chain_hoists(spark, ev, dims):
     assert len(rows) == 5
     assert set(behavioral_sql(spark, sql).columns) == {"user_id", "country", "sid"}
     assert {r["country"] for r in rows} == {"c0", "c1"}
+
+
+def test_qualified_join_inside_cte_body(spark, ev, dims):
+    # round-9 review: the hoist must find the enclosing SELECT at the
+    # call's own paren depth — a sessionize+JOIN inside a CTE body
+    # (unbalanced-paren prefix) regressed to a spurious
+    # 'does not support subqueries' error
+    sql = (
+        "WITH j AS ("
+        f"SELECT user_id, ts, tier, {S} AS sid "
+        "FROM sess_scope_ev JOIN sess_scope_dim USING (user_id)"
+        ") SELECT * FROM j WHERE tier = 'gold'"
+    )
+    rows = behavioral_sql(spark, sql).collect()
+    assert len(rows) == 4
+    sql_q = (
+        "WITH j AS ("
+        f"SELECT e.user_id, e.ts, d.tier, {SE} AS sid "
+        "FROM sess_scope_ev e JOIN sess_scope_dim d ON e.user_id = d.user_id"
+        ") SELECT * FROM j WHERE tier = 'gold'"
+    )
+    assert {tuple(r) for r in behavioral_sql(spark, sql_q).collect()} == {
+        tuple(r) for r in rows
+    }
+
+
+def test_qualified_join_inside_from_subquery(spark, ev, dims):
+    sql = (
+        "SELECT * FROM ("
+        f"SELECT user_id, ts, {S} AS sid "
+        "FROM sess_scope_ev JOIN sess_scope_dim USING (user_id)"
+        ") z"
+    )
+    assert len(behavioral_sql(spark, sql).collect()) == 5
+
+
+def test_colliding_hoist_names_directed_to_cte(spark, ev, dims):
+    # e.b_c and e.b.c both mangle to __q_e_b_c — must raise the pointed
+    # error, not an ambiguous-reference analysis failure
+    spark.createDataFrame(
+        [(u, "x", ("y",)) for u in range(3)],
+        "user_id long, b_c string, b struct<c:string>",
+    ).createOrReplaceTempView("sess_scope_bc")
+    sql = (
+        "SELECT p.b_c, p.b.c, "
+        "sessionize(e.ts, INTERVAL '30 minutes') "
+        "OVER (PARTITION BY e.user_id ORDER BY e.ts) AS sid "
+        "FROM sess_scope_ev e JOIN sess_scope_bc p ON e.user_id = p.user_id"
+    )
+    with pytest.raises(ValueError, match="same name|CTE"):
+        behavioral_sql(spark, sql)
