@@ -93,6 +93,8 @@ from duckdb_behavioral_spark.functions import sessfunnel as SFN
 from duckdb_behavioral_spark.functions import lang_deciles as LD
 from duckdb_behavioral_spark.functions import kmv_sliding as KS
 from duckdb_behavioral_spark.functions import sla as SLA
+from duckdb_behavioral_spark.functions import funneltiming as FT
+from duckdb_behavioral_spark.functions import league as LG
 
 EXT_QUERIES = {
     # text analysis
@@ -223,6 +225,8 @@ EXT_QUERIES = {
     "doc_length_deciles_by_lang": LD.q_doc_length_deciles_by_lang,
     "sketch_kmv_sliding": KS.q_sketch_kmv_sliding,
     "orders_ship_sla_bands": SLA.q_orders_ship_sla_bands,
+    "cohort_conversion_time_quartiles": FT.q_cohort_conversion_time_quartiles,
+    "supplier_weekly_rank_delta": LG.q_supplier_weekly_rank_delta,
     "table_profile": PF.q_table_profile,
     "text_bigram_lm": NL.q_text_bigram_lm,
     "events_value_histogram": HG.q_events_value_histogram,
@@ -405,6 +409,8 @@ EXT_ORACLES = {
     "doc_length_deciles_by_lang": LD.LANG_DECILES_SQL,
     "sketch_kmv_sliding": KS.KMV_SLIDING_SQL,
     "orders_ship_sla_bands": SLA.SLA_BANDS_SQL,
+    "cohort_conversion_time_quartiles": FT.CONVERSION_TIME_SQL,
+    "supplier_weekly_rank_delta": LG.LEAGUE_SQL,
     "table_profile": PF.TABLE_PROFILE_SQL,
     "text_bigram_lm": NL.BIGRAM_LM_SQL,
     "events_value_histogram": HG.VALUE_HISTOGRAM_SQL,

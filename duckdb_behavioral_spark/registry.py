@@ -26,6 +26,8 @@ DRIVER_PRIORITY = [
     "doc_length_deciles_by_lang",
     "sketch_kmv_sliding",
     "orders_ship_sla_bands",
+    "cohort_conversion_time_quartiles",
+    "supplier_weekly_rank_delta",
     # --- changed in round 9 (64-bit SimHash banding + bucket cap;
     # decimal permille) — fresh rows required
     "dedup_simhash_hamming_hist",
@@ -72,11 +74,10 @@ DRIVER_PRIORITY = [
     "training_set_select",
     "transition_pagerank",
     "users_setops",
-    # --- oldest r05 rows fill the remaining slots: the namesake core
-    # operators deserve the freshest driver history
+    # --- oldest r05 row fills the remaining slot: the namesake
+    # sessionize operator gets the freshest driver history (q2/q3 stay
+    # in the r05 pool for round 10's window)
     "q1_sessionize",
-    "q2_retention",
-    "q3_window_funnel",
 ]
 
 

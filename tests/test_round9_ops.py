@@ -324,3 +324,179 @@ def test_sessionized_funnel_single_event_volume_exchange(spark, sf_dir):
     header = plan.split("\n\n")[0]  # tree section, not the detail dump
     n_exchanges = len(re.findall(r"\bExchange\b", header))
     assert n_exchanges == 3, header
+
+
+# --- cohort_conversion_time_quartiles ------------------------------------------
+
+
+def test_conversion_time_picks_fastest_chain(spark):
+    from duckdb_behavioral_spark.functions.funneltiming import (
+        cohort_conversion_time_quartiles,
+    )
+
+    # one session, two valid chains: view@9:00 and view@9:12 both chain
+    # through click@9:15 to purchase@9:20 — the fastest is 8 min
+    ev = _events(
+        spark,
+        [
+            (1, _ts(1, 9, 0), "view"),
+            (1, _ts(1, 9, 12), "view"),
+            (1, _ts(1, 9, 15), "click"),
+            (1, _ts(1, 9, 20), "purchase"),
+        ],
+    )
+    rows = cohort_conversion_time_quartiles(
+        ev, gap="30 minutes", window="1 hour"
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["cohort_day"] == _ts(1)
+    assert (r["quartile"], r["n_sessions"]) == (0, 1)
+    assert r["lo_us"] == r["hi_us"] == 8 * 60 * 1_000_000
+
+
+def test_conversion_time_window_gate_and_nonconverting_excluded(spark):
+    from duckdb_behavioral_spark.functions.funneltiming import (
+        cohort_conversion_time_quartiles,
+    )
+
+    ev = _events(
+        spark,
+        [
+            # session converts only through the 9:30 view (9:00 chain
+            # breaches the 1 h window at the 10:05 purchase)
+            (3, _ts(1, 9, 0), "view"),
+            (3, _ts(1, 9, 25), "click"),
+            (3, _ts(1, 9, 30), "view"),
+            (3, _ts(1, 9, 55), "click"),
+            (3, _ts(1, 10, 5), "purchase"),
+            # user 4 never converts -> no rows at all
+            (4, _ts(1, 9, 0), "view"),
+            (4, _ts(1, 9, 5), "click"),
+        ],
+    )
+    rows = cohort_conversion_time_quartiles(
+        ev, gap="30 minutes", window="1 hour"
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["lo_us"] == 35 * 60 * 1_000_000  # 9:30 -> 10:05
+    assert r["n_sessions"] == 1
+
+
+def test_conversion_time_vs_bruteforce_random(spark):
+    """Hash-random events vs a pure-Python model: min over all valid
+    (view < click < purchase, window-bounded) chains per session."""
+    import collections
+    import itertools
+
+    from duckdb_behavioral_spark.functions.funneltiming import (
+        cohort_conversion_time_quartiles,
+    )
+
+    types = ["view", "click", "purchase"]
+    rows = []
+    for i in range(240):
+        u = _hash32("cu", i) % 8
+        t = datetime.datetime(2024, 5, 1) + datetime.timedelta(
+            seconds=(_hash32("ct", i) % (2 * 86400)) * 9 % (3 * 86400) + i
+        )
+        rows.append((u, t, types[_hash32("ce", i) % 3]))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+
+    GAP = datetime.timedelta(minutes=30)
+    WIN = datetime.timedelta(hours=1)
+    per_user = collections.defaultdict(list)
+    for u, t, e in rows:
+        per_user[u].append((t, e))
+    durs_by_cohort = collections.defaultdict(list)
+    for u, evs in per_user.items():
+        evs.sort()
+        cohort = evs[0][0].replace(hour=0, minute=0, second=0, microsecond=0)
+        sid, prev, sessions = 0, None, collections.defaultdict(list)
+        for t, e in evs:
+            if prev is None or (t - prev) > GAP:
+                sid += 1
+            prev = t
+            sessions[sid].append((t, e))
+        for s in sessions.values():
+            best = None
+            for (ta, ea), (tb, eb), (tc, ec) in itertools.combinations(s, 3):
+                if (ea, eb, ec) == ("view", "click", "purchase") and \
+                        ta < tb < tc and (tc - ta) <= WIN:
+                    d = int((tc - ta).total_seconds() * 1_000_000)
+                    best = d if best is None else min(best, d)
+            if best is not None:
+                durs_by_cohort[cohort].append(best)
+    want = {}
+    for c, ds in durs_by_cohort.items():
+        ds.sort()
+        n = len(ds)
+        bins = collections.defaultdict(list)
+        for i, d in enumerate(ds):
+            bins[min(3, 4 * i // n)].append(d)
+        for q, vals in bins.items():
+            want[(c, q)] = (len(vals), vals[0], vals[-1])
+    got = {
+        (r["cohort_day"], r["quartile"]): (r["n_sessions"], r["lo_us"], r["hi_us"])
+        for r in cohort_conversion_time_quartiles(
+            ev, gap="30 minutes", window="1 hour"
+        ).collect()
+    }
+    assert got == want
+
+
+# --- supplier_weekly_rank_delta -------------------------------------------------
+
+
+def test_league_ranks_and_movement(spark):
+    from duckdb_behavioral_spark.functions.league import supplier_weekly_rank_delta
+
+    # week 1 (Mon 2024-01-01): s1=300, s2=200; week 2: s2=300, s1=100
+    rows = [
+        (1, 300.0, 0.0, _ts(2)),
+        (2, 200.0, 0.0, _ts(3)),
+        (1, 100.0, 0.0, _ts(9)),
+        (2, 300.0, 0.0, _ts(10)),
+    ]
+    li = spark.createDataFrame(
+        rows, "l_suppkey long, l_extendedprice double, l_discount double, l_shipdate timestamp"
+    )
+    got = {
+        (r["week"], r["s_suppkey"]): (r["rank"], r["rank_delta"], r["revenue_cents"])
+        for r in supplier_weekly_rank_delta(li).collect()
+    }
+    w1, w2 = _ts(1), _ts(8)
+    assert got[(w1, 1)] == (1, 0, 30000)  # first active week -> delta 0
+    assert got[(w1, 2)] == (2, 0, 20000)
+    assert got[(w2, 2)] == (1, 1, 30000)  # up one
+    assert got[(w2, 1)] == (2, -1, 10000)  # down one
+
+
+def test_league_delta_vs_previous_active_week_and_topn(spark):
+    from duckdb_behavioral_spark.functions import league as LG
+
+    # supplier 5 active week 1 (rank 1 of 1), silent week 2, active
+    # week 3: delta measured vs week 1, not the silent week
+    rows = [
+        (5, 100.0, 0.0, _ts(2)),
+        (5, 100.0, 0.0, _ts(16)),
+        (6, 900.0, 0.0, _ts(16)),
+    ]
+    li = spark.createDataFrame(
+        rows, "l_suppkey long, l_extendedprice double, l_discount double, l_shipdate timestamp"
+    )
+    got = {
+        (r["week"], r["s_suppkey"]): (r["rank"], r["rank_delta"])
+        for r in LG.supplier_weekly_rank_delta(li).collect()
+    }
+    assert got[(_ts(15), 5)] == (2, -1)  # was rank 1 in its last active week
+    assert got[(_ts(15), 6)] == (1, 0)
+    # ranks beyond TOP_N are filtered but still feed deltas
+    many = [(k, float(1000 - k), 0.0, _ts(2)) for k in range(1, 15)]
+    li2 = spark.createDataFrame(
+        many, "l_suppkey long, l_extendedprice double, l_discount double, l_shipdate timestamp"
+    )
+    out = LG.supplier_weekly_rank_delta(li2).collect()
+    assert len(out) == LG.TOP_N
+    assert max(r["rank"] for r in out) == LG.TOP_N
