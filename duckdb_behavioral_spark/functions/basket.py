@@ -31,9 +31,17 @@ TOPK = 50
 
 
 def market_basket_pairs(lineitem: DataFrame, k: int = TOPK) -> DataFrame:
-    items = lineitem.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
-    ).distinct()
+    # Checkpoint barrier: ``items`` (a full distinct-shuffle of
+    # lineitem) feeds FOUR consumers — n_orders, item_cnt, and both
+    # self-join sides. Without it Catalyst re-runs the scan+distinct
+    # per consumer (plan showed 5 lineitem scans, zero exchange reuse).
+    items = (
+        lineitem.select(
+            F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n_orders = items.select("okey").distinct().agg(
         F.count(F.lit(1)).cast("long").alias("__n_orders")
     )

