@@ -43,11 +43,16 @@ evaluation order. Qualified chains in the outer scope (select items,
 ORDER BY) are HOISTED through the derived table (``a.b`` is projected
 as ``a.b AS __q_a_b`` inside, where the qualifier is still in scope,
 and renamed outside — valid for both the table-alias and struct-field
-readings, so the lexical rewrite needs no schema knowledge); shapes a
-hoist cannot express (qualified function calls, ``tbl.*``, outer
-subqueries) and ``GROUP BY`` (grouping changes the rows the window
-sees) raise a ``ValueError`` pointing at the CTE workaround rather
-than silently computing the window over the wrong row set. One
+readings, so the lexical rewrite needs no schema knowledge). ``tbl.*``
+hoists as a struct (``struct(tbl.*) AS __q_tbl__star`` inside,
+``__q_tbl__star.*`` outside — Spark's struct-star expansion restores
+tbl's columns under their own names), and qualified FUNCTION
+references (``db.fn(…)``) pass through untouched — they resolve from
+the catalog, not the FROM scope. Shapes a hoist cannot express
+(multi-level ``a.b.*``, outer subqueries) and ``GROUP BY`` (grouping
+changes the rows the window sees) raise a ``ValueError`` pointing at
+the CTE workaround rather than silently computing the window over the
+wrong row set. One
 statement may contain many behavioral aggregate calls but at most one
 sessionize-OVER.
 """
@@ -617,16 +622,29 @@ def _rewrite_sessionize(sql: str) -> str:
                 )
             for cm in chain_re.finditer(b):
                 key = re.sub(r"\s*\.\s*", ".", cm.group(0))
-                if re.match(r"\s*\(", b[cm.end():]) or ".*" in key:
+                if re.match(r"\s*\(", b[cm.end():]):
+                    # qualified FUNCTION reference (db.fn(args)): the
+                    # name resolves from the catalog, not the FROM
+                    # scope, so it survives the derived table untouched
+                    # — skip it; chains among its ARGUMENTS are separate
+                    # matches and hoist individually.
+                    continue
+                if ".*" in key and not re.fullmatch(r"[A-Za-z_]\w*\.\*", key):
                     raise ValueError(
-                        "sessionize … OVER with JOIN supports qualified "
-                        "column/struct references only (no qualified "
-                        "function calls or `.*`) — for those compute "
+                        "sessionize … OVER with JOIN supports `tbl.*` "
+                        "but not multi-level `.*` expansion — compute "
                         "the session ids in a CTE first"
                     )
                 if key not in chains:
                     chains.append(key)
-        mangled = {c: "__q_" + c.replace(".", "_") for c in chains}
+        # `tbl.*` hoists as a STRUCT: `struct(tbl.*) AS __q_tbl__star`
+        # inside (where the qualifier is in scope) and `__q_tbl__star.*`
+        # at the outer occurrence — Spark's struct-field star expansion
+        # reproduces tbl's columns under their own names.
+        mangled = {
+            c: "__q_" + c.replace(".*", "__star").replace(".", "_")
+            for c in chains
+        }
         seen_mangled: dict[str, str] = {}
         for c, mg in mangled.items():
             if re.search(rf"\b{re.escape(mg)}\b", sql, re.IGNORECASE):
@@ -670,6 +688,13 @@ def _rewrite_sessionize(sql: str) -> str:
             parts, prev = [], 0
             for s0, s1, c in spans:
                 rep = mangled[c]
+                if c.endswith(".*"):
+                    # star expansion of the hoisted struct; a star item
+                    # can't take an AS alias — emit it and move on
+                    parts.append(text[prev:s0])
+                    parts.append(rep + ".*")
+                    prev = s1
+                    continue
                 if alias_bare:
                     before = blanked[:s0].strip()
                     after = blanked[s1:].strip()
@@ -688,7 +713,12 @@ def _rewrite_sessionize(sql: str) -> str:
             return "".join(parts)
 
         segment = out[src_lo:src_hi] + tail[:seg_end]
-        hoists = "".join(f", {c} AS {mangled[c]}" for c in chains)
+        hoists = "".join(
+            f", struct({c}) AS {mangled[c]}"
+            if c.endswith(".*")
+            else f", {c} AS {mangled[c]}"
+            for c in chains
+        )
         derived = (
             f"FROM (SELECT *{hoists}, lag({ts}) "
             f"OVER ({part}ORDER BY {ob}) AS __prev_ts "

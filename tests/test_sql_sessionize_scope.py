@@ -188,12 +188,59 @@ def test_qualified_join_order_by_hoists(spark, ev, dims):
     assert rows == sorted(rows, key=lambda r: (r["user_id"], r["ts"]))
 
 
-def test_qualified_function_call_still_directed_to_cte(spark, ev, dims):
-    # a qualified FUNCTION call can't hoist (it isn't a column/struct
-    # chain) — keep the pointed error
+def test_qualified_function_call_passes_through(spark, ev, dims):
+    # round 10: a qualified FUNCTION reference resolves from the
+    # catalog, not the FROM scope — it passes through the rewrite
+    # untouched while its qualified ARGUMENT chains hoist normally
+    spark.sql(
+        "CREATE OR REPLACE FUNCTION sess_scope_plus1(x BIGINT) "
+        "RETURNS BIGINT RETURN x + 1"
+    )
+    try:
+        sql = (
+            f"SELECT default.sess_scope_plus1(e.user_id) AS uplus, {SE} AS sid "
+            "FROM sess_scope_ev e JOIN sess_scope_dim d ON e.user_id = d.user_id"
+        )
+        rows = behavioral_sql(spark, sql).collect()
+        assert len(rows) == 5
+        assert {r["uplus"] for r in rows} == {2, 3}
+    finally:
+        spark.sql("DROP FUNCTION IF EXISTS sess_scope_plus1")
+
+
+def test_tbl_star_hoists_as_struct(spark, ev, dims):
+    # round 10: `e.*` hoists as struct(e.*) inside the derived table
+    # and expands back via __q_e__star.* — equal to the CTE workaround,
+    # with e's column names preserved
+    star_form = (
+        f"SELECT e.*, d.tier, {SE} AS sid "
+        "FROM sess_scope_ev e JOIN sess_scope_dim d ON e.user_id = d.user_id "
+        "WHERE d.tier = 'gold'"
+    )
+    cte_form = (
+        "WITH j AS (SELECT e.user_id, e.ts, d.tier "
+        "FROM sess_scope_ev e JOIN sess_scope_dim d ON e.user_id = d.user_id "
+        "WHERE d.tier = 'gold') "
+        f"SELECT user_id, ts, tier, {S} AS sid FROM j"
+    )
+    got_df = behavioral_sql(spark, star_form)
+    assert got_df.columns == ["user_id", "ts", "tier", "sid"]
+    got = {tuple(r) for r in got_df.collect()}
+    want = {tuple(r) for r in behavioral_sql(spark, cte_form).collect()}
+    assert got == want and len(got) == 4
+
+
+def test_multi_level_star_still_directed_to_cte(spark, ev, dims):
+    spark.createDataFrame(
+        [(u, (f"c{u % 2}",)) for u in range(3)],
+        "user_id long, props struct<country:string>",
+    ).createOrReplaceTempView("sess_scope_props2")
     sql = (
-        f"SELECT builtin.abs(e.user_id), {SE} AS sid "
-        "FROM sess_scope_ev e JOIN sess_scope_dim d ON e.user_id = d.user_id"
+        "SELECT e.user_id, p.props.*, "
+        "sessionize(e.ts, INTERVAL '30 minutes') "
+        "OVER (PARTITION BY e.user_id ORDER BY e.ts) AS sid "
+        "FROM sess_scope_ev e JOIN sess_scope_props2 p "
+        "ON e.user_id = p.user_id"
     )
     with pytest.raises(ValueError, match="CTE"):
         behavioral_sql(spark, sql)
