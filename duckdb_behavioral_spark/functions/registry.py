@@ -95,6 +95,8 @@ from duckdb_behavioral_spark.functions import kmv_sliding as KS
 from duckdb_behavioral_spark.functions import sla as SLA
 from duckdb_behavioral_spark.functions import funneltiming as FT
 from duckdb_behavioral_spark.functions import league as LG
+from duckdb_behavioral_spark.functions import burstiness as BU
+from duckdb_behavioral_spark.functions import pq_error as PE
 
 EXT_QUERIES = {
     # text analysis
@@ -227,6 +229,10 @@ EXT_QUERIES = {
     "orders_ship_sla_bands": SLA.q_orders_ship_sla_bands,
     "cohort_conversion_time_quartiles": FT.q_cohort_conversion_time_quartiles,
     "supplier_weekly_rank_delta": LG.q_supplier_weekly_rank_delta,
+    # round 10: vocabulary-shape diagnostics + PQ codebook health
+    "corpus_token_burstiness": BU.q_corpus_token_burstiness,
+    "corpus_heaps_residual": BU.q_corpus_heaps_residual,
+    "ann_pq_quantization_error": PE.q_ann_pq_quantization_error,
     "table_profile": PF.q_table_profile,
     "text_bigram_lm": NL.q_text_bigram_lm,
     "events_value_histogram": HG.q_events_value_histogram,
@@ -411,6 +417,9 @@ EXT_ORACLES = {
     "orders_ship_sla_bands": SLA.SLA_BANDS_SQL,
     "cohort_conversion_time_quartiles": FT.CONVERSION_TIME_SQL,
     "supplier_weekly_rank_delta": LG.LEAGUE_SQL,
+    "corpus_token_burstiness": BU.BURSTINESS_SQL,
+    "corpus_heaps_residual": BU.HEAPS_RESIDUAL_SQL,
+    "ann_pq_quantization_error": PE.PQ_ERROR_SQL,
     "table_profile": PF.TABLE_PROFILE_SQL,
     "text_bigram_lm": NL.BIGRAM_LM_SQL,
     "events_value_histogram": HG.VALUE_HISTOGRAM_SQL,

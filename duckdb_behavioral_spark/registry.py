@@ -11,73 +11,74 @@ history and ride local parity (tests/test_oracle_parity.py) this round.
 
 from __future__ import annotations
 
-# First-50 priority for the driver's correctness window (round 9).
-# Every query declared through round 8 is driver-green at its latest
-# check (CORRECTNESS_r08 50/50; zero rows older than r04). This window
-# leads with the queries NEW or CHANGED in round 9, then executes the
-# round-8 handoff's freshness plan: ALL 41 rows whose latest driver
-# check is r04, plus the oldest r05 rows in the remaining slots.
+# First-50 priority for the driver's correctness window (round 10).
+# Every query declared through round 9 is driver-green at its latest
+# check (CORRECTNESS_r09 50/50; zero rows older than r05). This window
+# leads with the queries NEW or CHANGED in round 10, then executes the
+# round-9 handoff's freshness plan: ALL 43 rows whose latest driver
+# check is r05, plus the oldest r06 row in the remaining slot.
 # Everything displaced keeps local-mirror coverage
 # (scripts/driver_mirror.py + tests/test_oracle_parity.py over all
 # declared queries).
 DRIVER_PRIORITY = [
-    # --- round 9, first driver rows: flagship composition + 3 operators
-    "cohort_sessionized_funnel",
-    "doc_length_deciles_by_lang",
-    "sketch_kmv_sliding",
-    "orders_ship_sla_bands",
-    "cohort_conversion_time_quartiles",
-    "supplier_weekly_rank_delta",
-    # --- changed in round 9 (64-bit SimHash banding + bucket cap;
-    # decimal permille) — fresh rows required
-    "dedup_simhash_hamming_hist",
-    "part_brand_share_top_other",
-    # --- the 41 rows whose latest driver check is r04
-    "corpus_doc_rarity",
-    "customers_inactive_antijoin",
-    "dedup_passage",
-    "events_daily_trend",
-    "events_hourly_anomaly",
-    "events_hourly_ohlc",
-    "events_hourly_rollup",
-    "events_props_json",
-    "events_rollup_cube",
-    "events_type_pivot",
-    "funnel_step_timings",
-    "mix_corpus",
-    "orders_by_nation",
-    "range_views_after_error",
-    "retention_report",
-    "retention_report_salted",
-    "rolling_active_users",
-    "sample_weighted",
-    "search_bm25_topk",
-    "session_concurrency",
-    "session_transitions",
-    "sketch_cms_heavy_hitters",
-    "streaming_cms_parity",
-    "streaming_dedup_parity",
-    "streaming_enrich_parity",
-    "streaming_funnel_parity",
-    "streaming_minhash_parity",
-    "streaming_rollup_parity",
-    "streaming_sessionize_parity",
-    "tpch_pricing_flags",
-    "tpch_q10_returned_topk",
-    "tpch_q14_promo",
-    "tpch_q18_large_orders",
-    "tpch_q3_topk",
-    "tpch_q4_late_orders",
-    "tpch_q5_region_revenue",
-    "tpch_q6_revenue",
-    "training_pipeline_pack",
-    "training_set_select",
-    "transition_pagerank",
-    "users_setops",
-    # --- oldest r05 row fills the remaining slot: the namesake
-    # sessionize operator gets the freshest driver history (q2/q3 stay
-    # in the r05 pool for round 10's window)
-    "q1_sessionize",
+    # --- round 10, first driver rows: vocabulary-shape diagnostics +
+    # PQ codebook health
+    "corpus_token_burstiness",
+    "corpus_heaps_residual",
+    "ann_pq_quantization_error",
+    # --- changed in round 10 (localCheckpoint barriers on multi-
+    # consumer lineages; results unchanged, plans changed) — fresh
+    # rows required
+    "text_lm_likelihood",
+    "orders_market_basket",
+    "corpus_term_cooccurrence",
+    # --- the 43 rows whose latest driver check is r05
+    "ab_funnel_steps",
+    "ann_cosine_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_topk",
+    "asof_view_before_purchase",
+    "cohort_retention",
+    "corpus_decontaminate",
+    "corpus_decontaminate_attr",
+    "dataset_split",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_minhash_sigs",
+    "dedup_winnow_pairs",
+    "embedding_label_coherence",
+    "events_sliding_rollup",
+    "multimodal_ppm_decode",
+    "order_fulfillment_lag",
+    "q11_session_stats",
+    "q12_funnel_dropoff",
+    "q18_session_paths",
+    "q2_retention",
+    "q3_window_funnel",
+    "q4_window_funnel_modes",
+    "q6_sequence_match_time",
+    "q8_sequence_match_events",
+    "sequence_time_gate_mix",
+    "sketch_quantile_sample",
+    "streaming_join_parity",
+    "streaming_quantile_parity",
+    "streaming_sink_parity",
+    "text_quality_filter",
+    "text_token_count_bpe",
+    "text_winnow_fingerprints",
+    "tpch_q11_important_stock",
+    "tpch_q13_order_counts",
+    "tpch_q15_top_supplier",
+    "tpch_q19_disjunctive",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "user_burstiness",
+    "user_rfm_segments",
+    # --- oldest r06 rows fill the remaining slots (the displaced
+    # corpus_term_cooccurrence r05 row rides the changed section)
+    "ann_recall_eval",
+    "cdc_merge_users",
 ]
 
 
