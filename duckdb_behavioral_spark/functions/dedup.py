@@ -81,20 +81,96 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # do. The first q_* call per session pays the build (including at
 # plan-construction time — bounded at the driver's SFs).
 #
-# LOCAL-MODE-ONLY assumptions, by design (this memo serves the driver
-# harness, which runs local[N]):
-# - tempfile.mkdtemp() is a driver-local path; on a multi-node cluster
-#   executors would resolve it to per-machine /tmp dirs. A cluster
-#   deployment must point the memo at shared storage — write under
-#   spark.sql.warehouse.dir (as load_label_partitioned_embeddings
-#   does) or any DFS path.
-# - the (applicationId, sf_dir, kind) key assumes the input dir is
+# TWO storage modes:
+# - default (conf unset): tempfile.mkdtemp() — a DRIVER-LOCAL path,
+#   correct only on local[N] (this serves the driver harness). The
+#   (applicationId, sf_dir, kind) key assumes the input dir is
 #   immutable within a session (true for the read-only testdata);
 #   inputs that mutate mid-session would be served a stale memo.
+# - shared storage (set ``spark.duckdb_behavioral.dedupMemoDir`` to a
+#   directory every node can see — spark.sql.warehouse.dir on
+#   NFS/EFS/Lustre, or any POSIX-visible DFS mount): memos are keyed
+#   by an INPUT FINGERPRINT (name/size/mtime of every file in sf_dir,
+#   hashed driver-side), so a changed input invalidates by keying to
+#   a new path rather than by deletion, concurrent sessions converge
+#   on one copy via the atomic-rename publish protocol below
+#   (bucketing.py's), and a second driver — or the same application
+#   restarted — ADOPTS the published memo instead of rebuilding. An
+#   object-store deployment (no atomic dir rename) would swap the
+#   rename for a conditional put; not needed here.
 _MEMO: dict[tuple[str, str, str], str] = {}
+
+MEMO_DIR_CONF = "spark.duckdb_behavioral.dedupMemoDir"
+
+
+def _input_fingerprint(sf_dir: str) -> str:
+    """Hash of (name, size, mtime_ns) for every file under ``sf_dir``
+    — the memo's cache key: any input change re-keys the memo."""
+    import hashlib
+    import os
+
+    h = hashlib.md5()
+    try:
+        names = sorted(os.listdir(sf_dir))
+    except OSError:
+        # non-POSIX-visible input (e.g. a remote URI): fall back to
+        # the path string — no content invalidation, documented
+        h.update(("path:" + sf_dir).encode())
+        return h.hexdigest()[:16]
+    for nm in names:
+        try:
+            st = os.stat(os.path.join(sf_dir, nm))
+        except OSError:
+            continue
+        h.update(f"{nm}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:16]
+
+
+def _memoized_shared(
+    spark: SparkSession, base: str, sf_dir: str, kind: str, build
+) -> DataFrame:
+    """Shared-storage memo: build-once / adopt-everywhere under
+    ``base`` with the atomic-rename publish protocol (unique-suffix
+    aside for stale partials, loser-adopts-winner on the rename
+    race)."""
+    import os
+    import shutil
+    import uuid
+
+    target = os.path.join(base, f"dedup_memo_{kind}_{_input_fingerprint(sf_dir)}")
+    data = os.path.join(target, "data")
+
+    def _complete(t: str) -> bool:
+        return os.path.exists(os.path.join(t, "data", "_SUCCESS"))
+
+    if not _complete(target):
+        os.makedirs(base, exist_ok=True)
+        tmp = os.path.join(base, f".tmp_{kind}_{uuid.uuid4().hex}")
+        build().write.mode("overwrite").parquet(os.path.join(tmp, "data"))
+        if os.path.exists(target) and not _complete(target):
+            # stale partial from a crashed build: move it ASIDE under a
+            # per-attempt unique name (an applicationId-keyed aside can
+            # collide with this application's own prior failed attempt)
+            aside = target + f".stale-{uuid.uuid4().hex}"
+            try:
+                os.rename(target, aside)
+            except OSError:
+                pass  # a concurrent publisher moved or replaced it
+            else:
+                shutil.rmtree(aside, ignore_errors=True)
+        try:
+            os.rename(tmp, target)
+        except OSError:
+            if not _complete(target):
+                raise  # not the publish race — surface the real error
+            shutil.rmtree(tmp, ignore_errors=True)  # adopt the winner
+    return spark.read.parquet(data)
 
 
 def _memoized(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
+    shared_base = spark.conf.get(MEMO_DIR_CONF, None)
+    if shared_base:
+        return _memoized_shared(spark, shared_base, sf_dir, kind, build)
     key = (spark.sparkContext.applicationId, sf_dir, kind)
     path = _MEMO.get(key)
     if path is None:

@@ -24,6 +24,17 @@ converting-session rows through the grouped two-pass rank-select
 no global sort. Durations are exact integer microseconds; tie order
 (dur_us, user_id, session_id) is total, so bin placement is
 cross-engine identical.
+
+DATA ASSUMPTION (the same one ``sessfunnel.py`` documents): per-user
+timestamps are DISTINCT across funnel steps. The DP's row frames
+order by ``__t`` only — ``w_prev`` excludes the current row and
+``w_cur`` includes it as the strict/non-strict time predicates —
+while the oracle requires strictly increasing timestamps
+(``b.t > a.t``, ``c.t > b.t``). With EQUAL per-user timestamps on
+different steps the Spark result is tie-order nondeterministic and
+can diverge from the oracle; the driver testdata satisfies
+distinctness at every SF (event times carry per-event microsecond
+offsets).
 """
 
 from __future__ import annotations

@@ -137,16 +137,27 @@ def load_label_partitioned_embeddings(
                 # build, leaving the path absent for that instant —
                 # strictly narrower than the overwrite-delete window
                 # this replaces.
-                aside = f"{path}.stale.{spark.sparkContext.applicationId}"
+                import uuid
+
+                # aside name is unique PER ATTEMPT: an applicationId-
+                # keyed name could collide with this application's own
+                # prior failed attempt, making the aside-rename fail
+                # with the partial still blocking the publish
+                aside = f"{path}.stale.{uuid.uuid4().hex}"
                 try:
                     os.rename(path, aside)
                 except OSError:
                     pass  # raced: someone moved/published it already
-                shutil.rmtree(aside, ignore_errors=True)
+                else:
+                    shutil.rmtree(aside, ignore_errors=True)
                 try:
                     os.rename(tmp, path)
                 except OSError:
-                    shutil.rmtree(tmp, ignore_errors=True)
-                    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-                        raise
+                    if os.path.exists(os.path.join(path, "_SUCCESS")):
+                        shutil.rmtree(tmp, ignore_errors=True)
+                    else:
+                        # the aside-rename raced and the partial still
+                        # blocks the path — OUR tmp copy is complete,
+                        # so serve it instead of raising
+                        return spark.read.parquet(tmp)
     return spark.read.parquet(path)

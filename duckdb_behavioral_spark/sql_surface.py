@@ -647,6 +647,15 @@ def _rewrite_sessionize(sql: str) -> str:
         }
         seen_mangled: dict[str, str] = {}
         for c, mg in mangled.items():
+            # Collision probe is LEXICAL (the statement text only): a
+            # source-table column named __q_* that the statement never
+            # references still flows through the derived table's
+            # SELECT * and duplicates the hoisted projection — that
+            # case surfaces as Spark's ambiguous-reference analysis
+            # error instead of this pointed hint. Accepted residual
+            # risk: real schemas don't carry __q_-prefixed columns,
+            # and checking would need schema knowledge the lexical
+            # rewrite deliberately avoids.
             if re.search(rf"\b{re.escape(mg)}\b", sql, re.IGNORECASE):
                 raise ValueError(
                     f"sessionize … OVER with JOIN: the hoisted name "
