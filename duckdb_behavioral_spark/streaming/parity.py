@@ -11,6 +11,14 @@ oracle (Q3 derivation) — streamed and batch answers must hash-match.
 Chunking is by time quantile, so cross-batch arrival order respects
 event time — the documented contract of the stateful operators (they
 sort within a batch; cross-batch reordering is not repaired).
+
+TEST-INFRASTRUCTURE ONLY — do not copy this harness into a production
+operator: every gate here collects whole micro-batches DRIVER-SIDE
+inside ``foreachBatch`` to fold them against a batch oracle. That is
+fine for an oracle comparison at test scale factors and would be a
+driver OOM at production volume; a real streaming sink keeps the fold
+distributed (write to a table / state store, as streaming/sink.py's
+exactly-once parquet upsert does).
 """
 
 from __future__ import annotations

@@ -33,6 +33,9 @@ SINGLE_PARTITION_OK = {
     # ranking window input is the per-brand aggregate — bounded by the
     # brand domain (25 in TPC-H), not the fact table
     "part_brand_share_top_other": "brand-domain-bounded ranking",
+    # doubling-checkpoint cumsum/lag/first_value run over the <= 41
+    # power-of-2 checkpoint rows (MAX_K constant), never over docs
+    "corpus_heaps_residual": "constant-arity checkpoint cumsum",
 }
 
 BATCH_QUERIES = sorted(
