@@ -1,0 +1,353 @@
+"""Dedup-index quality evaluation and incremental-ingest dedup — the
+two operational shapes a production near-dup deployment runs beyond
+the one-shot corpus sweep (no reference analogue; extension operators
+in the ann_recall_eval / dedup family mold).
+
+``dedup_lsh_recall_eval`` — the acceptance gate for the banded
+MinHash-LSH candidate generator (``dedup.minhash_candidate_pairs``):
+an index whose banding silently drops below the designed collision
+curve (1-(1-j^r)^b) lets near-duplicates leak into training unseen.
+Ground truth is exact 3-gram Jaccard >= tau over the *df-capped
+postings* pair domain: pairs sharing at least one shingle whose
+document frequency is in [2, TRUTH_DF_CAP]. A pair at tau=0.6 shares
+many shingles, so it is only missed if EVERY shared shingle is
+corpus-stopword-common — the standard bounded-error ground truth that
+keeps truth generation linear (sum of df^2 over eligible shingles
+<= CAP * total postings) instead of all-pairs quadratic. One summary
+row:
+
+  n_truth_pairs / n_lsh_pairs / n_verified_pairs / n_hit_pairs
+  recall_permille    = 1000 * |truth ∩ lsh| // |truth|
+  precision_permille = 1000 * |lsh pairs passing exact tau| // |lsh|
+
+``dedup_incremental_newdocs`` — the daily-ingest shape: the corpus is
+split into the standing collection (doc_id % INC_MOD != INC_NEW_REM)
+and today's batch, and ONLY the asymmetric banded join new-sigs x
+old-sigs runs — O(batch x bands) probe rows against a bucketed index,
+never old x old. Per flagged new doc: how many standing near-dups it
+has and the best match (highest exact-Jaccard permille, ties to the
+smallest old id). On a real cluster the old side is the memoized
+signature index (``dedup._memoized`` / dedupMemoDir) built once per
+corpus version; the probe side is the only per-day work.
+
+Scale shape: both operators ride the audited dedup machinery —
+checkpointed shingle sets and signatures (each expensive lineage
+feeds 2+ consumers), bucketed equi-joins only, integer-exact Jaccard,
+one bounded global aggregate (recall eval) or a per-new-doc window
+over verified matches (incremental). No all-pairs stage anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from duckdb_behavioral_spark.functions.dedup import (
+    _SQL_PAIR_CTES,
+    _docs,
+    _shingle_sets,
+    _sql_minhash_sigs,
+    JACCARD_THRESHOLD_TENTHS,
+    minhash_candidate_pairs,
+    minhash_signatures,
+)
+from duckdb_behavioral_spark.functions.common import (
+    sql_md5_hash48,
+    sql_shingles3,
+    sql_tokens,
+)
+
+__all__ = [
+    "TRUTH_DF_CAP",
+    "INC_MOD",
+    "INC_NEW_REM",
+    "lsh_recall_eval",
+    "dedup_incremental_newdocs",
+    "q_dedup_lsh_recall_eval",
+    "q_dedup_incremental_newdocs",
+]
+
+# Ground-truth postings cap: shingles shared by more than this many
+# docs are too common to define a pair (same boilerplate argument as
+# dedup.WINNOW_FP_CAP); df < 2 defines no pair at all.
+TRUTH_DF_CAP = 64
+
+# Deterministic standing-corpus / ingest-batch split (80 / 20).
+INC_MOD = 5
+INC_NEW_REM = 4
+
+
+def _tau_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact-Jaccard tau filter over an (doc_a, doc_b) id-pair set,
+    integer arithmetic only (``10*|∩| >= thr*|∪|``)."""
+    j = pairs.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")), "doc_a"
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")), "doc_b"
+    )
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb"))).cast("long")
+    uni = (F.size(F.col("sha")) + F.size(F.col("shb"))).cast("long") - inter
+    return (
+        j.select("doc_a", "doc_b", inter.alias("n_inter"), uni.alias("n_union"))
+        .where(
+            (F.col("n_union") > 0)
+            & (10 * F.col("n_inter") >= JACCARD_THRESHOLD_TENTHS * F.col("n_union"))
+        )
+    )
+
+
+def lsh_recall_eval(docs: DataFrame) -> DataFrame:
+    """One row: candidate-generation recall and post-verification
+    precision of the banded LSH index vs df-capped exact-Jaccard
+    ground truth (columns documented in the module docstring)."""
+    sh = _shingle_sets(docs)  # checkpointed; feeds postings + both tau filters
+    cand = (
+        minhash_candidate_pairs(docs)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)  # feeds verified, hit, and its own count
+    )
+    verified = _tau_pairs(cand, sh).select("doc_a", "doc_b")
+
+    # df-capped postings ground truth: explode the (already distinct)
+    # shingle sets once, keep shingles with df in [2, CAP], and pair
+    # the surviving postings bucket-locally (bounded by CAP * postings).
+    posting = (
+        sh.select("doc_id", F.explode("sh").alias("h"))
+        .localCheckpoint(eager=False)  # feeds the df filter and both join sides
+    )
+    elig = (
+        posting.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where((F.col("__df") >= 2) & (F.col("__df") <= TRUTH_DF_CAP))
+        .select("h")
+    )
+    ep = posting.join(elig, "h")
+    tp = (
+        ep.alias("a")
+        .join(ep.alias("b"), "h")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("__nsh"))
+        .select("doc_a", "doc_b")
+    )
+    truth = (
+        _tau_pairs(tp, sh)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)  # feeds its count and the hit semi-join
+    )
+    hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+
+    # single bounded global aggregate over tagged pair sets (no
+    # cross-join of one-row frames — that would be a nested-loop join)
+    tagged = (
+        truth.select(F.lit("truth").alias("tag"))
+        .unionAll(cand.select(F.lit("lsh").alias("tag")))
+        .unionAll(verified.select(F.lit("ver").alias("tag")))
+        .unionAll(hit.select(F.lit("hit").alias("tag")))
+    )
+
+    def _n(tag: str, name: str):
+        return (
+            F.coalesce(
+                F.sum(F.when(F.col("tag") == tag, F.lit(1)).otherwise(F.lit(0))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(name)
+        )
+
+    counts = tagged.agg(
+        _n("truth", "n_truth_pairs"),
+        _n("lsh", "n_lsh_pairs"),
+        _n("ver", "n_verified_pairs"),
+        _n("hit", "n_hit_pairs"),
+    )
+    recall = F.when(
+        F.col("n_truth_pairs") > 0,
+        F.floor(F.col("n_hit_pairs") * 1000 / F.col("n_truth_pairs")),
+    ).cast("long")
+    precision = F.when(
+        F.col("n_lsh_pairs") > 0,
+        F.floor(F.col("n_verified_pairs") * 1000 / F.col("n_lsh_pairs")),
+    ).cast("long")
+    return counts.select(
+        "n_truth_pairs",
+        "n_lsh_pairs",
+        "n_verified_pairs",
+        "n_hit_pairs",
+        recall.alias("recall_permille"),
+        precision.alias("precision_permille"),
+    )
+
+
+def dedup_incremental_newdocs(
+    docs: DataFrame, mod: int = INC_MOD, new_rem: int = INC_NEW_REM
+) -> DataFrame:
+    """(new_doc, n_old_dups, best_old_doc, best_jaccard_permille) —
+    new-batch docs with at least one verified standing near-dup."""
+    sig = minhash_signatures(docs).localCheckpoint(eager=False)
+    new_sig = sig.where(F.col("doc_id") % mod == new_rem)
+    old_sig = sig.where(F.col("doc_id") % mod != new_rem)
+    cand = (
+        new_sig.alias("n")
+        .join(
+            old_sig.alias("o"),
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.band_hash") == F.col("o.band_hash")),
+        )
+        .groupBy(
+            F.col("n.doc_id").alias("new_doc"), F.col("o.doc_id").alias("old_doc")
+        )
+        .agg(F.count(F.lit(1)).alias("__sb"))
+        .select("new_doc", "old_doc")
+    )
+    sh = _shingle_sets(docs)
+    j = cand.join(
+        sh.select(F.col("doc_id").alias("new_doc"), F.col("sh").alias("sha")),
+        "new_doc",
+    ).join(
+        sh.select(F.col("doc_id").alias("old_doc"), F.col("sh").alias("shb")),
+        "old_doc",
+    )
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb"))).cast("long")
+    uni = (F.size(F.col("sha")) + F.size(F.col("shb"))).cast("long") - inter
+    ver = (
+        j.select("new_doc", "old_doc", inter.alias("n_inter"), uni.alias("n_union"))
+        .where(
+            (F.col("n_union") > 0)
+            & (10 * F.col("n_inter") >= JACCARD_THRESHOLD_TENTHS * F.col("n_union"))
+        )
+        .select(
+            "new_doc",
+            "old_doc",
+            F.floor(F.col("n_inter") * 1000 / F.col("n_union"))
+            .cast("long")
+            .alias("jacc_permille"),
+        )
+    )
+    # old_doc is unique within a new_doc partition, so the
+    # (permille DESC, old_doc ASC) order is a deterministic total order
+    w = Window.partitionBy("new_doc").orderBy(
+        F.col("jacc_permille").desc(), F.col("old_doc").asc()
+    )
+    ranked = ver.select(
+        "new_doc",
+        "old_doc",
+        "jacc_permille",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("new_doc"))
+        .cast("long")
+        .alias("n_old_dups"),
+    )
+    return (
+        ranked.where(F.col("__rn") == 1)
+        .select(
+            "new_doc",
+            "n_old_dups",
+            F.col("old_doc").alias("best_old_doc"),
+            F.col("jacc_permille").alias("best_jaccard_permille"),
+        )
+        .orderBy("new_doc")
+    )
+
+
+# --- declared queries ------------------------------------------------------
+
+
+def q_dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_recall_eval(_docs(spark, sf_dir))
+
+
+def q_dedup_incremental_newdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_incremental_newdocs(_docs(spark, sf_dir))
+
+
+# --- DuckDB oracles --------------------------------------------------------
+
+# _SQL_PAIR_CTES provides banded / cand (LSH pairs) / shs (distinct
+# hashed shingle sets) / verified (cand pairs passing exact tau).
+LSH_RECALL_EVAL_SQL = _SQL_PAIR_CTES + f"""
+, posting AS (
+  SELECT doc_id, unnest(sh) AS h FROM shs
+), elig AS (
+  SELECT h FROM posting GROUP BY h
+  HAVING count(*) >= 2 AND count(*) <= {TRUTH_DF_CAP}
+), ep AS (
+  SELECT p.doc_id, p.h FROM posting p JOIN elig e ON p.h = e.h
+), tp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ep a JOIN ep b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT t.doc_a, t.doc_b
+  FROM tp t JOIN shs a ON a.doc_id = t.doc_a JOIN shs b ON b.doc_id = t.doc_b
+  WHERE len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
+    AND 10 * len(list_intersect(a.sh, b.sh))
+        >= {JACCARD_THRESHOLD_TENTHS}
+           * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+), hit AS (
+  SELECT t.doc_a FROM truth t
+  JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+), m AS (
+  SELECT (SELECT count(*) FROM truth)    AS t,
+         (SELECT count(*) FROM cand)     AS c,
+         (SELECT count(*) FROM verified) AS v,
+         (SELECT count(*) FROM hit)      AS h
+)
+SELECT CAST(t AS BIGINT) AS n_truth_pairs,
+       CAST(c AS BIGINT) AS n_lsh_pairs,
+       CAST(v AS BIGINT) AS n_verified_pairs,
+       CAST(h AS BIGINT) AS n_hit_pairs,
+       CAST(CASE WHEN t > 0 THEN h * 1000 // t END AS BIGINT) AS recall_permille,
+       CAST(CASE WHEN c > 0 THEN v * 1000 // c END AS BIGINT) AS precision_permille
+FROM m
+"""
+
+_INC_SHS = (
+    "SELECT doc_id, list_distinct(list_transform("
+    + sql_shingles3(sql_tokens("text"))
+    + f", x -> {sql_md5_hash48('x')})) AS sh FROM documents"
+)
+
+INCREMENTAL_NEWDOCS_SQL = _sql_minhash_sigs() + f"""
+, nsig AS (
+  SELECT * FROM banded WHERE doc_id % {INC_MOD} = {INC_NEW_REM}
+), osig AS (
+  SELECT * FROM banded WHERE doc_id % {INC_MOD} <> {INC_NEW_REM}
+), icand AS (
+  SELECT n.doc_id AS new_doc, o.doc_id AS old_doc
+  FROM nsig n JOIN osig o
+    ON n.band = o.band AND n.band_hash = o.band_hash
+  GROUP BY 1, 2
+), shs AS (
+  {_INC_SHS}
+), iver AS (
+  SELECT c.new_doc, c.old_doc,
+         CAST(len(list_intersect(a.sh, b.sh)) * 1000
+              // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+              AS BIGINT) AS jacc_permille
+  FROM icand c
+  JOIN shs a ON a.doc_id = c.new_doc
+  JOIN shs b ON b.doc_id = c.old_doc
+  WHERE len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
+    AND 10 * len(list_intersect(a.sh, b.sh))
+        >= {JACCARD_THRESHOLD_TENTHS}
+           * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+), ranked AS (
+  SELECT new_doc, old_doc, jacc_permille,
+         row_number() OVER (PARTITION BY new_doc
+                            ORDER BY jacc_permille DESC, old_doc ASC) AS rn,
+         count(*) OVER (PARTITION BY new_doc) AS nd
+  FROM iver
+)
+SELECT new_doc,
+       CAST(nd AS BIGINT) AS n_old_dups,
+       old_doc AS best_old_doc,
+       jacc_permille AS best_jaccard_permille
+FROM ranked WHERE rn = 1
+ORDER BY new_doc
+"""

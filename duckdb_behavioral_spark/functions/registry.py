@@ -97,6 +97,7 @@ from duckdb_behavioral_spark.functions import funneltiming as FT
 from duckdb_behavioral_spark.functions import league as LG
 from duckdb_behavioral_spark.functions import burstiness as BU
 from duckdb_behavioral_spark.functions import pq_error as PE
+from duckdb_behavioral_spark.functions import dedup_eval as DE
 
 EXT_QUERIES = {
     # text analysis
@@ -130,6 +131,8 @@ EXT_QUERIES = {
     "dedup_simhash": D.q_dedup_simhash,
     "dedup_embedding_cosine": D.q_dedup_embedding_cosine,
     "dedup_winnow_pairs": D.q_dedup_winnow_pairs,
+    "dedup_lsh_recall_eval": DE.q_dedup_lsh_recall_eval,
+    "dedup_incremental_newdocs": DE.q_dedup_incremental_newdocs,
     # sketches
     "sketch_hll": SK.q_sketch_hll,
     "sketch_kmv_overlap": SK.q_sketch_kmv_overlap,
@@ -325,6 +328,8 @@ EXT_ORACLES = {
     "dedup_simhash": D.SIMHASH_SQL,
     "dedup_embedding_cosine": D.COSINE_DUP_SQL,
     "dedup_winnow_pairs": D.WINNOW_PAIRS_SQL,
+    "dedup_lsh_recall_eval": DE.LSH_RECALL_EVAL_SQL,
+    "dedup_incremental_newdocs": DE.INCREMENTAL_NEWDOCS_SQL,
     "sketch_hll": SK.SKETCH_HLL_SQL,
     "sketch_kmv_overlap": SK.SKETCH_KMV_SQL,
     "sketch_quantile_sample": SK.QUANTILE_SAMPLE_SQL,

@@ -16,11 +16,17 @@ from __future__ import annotations
 # check (CORRECTNESS_r09 50/50; zero rows older than r05). This window
 # leads with the queries NEW or CHANGED in round 10, then executes the
 # round-9 handoff's freshness plan: ALL 43 rows whose latest driver
-# check is r05, plus the oldest r06 row in the remaining slot.
+# check is r05. The two late-round-10 additions (dedup_eval) displace
+# the two r06 tail rows (ann_recall_eval, cdc_merge_users) past slot
+# 50 — those stay r06-fresh and lead the round-11 rotation.
 # Everything displaced keeps local-mirror coverage
 # (scripts/driver_mirror.py + tests/test_oracle_parity.py over all
 # declared queries).
 DRIVER_PRIORITY = [
+    # --- round 10, first driver rows: dedup-index quality eval +
+    # incremental-ingest dedup (functions/dedup_eval.py)
+    "dedup_lsh_recall_eval",
+    "dedup_incremental_newdocs",
     # --- round 10, first driver rows: vocabulary-shape diagnostics +
     # PQ codebook health
     "corpus_token_burstiness",
@@ -75,8 +81,8 @@ DRIVER_PRIORITY = [
     "tpch_q7_volume_shipping",
     "user_burstiness",
     "user_rfm_segments",
-    # --- oldest r06 rows fill the remaining slots (the displaced
-    # corpus_term_cooccurrence r05 row rides the changed section)
+    # --- past slot 50 (displaced by the dedup_eval pair; r06-fresh,
+    # first in line for round 11)
     "ann_recall_eval",
     "cdc_merge_users",
 ]
