@@ -80,7 +80,9 @@ INC_NEW_REM = 4
 
 def _tau_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     """Exact-Jaccard tau filter over an (doc_a, doc_b) id-pair set,
-    integer arithmetic only (``10*|∩| >= thr*|∪|``)."""
+    integer arithmetic only (``10*|∩| >= thr*|∪|``). Extra columns on
+    ``pairs`` (e.g. a source tag) pass through."""
+    keep = pairs.columns
     j = pairs.join(
         sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")), "doc_a"
     ).join(
@@ -89,7 +91,7 @@ def _tau_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     inter = F.size(F.array_intersect(F.col("sha"), F.col("shb"))).cast("long")
     uni = (F.size(F.col("sha")) + F.size(F.col("shb"))).cast("long") - inter
     return (
-        j.select("doc_a", "doc_b", inter.alias("n_inter"), uni.alias("n_union"))
+        j.select(*keep, inter.alias("n_inter"), uni.alias("n_union"))
         .where(
             (F.col("n_union") > 0)
             & (10 * F.col("n_inter") >= JACCARD_THRESHOLD_TENTHS * F.col("n_union"))
@@ -113,13 +115,12 @@ def lsh_recall_eval(docs: DataFrame, df_cap: int = TRUTH_DF_CAP) -> DataFrame:
     fixed budget lower ``df_cap`` (fewer, rarer shingles define truth)
     rather than sampling docs, which would thin truth pairs
     quadratically."""
-    sh = _shingle_sets(docs)  # checkpointed; feeds postings + both tau filters
+    sh = _shingle_sets(docs)  # checkpointed; feeds postings + the tau pass
     cand = (
         minhash_candidate_pairs(docs)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)  # feeds verified, hit, and its own count
+        .localCheckpoint(eager=False)  # feeds the tau pass, hit, and its count
     )
-    verified = _tau_pairs(cand, sh).select("doc_a", "doc_b")
 
     # df-capped postings ground truth: explode the (already distinct)
     # shingle sets once, keep shingles with df in [2, CAP], and pair
@@ -145,11 +146,20 @@ def lsh_recall_eval(docs: DataFrame, df_cap: int = TRUTH_DF_CAP) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("__nsh"))
         .select("doc_a", "doc_b")
     )
-    truth = (
-        _tau_pairs(tp, sh)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)  # feeds its count and the hit semi-join
+    # ONE tau-verification join pass over the union of both pair
+    # families (two passes would join the shingle-set barrier twice)
+    tau = (
+        _tau_pairs(
+            cand.select("doc_a", "doc_b", F.lit("lsh").alias("src")).unionAll(
+                tp.select("doc_a", "doc_b", F.lit("tp").alias("src"))
+            ),
+            sh,
+        )
+        .select("doc_a", "doc_b", "src")
+        .localCheckpoint(eager=False)  # feeds both counts and the hit join
     )
+    verified = tau.where(F.col("src") == "lsh").select("doc_a", "doc_b")
+    truth = tau.where(F.col("src") == "tp").select("doc_a", "doc_b")
     hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
 
     # single bounded global aggregate over tagged pair sets (no

@@ -344,12 +344,18 @@ def test_no_duplicated_expensive_subtree_after_barriers(spark, sf):
     distinct-shuffle subtrees."""
     from duckdb_behavioral_spark.functions.basket import q_orders_market_basket
     from duckdb_behavioral_spark.functions.corpus import q_term_cooccurrence
+    from duckdb_behavioral_spark.functions.dedup_eval import (
+        q_dedup_incremental_newdocs,
+        q_dedup_lsh_recall_eval,
+    )
     from duckdb_behavioral_spark.functions.lm_score import q_text_lm_likelihood
 
     for fn, table in (
         (q_text_lm_likelihood, "documents"),
         (q_orders_market_basket, "lineitem"),
         (q_term_cooccurrence, "documents"),
+        (q_dedup_lsh_recall_eval, "documents"),
+        (q_dedup_incremental_newdocs, "documents"),
     ):
         plan = plan_of(fn(spark, sf))
         # the expensive scan ran once, behind the barrier: consumers
