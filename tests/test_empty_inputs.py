@@ -29,7 +29,7 @@ ONE_ROW_OK = {
     "sketch_quantile_sample", "funnel_step_timings",
     # global .agg reports: one row with n=0 / NULL stats on empty input
     "customer_revenue_gini", "graph_triangle_count", "ann_recall_eval",
-    "session_hard_cap",
+    "session_hard_cap", "dedup_lsh_recall_eval",
 }
 
 # fixed-arity reports: one row per PROFILED COLUMN (not per data row) —
