@@ -311,11 +311,6 @@ def minhash_signatures(df: DataFrame) -> DataFrame:
     (a 16× recompute without it — interpreted HOFs, not codegen).
     """
 
-    def _perm(j):
-        # factory (not default-arg lambda): pyspark dispatches on lambda
-        # arity, so extra defaulted params would bind the index Column
-        return lambda h: (F.lit(MINHASH_A[j]) * h + F.lit(MINHASH_B[j])) % F.lit(MINHASH_P)
-
     # Exploded form: one row per (doc, shingle-hash), then 16 grouped
     # mins. The permutation arithmetic runs in whole-stage codegen over
     # the exploded rows (vs 16 interpreted HOF passes per document),
@@ -330,6 +325,23 @@ def minhash_signatures(df: DataFrame) -> DataFrame:
             ).alias("h"),
         )
     )
+    return banded_from_hashes(base)
+
+
+def banded_from_hashes(base: DataFrame) -> DataFrame:
+    """(doc_id, band, band_hash) from an exploded ``(doc_id, h)``
+    hashed-shingle stream. Split out of :func:`minhash_signatures` so
+    a caller that already materialized the shingle stream (e.g.
+    dedup_eval's postings barrier) can band it without re-running the
+    tokenize->shingle->hash pipeline. Grouped ``min`` ignores
+    duplicate hashes, so hash-distinct and shingle-distinct streams
+    yield identical signatures."""
+
+    def _perm(j):
+        # factory (not default-arg lambda): pyspark dispatches on lambda
+        # arity, so extra defaulted params would bind the index Column
+        return lambda h: (F.lit(MINHASH_A[j]) * h + F.lit(MINHASH_B[j])) % F.lit(MINHASH_P)
+
     sigs = base.groupBy("doc_id").agg(
         *[F.min(_perm(j)(F.col("h"))).alias(f"s{j}") for j in range(NUM_HASHES)]
     )
@@ -347,14 +359,16 @@ def minhash_signatures(df: DataFrame) -> DataFrame:
     )
 
 
-def minhash_candidate_pairs(df: DataFrame) -> DataFrame:
+def minhash_candidate_pairs(df: DataFrame, sig: DataFrame | None = None) -> DataFrame:
     """(doc_a, doc_b, shared_bands) — pairs sharing ≥1 LSH bucket.
 
     The banded signatures are checkpointed before the self-join:
     without the barrier Catalyst re-executes the whole
     tokenize→shingle→hash→min→band pipeline once per join side (plan
-    showed 4 parquet scans, zero exchange reuse)."""
-    sig = minhash_signatures(df).localCheckpoint(eager=False)
+    showed 4 parquet scans, zero exchange reuse). Pass ``sig`` to
+    band a precomputed signature DataFrame instead (dedup_eval feeds
+    the banding of its postings barrier here)."""
+    sig = (minhash_signatures(df) if sig is None else sig).localCheckpoint(eager=False)
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(
@@ -405,6 +419,13 @@ FROM banded a JOIN banded b
 GROUP BY a.doc_id, b.doc_id
 """
 
+# canonical hashed-shingle-set CTE body — the single source of truth
+# for every oracle that verifies exact Jaccard (also dedup_eval's)
+_SQL_SHS = f"""SELECT doc_id,
+         list_distinct(list_transform({sql_shingles3(sql_tokens('text'))},
+                                      x -> {sql_md5_hash48('x')})) AS sh
+  FROM documents"""
+
 _SQL_PAIR_CTES = _sql_minhash_sigs() + f"""
 , cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -412,10 +433,7 @@ _SQL_PAIR_CTES = _sql_minhash_sigs() + f"""
     ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 ), shs AS (
-  SELECT doc_id,
-         list_distinct(list_transform({sql_shingles3(sql_tokens('text'))},
-                                      x -> {sql_md5_hash48('x')})) AS sh
-  FROM documents
+  {_SQL_SHS}
 ), verified AS (
   SELECT c.doc_a, c.doc_b,
          CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,

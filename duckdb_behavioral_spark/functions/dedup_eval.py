@@ -45,17 +45,13 @@ from pyspark.sql.window import Window
 
 from duckdb_behavioral_spark.functions.dedup import (
     _SQL_PAIR_CTES,
+    _SQL_SHS,
     _docs,
     _shingle_sets,
     _sql_minhash_sigs,
     JACCARD_THRESHOLD_TENTHS,
+    banded_from_hashes,
     minhash_candidate_pairs,
-    minhash_signatures,
-)
-from duckdb_behavioral_spark.functions.common import (
-    sql_md5_hash48,
-    sql_shingles3,
-    sql_tokens,
 )
 
 __all__ = [
@@ -116,19 +112,23 @@ def lsh_recall_eval(docs: DataFrame, df_cap: int = TRUTH_DF_CAP) -> DataFrame:
     rather than sampling docs, which would thin truth pairs
     quadratically."""
     sh = _shingle_sets(docs)  # checkpointed; feeds postings + the tau pass
+
+    # the exploded (doc_id, h) stream feeds the df-cap filter, both
+    # truth self-join sides, AND the MinHash banding — one shingle
+    # pipeline for the whole eval instead of one per index
+    posting = (
+        sh.select("doc_id", F.explode("sh").alias("h"))
+        .localCheckpoint(eager=False)
+    )
     cand = (
-        minhash_candidate_pairs(docs)
+        minhash_candidate_pairs(docs, sig=banded_from_hashes(posting))
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=False)  # feeds the tau pass, hit, and its count
     )
 
-    # df-capped postings ground truth: explode the (already distinct)
-    # shingle sets once, keep shingles with df in [2, CAP], and pair
-    # the surviving postings bucket-locally (bounded by CAP * postings).
-    posting = (
-        sh.select("doc_id", F.explode("sh").alias("h"))
-        .localCheckpoint(eager=False)  # feeds the df filter and both join sides
-    )
+    # df-capped postings ground truth: keep shingles with df in
+    # [2, CAP] and pair the surviving postings bucket-locally
+    # (bounded by CAP * postings)
     elig = (
         posting.groupBy("h")
         .agg(F.count(F.lit(1)).alias("__df"))
@@ -209,8 +209,16 @@ def dedup_incremental_newdocs(
     docs: DataFrame, mod: int = INC_MOD, new_rem: int = INC_NEW_REM
 ) -> DataFrame:
     """(new_doc, n_old_dups, best_old_doc, best_jaccard_permille) —
-    new-batch docs with at least one verified standing near-dup."""
-    sig = minhash_signatures(docs).localCheckpoint(eager=False)
+    new-batch docs with at least one verified standing near-dup.
+
+    The hash split assumes NON-NEGATIVE doc ids (the repo-wide id
+    convention): Spark and DuckDB ``%`` both truncate toward zero, so
+    a negative id would land on a negative remainder and always
+    classify as standing."""
+    sh = _shingle_sets(docs)  # feeds the banding AND the tau verify
+    sig = banded_from_hashes(
+        sh.select("doc_id", F.explode("sh").alias("h"))
+    ).localCheckpoint(eager=False)
     new_sig = sig.where(F.col("doc_id") % mod == new_rem)
     old_sig = sig.where(F.col("doc_id") % mod != new_rem)
     cand = (
@@ -226,29 +234,17 @@ def dedup_incremental_newdocs(
         .agg(F.count(F.lit(1)).alias("__sb"))
         .select("new_doc", "old_doc")
     )
-    sh = _shingle_sets(docs)
-    j = cand.join(
-        sh.select(F.col("doc_id").alias("new_doc"), F.col("sh").alias("sha")),
-        "new_doc",
-    ).join(
-        sh.select(F.col("doc_id").alias("old_doc"), F.col("sh").alias("shb")),
-        "old_doc",
-    )
-    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb"))).cast("long")
-    uni = (F.size(F.col("sha")) + F.size(F.col("shb"))).cast("long") - inter
-    ver = (
-        j.select("new_doc", "old_doc", inter.alias("n_inter"), uni.alias("n_union"))
-        .where(
-            (F.col("n_union") > 0)
-            & (10 * F.col("n_inter") >= JACCARD_THRESHOLD_TENTHS * F.col("n_union"))
-        )
-        .select(
-            "new_doc",
-            "old_doc",
-            F.floor(F.col("n_inter") * 1000 / F.col("n_union"))
-            .cast("long")
-            .alias("jacc_permille"),
-        )
+    ver = _tau_pairs(
+        cand.select(
+            F.col("new_doc").alias("doc_a"), F.col("old_doc").alias("doc_b")
+        ),
+        sh,
+    ).select(
+        F.col("doc_a").alias("new_doc"),
+        F.col("doc_b").alias("old_doc"),
+        F.floor(F.col("n_inter") * 1000 / F.col("n_union"))
+        .cast("long")
+        .alias("jacc_permille"),
     )
     # old_doc is unique within a new_doc partition, so the
     # (permille DESC, old_doc ASC) order is a deterministic total order
@@ -329,12 +325,6 @@ SELECT CAST(t AS BIGINT) AS n_truth_pairs,
 FROM m
 """
 
-_INC_SHS = (
-    "SELECT doc_id, list_distinct(list_transform("
-    + sql_shingles3(sql_tokens("text"))
-    + f", x -> {sql_md5_hash48('x')})) AS sh FROM documents"
-)
-
 INCREMENTAL_NEWDOCS_SQL = _sql_minhash_sigs() + f"""
 , nsig AS (
   SELECT * FROM banded WHERE doc_id % {INC_MOD} = {INC_NEW_REM}
@@ -346,7 +336,7 @@ INCREMENTAL_NEWDOCS_SQL = _sql_minhash_sigs() + f"""
     ON n.band = o.band AND n.band_hash = o.band_hash
   GROUP BY 1, 2
 ), shs AS (
-  {_INC_SHS}
+  {_SQL_SHS}
 ), iver AS (
   SELECT c.new_doc, c.old_doc,
          CAST(len(list_intersect(a.sh, b.sh)) * 1000

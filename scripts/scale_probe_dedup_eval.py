@@ -13,6 +13,7 @@ Usage: python scripts/scale_probe_dedup_eval.py [max_exp]  (default 6 = 1M)
 from __future__ import annotations
 
 import os
+import shutil
 import sys
 import time
 
@@ -54,6 +55,7 @@ def main():
             lambda: dedup_incremental_newdocs(docs),
         )
         results[f"docs_{n}"] = out
+        shutil.rmtree(path, ignore_errors=True)
     print(results)
 
 

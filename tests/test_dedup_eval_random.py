@@ -10,6 +10,7 @@ just the relational shape.
 """
 
 import hashlib
+import math
 import random
 
 import pytest
@@ -134,8 +135,10 @@ def _model_recall_eval(rows):
 def _model_incremental(rows):
     sh = {i: _shingles(t) for i, t in rows}
     bands = {i: _bands(t) for i, t in rows}
-    new = [i for i, _ in rows if i % INC_MOD == INC_NEW_REM]
-    old = [i for i, _ in rows if i % INC_MOD != INC_NEW_REM]
+    # math.fmod-style TRUNCATED remainder, matching Spark/DuckDB `%`
+    # (Python's % floors; the operators assume non-negative ids anyway)
+    new = [i for i, _ in rows if math.fmod(i, INC_MOD) == INC_NEW_REM]
+    old = [i for i, _ in rows if math.fmod(i, INC_MOD) != INC_NEW_REM]
     out = []
     for n in new:
         matches = []
