@@ -28,10 +28,11 @@ DRIVER_PRIORITY = [
     "dedup_lsh_recall_eval",
     "dedup_incremental_newdocs",
     # --- round 10, first driver rows: vocabulary-shape diagnostics +
-    # PQ codebook health
+    # PQ codebook health + the IVF nprobe tuning curve
     "corpus_token_burstiness",
     "corpus_heaps_residual",
     "ann_pq_quantization_error",
+    "ann_ivf_nprobe_sweep",
     # --- changed in round 10 (localCheckpoint barriers on multi-
     # consumer lineages; results unchanged, plans changed) — fresh
     # rows required
@@ -80,9 +81,12 @@ DRIVER_PRIORITY = [
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",
     "user_burstiness",
+    # --- past slot 50: user_rfm_segments displaced by the late-round
+    # ann_ivf_nprobe_sweep (the ONE r05 row left unrefreshed this
+    # round, documented in ROUND10.md); the other two were displaced
+    # by the dedup_eval pair and are r06-fresh. All three lead the
+    # round-11 rotation.
     "user_rfm_segments",
-    # --- past slot 50 (displaced by the dedup_eval pair; r06-fresh,
-    # first in line for round 11)
     "ann_recall_eval",
     "cdc_merge_users",
 ]
