@@ -215,9 +215,10 @@ def q_ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MAX_NP = max(NPROBE_SWEEP)
 _SWEEP_VALUES = ", ".join(f"({x})" for x in NPROBE_SWEEP)
 
-ANN_NPROBE_SWEEP_SQL = (
-    _IVF_PREFIX_SQL
-    + f"""
+# Nearest-centroid assignment as a reusable CTE (rides on
+# _IVF_PREFIX_SQL's n2/cent0) — shared with ann_health's
+# cluster-balance profile. The SQL mirror of _assign_clusters.
+ASSIGNED_CTE_SQL = f"""
 , assigned AS (
   SELECT cid, v, nrm, ctr_id AS cluster FROM (
     SELECT n2.cid, n2.v, n2.nrm, cent.ctr_id,
@@ -227,7 +228,13 @@ ANN_NPROBE_SWEEP_SQL = (
                       cent.ctr_id ASC) AS rnk
     FROM n2 CROSS JOIN cent0 cent)
   WHERE rnk = 1
-), q AS (
+)"""
+
+ANN_NPROBE_SWEEP_SQL = (
+    _IVF_PREFIX_SQL
+    + ASSIGNED_CTE_SQL
+    + f"""
+, q AS (
   SELECT cid AS query_id, v AS qv, nrm AS qn FROM assigned WHERE cid < {N_QUERIES}
 ), probes AS (
   SELECT query_id, qv, qn, ctr_id AS cluster, prnk FROM (

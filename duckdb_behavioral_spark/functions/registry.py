@@ -99,6 +99,7 @@ from duckdb_behavioral_spark.functions import burstiness as BU
 from duckdb_behavioral_spark.functions import pq_error as PE
 from duckdb_behavioral_spark.functions import dedup_eval as DE
 from duckdb_behavioral_spark.functions import ann_sweep as ASW
+from duckdb_behavioral_spark.functions import ann_health as AH
 
 EXT_QUERIES = {
     # text analysis
@@ -238,6 +239,7 @@ EXT_QUERIES = {
     "corpus_heaps_residual": BU.q_corpus_heaps_residual,
     "ann_pq_quantization_error": PE.q_ann_pq_quantization_error,
     "ann_ivf_nprobe_sweep": ASW.q_ann_ivf_nprobe_sweep,
+    "ann_ivf_cluster_balance": AH.q_ann_ivf_cluster_balance,
     "table_profile": PF.q_table_profile,
     "text_bigram_lm": NL.q_text_bigram_lm,
     "events_value_histogram": HG.q_events_value_histogram,
@@ -428,6 +430,7 @@ EXT_ORACLES = {
     "corpus_heaps_residual": BU.HEAPS_RESIDUAL_SQL,
     "ann_pq_quantization_error": PE.PQ_ERROR_SQL,
     "ann_ivf_nprobe_sweep": ASW.ANN_NPROBE_SWEEP_SQL,
+    "ann_ivf_cluster_balance": AH.ANN_CLUSTER_BALANCE_SQL,
     "table_profile": PF.TABLE_PROFILE_SQL,
     "text_bigram_lm": NL.BIGRAM_LM_SQL,
     "events_value_histogram": HG.VALUE_HISTOGRAM_SQL,

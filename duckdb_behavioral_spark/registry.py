@@ -28,11 +28,13 @@ DRIVER_PRIORITY = [
     "dedup_lsh_recall_eval",
     "dedup_incremental_newdocs",
     # --- round 10, first driver rows: vocabulary-shape diagnostics +
-    # PQ codebook health + the IVF nprobe tuning curve
+    # PQ codebook health + the IVF nprobe tuning curve + the IVF
+    # cluster-balance profile
     "corpus_token_burstiness",
     "corpus_heaps_residual",
     "ann_pq_quantization_error",
     "ann_ivf_nprobe_sweep",
+    "ann_ivf_cluster_balance",
     # --- changed in round 10 (localCheckpoint barriers on multi-
     # consumer lineages; results unchanged, plans changed) — fresh
     # rows required
@@ -80,12 +82,13 @@ DRIVER_PRIORITY = [
     "tpch_q21_waiting_suppliers",
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",
+    # --- past slot 50: user_burstiness and user_rfm_segments were
+    # displaced by the late-round ann_ivf_nprobe_sweep +
+    # ann_ivf_cluster_balance (the TWO r05 rows left unrefreshed this
+    # round, documented in ROUND10.md); ann_recall_eval and
+    # cdc_merge_users were displaced by the dedup_eval pair and are
+    # r06-fresh. All four lead the round-11 rotation.
     "user_burstiness",
-    # --- past slot 50: user_rfm_segments displaced by the late-round
-    # ann_ivf_nprobe_sweep (the ONE r05 row left unrefreshed this
-    # round, documented in ROUND10.md); the other two were displaced
-    # by the dedup_eval pair and are r06-fresh. All three lead the
-    # round-11 rotation.
     "user_rfm_segments",
     "ann_recall_eval",
     "cdc_merge_users",
