@@ -1,10 +1,12 @@
 #!/usr/bin/env python
-"""Scale probe for ann_ivf_nprobe_sweep: 10k -> 1M synthetic 64-dim
-embeddings (the scale_probe_r10 generator). Expected shape: linear in
-corpus size — the per-row cost is the assignment pass plus the
-N_QUERIES-bounded exact side; the swept candidate set is
-corpus_fraction(max nprobe)-bounded and never re-scans the corpus.
-Results feed SCALE.md (round-10 section).
+"""Scale probe for ann_ivf_nprobe_sweep and ann_ivf_cluster_balance:
+10k -> 1M synthetic 64-dim embeddings (the scale_probe_r10
+generator). Expected shape: linear in corpus size for both — the
+per-row cost is the assignment pass (plus, for the sweep, the
+N_QUERIES-bounded exact side); the sweep's candidate set is
+corpus_fraction(max nprobe)-bounded and never re-scans the corpus,
+and the balance profile's post-assignment work runs on the O(NCENT)
+size table. Results feed SCALE.md (round-10 section).
 
 Usage: python scripts/scale_probe_ann_sweep.py [max_exp]  (default 6 = 1M)
 """
@@ -28,6 +30,7 @@ def main():
     max_exp = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     spark = build_spark()
     spark.sparkContext.setLogLevel("ERROR")
+    from duckdb_behavioral_spark.functions.ann_health import ivf_cluster_balance
     from duckdb_behavioral_spark.functions.ann_sweep import ivf_nprobe_sweep
 
     results = {}
@@ -36,10 +39,13 @@ def main():
         path = f"{BASE}/emb_{n}"
         synth_embeddings(spark, n, path)
         emb = spark.read.parquet(path)
-        t0 = time.time()
-        ivf_nprobe_sweep(emb).write.format("noop").mode("overwrite").save()
-        results[n] = round(time.time() - t0, 2)
-        print(f"n={n}: {results[n]}s", flush=True)
+        out = results[n] = {}
+        for name, op in (("nprobe_sweep", ivf_nprobe_sweep),
+                         ("cluster_balance", ivf_cluster_balance)):
+            t0 = time.time()
+            op(emb).write.format("noop").mode("overwrite").save()
+            out[name] = round(time.time() - t0, 2)
+            print(f"n={n} {name}: {out[name]}s", flush=True)
     print(results)
     shutil.rmtree(BASE, ignore_errors=True)
 
