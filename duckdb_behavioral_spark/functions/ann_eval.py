@@ -35,30 +35,37 @@ from duckdb_behavioral_spark.functions.similarity import (
 __all__ = ["recall_summary", "q_ann_recall_eval"]
 
 
-def recall_summary(exact: DataFrame, approx: DataFrame) -> DataFrame:
-    """One row (n_queries, n_exact_pairs, n_hit_pairs,
-    micro_recall_permille, min_query_recall_permille, n_perfect) from
-    two (query_id, rank, neighbor_id) result sets."""
-    e = exact.select("query_id", "neighbor_id")
-    a = approx.select("query_id", "neighbor_id")
-    hits = e.join(a, ["query_id", "neighbor_id"], "left_semi")
+def recall_summary(
+    exact: DataFrame, approx: DataFrame, group_cols: tuple = ()
+) -> DataFrame:
+    """(n_queries, n_exact_pairs, n_hit_pairs, micro_recall_permille,
+    min_query_recall_permille, n_perfect) from two
+    (query_id, neighbor_id) result sets — one global row, or one row
+    per ``group_cols`` combination when both inputs carry extra keys
+    (e.g. the nprobe sweep grades every swept setting with the SAME
+    metric definitions)."""
+    keys = list(group_cols)
+    e = exact.select(*keys, "query_id", "neighbor_id")
+    a = approx.select(*keys, "query_id", "neighbor_id")
+    hits = e.join(a, keys + ["query_id", "neighbor_id"], "left_semi")
     per_q = (
-        e.groupBy("query_id")
+        e.groupBy(*keys, "query_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
         .join(
-            hits.groupBy("query_id").agg(
+            hits.groupBy(*keys, "query_id").agg(
                 F.count(F.lit(1)).cast("long").alias("n_hit")
             ),
-            "query_id",
+            keys + ["query_id"],
             "left",
         )
         .select(
+            *keys,
             "query_id",
             "n_exact",
             F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
         )
     )
-    return per_q.agg(
+    return per_q.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("long").alias("n_queries"),
         F.sum("n_exact").cast("long").alias("n_exact_pairs"),
         F.sum("n_hit").cast("long").alias("n_hit_pairs"),

@@ -44,10 +44,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from duckdb_behavioral_spark.functions.ann_sweep import ASSIGNED_CTE_SQL
 from duckdb_behavioral_spark.functions.similarity import (
     _IVF_PREFIX_SQL,
     _assign_clusters,
+    _assigned_cte_sql,
     _centroids,
     _norm,
 )
@@ -141,7 +141,7 @@ def q_ann_ivf_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ANN_CLUSTER_BALANCE_SQL = (
     _IVF_PREFIX_SQL
-    + ASSIGNED_CTE_SQL
+    + _assigned_cte_sql("cent0")
     + """
 , sizes AS (
   SELECT c.ctr_id AS cluster, CAST(coalesce(g.n, 0) AS BIGINT) AS n

@@ -32,9 +32,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from duckdb_behavioral_spark.functions.ann_eval import recall_summary
 from duckdb_behavioral_spark.functions.similarity import (
     _IVF_PREFIX_SQL,
     _assign_clusters,
+    _assigned_cte_sql,
     _centroids,
     _dot,
     _fold_dot_sql,
@@ -136,8 +138,11 @@ def ivf_nprobe_sweep(
         F.count(F.lit(1)).cast("long").alias("n_cand_rows")
     )
 
-    # exact truth from the same assigned barrier (no extra corpus scan)
-    ex = (
+    # exact truth from the same assigned barrier (no extra corpus
+    # scan); the bounded n_queries x k top-k is checkpointed so the
+    # corpus-wide ranking pass runs ONCE for its two consumers
+    # (recall_summary's hit join and per-query counts)
+    extop = (
         assigned.join(F.broadcast(q), F.col("cid") != F.col("query_id"))
         .select("query_id", F.col("cid").alias("neighbor_id"), sim.alias("sim"))
         .withColumn(
@@ -149,53 +154,31 @@ def ivf_nprobe_sweep(
             ),
         )
         .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.explode(
-                F.array(*[F.lit(x).cast("long") for x in NPROBE_SWEEP])
-            ).alias("nprobe"),
-        )
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    ex = extop.select(
+        "query_id",
+        "neighbor_id",
+        F.explode(
+            F.array(*[F.lit(x).cast("long") for x in NPROBE_SWEEP])
+        ).alias("nprobe"),
     )
 
-    hits = ex.join(approx, ["nprobe", "query_id", "neighbor_id"], "left_semi")
-    per_q = (
-        ex.groupBy("nprobe", "query_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
-        .join(
-            hits.groupBy("nprobe", "query_id").agg(
-                F.count(F.lit(1)).cast("long").alias("n_hit")
-            ),
-            ["nprobe", "query_id"],
-            "left",
-        )
-        .select(
-            "nprobe",
-            "query_id",
-            "n_exact",
-            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
-        )
-    )
-    summary = per_q.groupBy("nprobe").agg(
-        F.count(F.lit(1)).cast("long").alias("n_queries"),
-        F.sum("n_exact").cast("long").alias("n_exact_pairs"),
-        F.sum("n_hit").cast("long").alias("n_hit_pairs"),
-        F.expr("div(sum(n_hit) * 1000, sum(n_exact))")
-        .cast("long")
-        .alias("micro_recall_permille"),
-        F.min(F.expr("div(n_hit * 1000, n_exact)"))
-        .cast("long")
-        .alias("min_query_recall_permille"),
-        F.sum(F.when(F.col("n_hit") == F.col("n_exact"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_perfect"),
-    )
+    # one metric definition for every swept setting — the grouped form
+    # of ann_recall_eval's summary
+    summary = recall_summary(ex, approx, group_cols=("nprobe",))
     return (
-        summary.join(cost, "nprobe")
+        # LEFT join + coalesce: an nprobe level whose probed clusters
+        # hold only the queries themselves has ZERO candidate rows but
+        # still owes its (all-miss) summary row
+        summary.join(cost, "nprobe", "left")
         .select(
             "nprobe",
             "n_queries",
-            "n_cand_rows",
+            F.coalesce(F.col("n_cand_rows"), F.lit(0))
+            .cast("long")
+            .alias("n_cand_rows"),
             "n_exact_pairs",
             "n_hit_pairs",
             "micro_recall_permille",
@@ -215,20 +198,10 @@ def q_ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MAX_NP = max(NPROBE_SWEEP)
 _SWEEP_VALUES = ", ".join(f"({x})" for x in NPROBE_SWEEP)
 
-# Nearest-centroid assignment as a reusable CTE (rides on
-# _IVF_PREFIX_SQL's n2/cent0) — shared with ann_health's
-# cluster-balance profile. The SQL mirror of _assign_clusters.
-ASSIGNED_CTE_SQL = f"""
-, assigned AS (
-  SELECT cid, v, nrm, ctr_id AS cluster FROM (
-    SELECT n2.cid, n2.v, n2.nrm, cent.ctr_id,
-           row_number() OVER (
-             PARTITION BY n2.cid
-             ORDER BY {_fold_dot_sql('n2.v', 'cent.cv')} / (n2.nrm * cent.cn) DESC,
-                      cent.ctr_id ASC) AS rnk
-    FROM n2 CROSS JOIN cent0 cent)
-  WHERE rnk = 1
-)"""
+# The assignment CTE's single definition lives in similarity.py
+# (_assigned_cte_sql), shared with the IVF search, IVF-PQ and
+# ann_health's cluster-balance profile.
+ASSIGNED_CTE_SQL = _assigned_cte_sql("cent0")
 
 ANN_NPROBE_SWEEP_SQL = (
     _IVF_PREFIX_SQL
@@ -286,7 +259,7 @@ ANN_NPROBE_SWEEP_SQL = (
 )
 SELECT p.nprobe,
        CAST(count(*) AS BIGINT) AS n_queries,
-       c.n_cand_rows,
+       CAST(coalesce(c.n_cand_rows, 0) AS BIGINT) AS n_cand_rows,
        CAST(sum(n_exact) AS BIGINT) AS n_exact_pairs,
        CAST(sum(n_hit) AS BIGINT) AS n_hit_pairs,
        CAST(sum(n_hit) * 1000 // sum(n_exact) AS BIGINT)
@@ -295,7 +268,7 @@ SELECT p.nprobe,
          AS min_query_recall_permille,
        CAST(sum(CASE WHEN n_hit = n_exact THEN 1 ELSE 0 END) AS BIGINT)
          AS n_perfect
-FROM per_q p JOIN cost c ON c.nprobe = p.nprobe
+FROM per_q p LEFT JOIN cost c ON c.nprobe = p.nprobe
 GROUP BY p.nprobe, c.n_cand_rows
 ORDER BY p.nprobe
 """

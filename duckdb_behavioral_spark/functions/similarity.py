@@ -490,7 +490,13 @@ def _kmeans_iter_sql(prev: str, out: str) -> str:
 )"""
 
 
-def _ivf_search_sql(cent: str) -> str:
+def _assigned_cte_sql(cent: str = "cent0") -> str:
+    """The nearest-centroid assignment as a reusable ``assigned`` CTE
+    (rides on ``_IVF_PREFIX_SQL``'s ``n2`` plus the ``cent`` centroid
+    table) — the SQL mirror of ``_assign_clusters``, and the SINGLE
+    definition of the assignment tie rule (csim DESC, ctr_id ASC)
+    shared by the IVF search, IVF-PQ, the nprobe sweep and the
+    cluster-balance profile."""
     return f"""
 , assigned AS (
   SELECT cid, v, nrm, ctr_id AS cluster FROM (
@@ -501,7 +507,12 @@ def _ivf_search_sql(cent: str) -> str:
                       cent.ctr_id ASC) AS rnk
     FROM n2 CROSS JOIN {cent} cent)
   WHERE rnk = 1
-), q AS (
+)"""
+
+
+def _ivf_search_sql(cent: str) -> str:
+    return _assigned_cte_sql(cent) + f"""
+, q AS (
   SELECT cid AS query_id, v AS qv, nrm AS qn FROM assigned WHERE cid < {N_QUERIES}
 ), probes AS (
   SELECT query_id, qv, qn, ctr_id AS cluster FROM (
@@ -886,16 +897,8 @@ WITH e AS (
   SELECT cid AS ctr_id, v AS cv, nrm AS cn FROM n2
   ORDER BY ('0x' || substr(md5(CAST(cid AS VARCHAR)), 1, 12))::BIGINT ASC, cid ASC
   LIMIT {NCENT}
-), assigned AS (
-  SELECT cid, v, nrm, ctr_id AS cluster FROM (
-    SELECT n2.cid, n2.v, n2.nrm, cent0.ctr_id,
-           row_number() OVER (
-             PARTITION BY n2.cid
-             ORDER BY {_fold_dot_sql('n2.v', 'cent0.cv')} / (n2.nrm * cent0.cn) DESC,
-                      cent0.ctr_id ASC) AS rnk
-    FROM n2 CROSS JOIN cent0)
-  WHERE rnk = 1
-), q AS (
+)""" + _assigned_cte_sql("cent0") + f"""
+, q AS (
   SELECT cid AS query_id, v AS qv, nrm AS qn FROM assigned WHERE cid < {N_QUERIES}
 ), probes AS (
   SELECT query_id, ctr_id AS cluster FROM (

@@ -24,15 +24,49 @@ def test_sweep_shape_and_monotonicity(spark, sf_dir):
         assert 0 <= r["n_hit_pairs"] <= r["n_exact_pairs"]
         assert r["min_query_recall_permille"] <= r["micro_recall_permille"]
         assert 0 <= r["n_perfect"] <= r["n_queries"]
-    # more probes can only ADD candidates: cost strictly grows, and the
+    # more probes can only ADD candidates (equality when every newly
+    # probed cluster is empty or holds only the query itself), and the
     # approx top-k can only improve (supersets re-ranked by the same
-    # total order), so every recall column is non-decreasing
+    # total order), so every column is non-decreasing
     for a, b in zip(rows, rows[1:]):
-        assert a["n_cand_rows"] < b["n_cand_rows"]
+        assert a["n_cand_rows"] <= b["n_cand_rows"]
         assert a["n_hit_pairs"] <= b["n_hit_pairs"]
         assert a["micro_recall_permille"] <= b["micro_recall_permille"]
         assert a["min_query_recall_permille"] <= b["min_query_recall_permille"]
         assert a["n_perfect"] <= b["n_perfect"]
+
+
+def test_sweep_keeps_zero_candidate_levels(spark):
+    """Regression: an nprobe level with ZERO candidate rows must still
+    emit its (all-miss) summary row. On a corpus of NCENT orthogonal
+    vectors every cluster is a singleton, so nprobe=1 probes only the
+    query's own cluster (excluded) — 0 candidates — while nprobe=p
+    yields p-1 candidates per query."""
+    from duckdb_behavioral_spark.functions.ann_sweep import (
+        NPROBE_SWEEP,
+        ivf_nprobe_sweep,
+    )
+    from duckdb_behavioral_spark.functions.similarity import (
+        N_QUERIES,
+        NCENT,
+        TOP_K,
+    )
+
+    rows = []
+    for d in range(NCENT):
+        v = [0.0] * NCENT
+        v[d] = 1.0
+        rows.append((d, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["nprobe"]: r for r in ivf_nprobe_sweep(df).collect()}
+    assert sorted(out) == NPROBE_SWEEP
+    for p, r in out.items():
+        assert r["n_queries"] == N_QUERIES
+        assert r["n_exact_pairs"] == N_QUERIES * TOP_K
+        assert r["n_cand_rows"] == N_QUERIES * (p - 1)
+    assert out[1]["n_cand_rows"] == 0
+    assert out[1]["n_hit_pairs"] == 0
+    assert out[1]["micro_recall_permille"] == 0
 
 
 def test_sweep_agrees_with_single_point_recall_eval(spark, sf_dir):
