@@ -100,6 +100,8 @@ from duckdb_behavioral_spark.functions import pq_error as PE
 from duckdb_behavioral_spark.functions import dedup_eval as DE
 from duckdb_behavioral_spark.functions import ann_sweep as ASW
 from duckdb_behavioral_spark.functions import ann_health as AH
+from duckdb_behavioral_spark.functions import waterfall as WF
+from duckdb_behavioral_spark.functions import survival as SV
 
 EXT_QUERIES = {
     # text analysis
@@ -240,6 +242,8 @@ EXT_QUERIES = {
     "ann_pq_quantization_error": PE.q_ann_pq_quantization_error,
     "ann_ivf_nprobe_sweep": ASW.q_ann_ivf_nprobe_sweep,
     "ann_ivf_cluster_balance": AH.q_ann_ivf_cluster_balance,
+    "orders_fill_rate_waterfall": WF.q_orders_fill_rate_waterfall,
+    "user_purchase_survival": SV.q_user_purchase_survival,
     "table_profile": PF.q_table_profile,
     "text_bigram_lm": NL.q_text_bigram_lm,
     "events_value_histogram": HG.q_events_value_histogram,
@@ -431,6 +435,8 @@ EXT_ORACLES = {
     "ann_pq_quantization_error": PE.PQ_ERROR_SQL,
     "ann_ivf_nprobe_sweep": ASW.ANN_NPROBE_SWEEP_SQL,
     "ann_ivf_cluster_balance": AH.ANN_CLUSTER_BALANCE_SQL,
+    "orders_fill_rate_waterfall": WF.FILL_WATERFALL_SQL,
+    "user_purchase_survival": SV.PURCHASE_SURVIVAL_SQL,
     "table_profile": PF.TABLE_PROFILE_SQL,
     "text_bigram_lm": NL.BIGRAM_LM_SQL,
     "events_value_histogram": HG.VALUE_HISTOGRAM_SQL,

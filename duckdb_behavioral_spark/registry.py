@@ -23,6 +23,11 @@ from __future__ import annotations
 # (scripts/driver_mirror.py + tests/test_oracle_parity.py over all
 # declared queries).
 DRIVER_PRIORITY = [
+    # --- round 10, first driver rows: order-to-ship fill-rate
+    # waterfall + inter-purchase KM survival curve (functions/
+    # waterfall.py, functions/survival.py)
+    "orders_fill_rate_waterfall",
+    "user_purchase_survival",
     # --- round 10, first driver rows: dedup-index quality eval +
     # incremental-ingest dedup (functions/dedup_eval.py)
     "dedup_lsh_recall_eval",
@@ -80,14 +85,16 @@ DRIVER_PRIORITY = [
     "tpch_q15_top_supplier",
     "tpch_q19_disjunctive",
     "tpch_q21_waiting_suppliers",
+    # --- past slot 50: user_burstiness, user_rfm_segments,
+    # tpch_q2_min_cost_supplier and tpch_q7_volume_shipping were
+    # displaced by the four late-round additions (ann_ivf_nprobe_sweep,
+    # ann_ivf_cluster_balance, orders_fill_rate_waterfall,
+    # user_purchase_survival) — the FOUR r05 rows left unrefreshed
+    # this round, documented in ROUND10.md; ann_recall_eval and
+    # cdc_merge_users were displaced by the dedup_eval pair and are
+    # r06-fresh. All six lead the round-11 rotation.
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",
-    # --- past slot 50: user_burstiness and user_rfm_segments were
-    # displaced by the late-round ann_ivf_nprobe_sweep +
-    # ann_ivf_cluster_balance (the TWO r05 rows left unrefreshed this
-    # round, documented in ROUND10.md); ann_recall_eval and
-    # cdc_merge_users were displaced by the dedup_eval pair and are
-    # r06-fresh. All four lead the round-11 rotation.
     "user_burstiness",
     "user_rfm_segments",
     "ann_recall_eval",

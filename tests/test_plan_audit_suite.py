@@ -36,6 +36,9 @@ SINGLE_PARTITION_OK = {
     # doubling-checkpoint cumsum/lag/first_value run over the <= 41
     # power-of-2 checkpoint rows (MAX_K constant), never over docs
     "corpus_heaps_residual": "constant-arity checkpoint cumsum",
+    # KM cumsum/total run over the collapsed gap-day domain — bounded
+    # by the calendar span in days, never over raw purchase events
+    "user_purchase_survival": "calendar-grain KM cumsum",
 }
 
 BATCH_QUERIES = sorted(
