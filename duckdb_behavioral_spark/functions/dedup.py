@@ -311,11 +311,18 @@ def minhash_signatures(df: DataFrame) -> DataFrame:
     (a 16× recompute without it — interpreted HOFs, not codegen).
     """
 
-    # Exploded form: one row per (doc, shingle-hash), then 16 grouped
-    # mins. The permutation arithmetic runs in whole-stage codegen over
-    # the exploded rows (vs 16 interpreted HOF passes per document),
-    # and partial aggregation shrinks the shuffle to 16 longs per doc.
-    base = (
+    return banded_from_hashes(hashed_shingle_stream(df))
+
+
+def hashed_shingle_stream(df: DataFrame) -> DataFrame:
+    """(doc_id, h) — one row per (doc, hashed 3-gram shingle).
+
+    Exploded form: one row per (doc, shingle-hash), then grouped mins
+    downstream. The permutation arithmetic runs in whole-stage codegen
+    over the exploded rows (vs NUM_HASHES interpreted HOF passes per
+    document), and partial aggregation shrinks the shuffle to
+    NUM_HASHES longs per doc."""
+    return (
         df.select("doc_id", tokens(F.col("text")).alias("__toks"))
         .where(F.size(F.col("__toks")) >= 3)
         .select(
@@ -325,7 +332,22 @@ def minhash_signatures(df: DataFrame) -> DataFrame:
             ).alias("h"),
         )
     )
-    return banded_from_hashes(base)
+
+
+def raw_sigs_from_hashes(base: DataFrame) -> DataFrame:
+    """(doc_id, s0..s{NUM_HASHES-1}) — the raw MinHash components from
+    an exploded ``(doc_id, h)`` hashed-shingle stream, before banding.
+    Split out so the estimate-vs-exact calibration can compare
+    component equality pair-wise (``minhash_calibration.py``)."""
+
+    def _perm(j):
+        # factory (not default-arg lambda): pyspark dispatches on lambda
+        # arity, so extra defaulted params would bind the index Column
+        return lambda h: (F.lit(MINHASH_A[j]) * h + F.lit(MINHASH_B[j])) % F.lit(MINHASH_P)
+
+    return base.groupBy("doc_id").agg(
+        *[F.min(_perm(j)(F.col("h"))).alias(f"s{j}") for j in range(NUM_HASHES)]
+    )
 
 
 def banded_from_hashes(base: DataFrame) -> DataFrame:
@@ -336,15 +358,12 @@ def banded_from_hashes(base: DataFrame) -> DataFrame:
     tokenize->shingle->hash pipeline. Grouped ``min`` ignores
     duplicate hashes, so hash-distinct and shingle-distinct streams
     yield identical signatures."""
+    return bands_from_sigs(raw_sigs_from_hashes(base))
 
-    def _perm(j):
-        # factory (not default-arg lambda): pyspark dispatches on lambda
-        # arity, so extra defaulted params would bind the index Column
-        return lambda h: (F.lit(MINHASH_A[j]) * h + F.lit(MINHASH_B[j])) % F.lit(MINHASH_P)
 
-    sigs = base.groupBy("doc_id").agg(
-        *[F.min(_perm(j)(F.col("h"))).alias(f"s{j}") for j in range(NUM_HASHES)]
-    )
+def bands_from_sigs(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_hash) from raw component signatures —
+    pure column arithmetic, no data-sized work."""
     bands = []
     for b in range(LSH_BANDS):
         acc = F.lit(0).cast("long")

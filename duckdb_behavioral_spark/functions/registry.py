@@ -102,6 +102,8 @@ from duckdb_behavioral_spark.functions import ann_sweep as ASW
 from duckdb_behavioral_spark.functions import ann_health as AH
 from duckdb_behavioral_spark.functions import waterfall as WF
 from duckdb_behavioral_spark.functions import survival as SV
+from duckdb_behavioral_spark.functions import minhash_calibration as MC
+from duckdb_behavioral_spark.functions import zipf as ZF
 
 EXT_QUERIES = {
     # text analysis
@@ -244,6 +246,8 @@ EXT_QUERIES = {
     "ann_ivf_cluster_balance": AH.q_ann_ivf_cluster_balance,
     "orders_fill_rate_waterfall": WF.q_orders_fill_rate_waterfall,
     "user_purchase_survival": SV.q_user_purchase_survival,
+    "dedup_minhash_calibration": MC.q_dedup_minhash_calibration,
+    "corpus_zipf_tail_share": ZF.q_corpus_zipf_tail_share,
     "table_profile": PF.q_table_profile,
     "text_bigram_lm": NL.q_text_bigram_lm,
     "events_value_histogram": HG.q_events_value_histogram,
@@ -437,6 +441,8 @@ EXT_ORACLES = {
     "ann_ivf_cluster_balance": AH.ANN_CLUSTER_BALANCE_SQL,
     "orders_fill_rate_waterfall": WF.FILL_WATERFALL_SQL,
     "user_purchase_survival": SV.PURCHASE_SURVIVAL_SQL,
+    "dedup_minhash_calibration": MC.MINHASH_CALIBRATION_SQL,
+    "corpus_zipf_tail_share": ZF.ZIPF_TAIL_SQL,
     "table_profile": PF.TABLE_PROFILE_SQL,
     "text_bigram_lm": NL.BIGRAM_LM_SQL,
     "events_value_histogram": HG.VALUE_HISTOGRAM_SQL,

@@ -24,10 +24,14 @@ from __future__ import annotations
 # declared queries).
 DRIVER_PRIORITY = [
     # --- round 10, first driver rows: order-to-ship fill-rate
-    # waterfall + inter-purchase KM survival curve (functions/
-    # waterfall.py, functions/survival.py)
+    # waterfall + inter-purchase KM survival curve + MinHash
+    # estimate-vs-exact calibration + Zipf tail-share profile
+    # (functions/waterfall.py, survival.py, minhash_calibration.py,
+    # zipf.py)
     "orders_fill_rate_waterfall",
     "user_purchase_survival",
+    "dedup_minhash_calibration",
+    "corpus_zipf_tail_share",
     # --- round 10, first driver rows: dedup-index quality eval +
     # incremental-ingest dedup (functions/dedup_eval.py)
     "dedup_lsh_recall_eval",
@@ -83,16 +87,17 @@ DRIVER_PRIORITY = [
     "tpch_q11_important_stock",
     "tpch_q13_order_counts",
     "tpch_q15_top_supplier",
+    # --- past slot 50: user_burstiness, user_rfm_segments and the
+    # four tpch_* rows below were displaced by the six late-round
+    # additions (ann_ivf_nprobe_sweep, ann_ivf_cluster_balance,
+    # orders_fill_rate_waterfall, user_purchase_survival,
+    # dedup_minhash_calibration, corpus_zipf_tail_share) — the SIX
+    # r05 rows left unrefreshed this round, documented in ROUND10.md;
+    # ann_recall_eval and cdc_merge_users were displaced by the
+    # dedup_eval pair and are r06-fresh. All eight lead the round-11
+    # rotation.
     "tpch_q19_disjunctive",
     "tpch_q21_waiting_suppliers",
-    # --- past slot 50: user_burstiness, user_rfm_segments,
-    # tpch_q2_min_cost_supplier and tpch_q7_volume_shipping were
-    # displaced by the four late-round additions (ann_ivf_nprobe_sweep,
-    # ann_ivf_cluster_balance, orders_fill_rate_waterfall,
-    # user_purchase_survival) — the FOUR r05 rows left unrefreshed
-    # this round, documented in ROUND10.md; ann_recall_eval and
-    # cdc_merge_users were displaced by the dedup_eval pair and are
-    # r06-fresh. All six lead the round-11 rotation.
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",
     "user_burstiness",

@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Round-10 wave-3 scale probe: dedup_minhash_calibration (rides the
+banded-LSH candidate machinery — candidates scale with near-dup
+density, never all-pairs) and corpus_zipf_tail_share (one
+vocabulary-bounded aggregate + rank-select + constant-arity
+checkpoint cumsum). Docs reuse scale_probe_docs.synthesize (60-word
+vocab, ~5% dups). Results feed SCALE.md.
+
+Usage: python scripts/scale_probe_r10_wave3.py [max_exp]  (default 6 = 1M)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scale_probe_docs import build_spark, synthesize
+
+BASE = "/tmp/scale_probe_r10_w3"
+
+
+def _run(out, name, build):
+    t0 = time.time()
+    build().write.format("noop").mode("overwrite").save()
+    out[name] = round(time.time() - t0, 2)
+    print(f"    {name}: {out[name]}s", flush=True)
+
+
+def main():
+    max_exp = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    spark = build_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    from duckdb_behavioral_spark.functions.minhash_calibration import (
+        minhash_calibration,
+    )
+    from duckdb_behavioral_spark.functions.zipf import zipf_tail_share
+
+    results = {}
+    for e in range(4, max_exp + 1):
+        n = 10**e
+        path = f"{BASE}/docs_{n}"
+        print(f"docs n={n}:", flush=True)
+        synthesize(spark, n, path)
+        docs = spark.read.parquet(path)
+        out = {}
+        _run(out, "minhash_calibration", lambda d=docs: minhash_calibration(d))
+        _run(out, "zipf_tail_share", lambda d=docs: zipf_tail_share(d))
+        results[f"docs_{n}"] = out
+    print(results)
+    shutil.rmtree(BASE, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

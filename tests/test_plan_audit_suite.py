@@ -39,6 +39,9 @@ SINGLE_PARTITION_OK = {
     # KM cumsum/total run over the collapsed gap-day domain — bounded
     # by the calendar span in days, never over raw purchase events
     "user_purchase_survival": "calendar-grain KM cumsum",
+    # doubling-checkpoint cumsum runs over the <= 41 rank-checkpoint
+    # rows (MAX_K constant), never over the term table
+    "corpus_zipf_tail_share": "constant-arity checkpoint cumsum",
 }
 
 BATCH_QUERIES = sorted(
