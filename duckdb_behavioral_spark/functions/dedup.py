@@ -305,10 +305,12 @@ def dedup_ngram_jaccard(df: DataFrame) -> DataFrame:
 def minhash_signatures(df: DataFrame) -> DataFrame:
     """(doc_id, band, band_hash) — LSH-banded MinHash signatures.
 
-    Staged as hashed-shingles → (barrier) → 16 min-hash columns →
-    banded hashes. The repartition barrier keeps Catalyst from inlining
-    the shingle-hash array into each of the 16 signature expressions
-    (a 16× recompute without it — interpreted HOFs, not codegen).
+    Staged as exploded hashed-shingles → grouped min-hash columns →
+    banded hashes (see :func:`hashed_shingle_stream` for why the
+    exploded form beats per-document HOF passes). Recompute
+    protection across multiple consumers is the CALLER's job — e.g.
+    :func:`minhash_candidate_pairs` checkpoints the banded output
+    before its self-join.
     """
 
     return banded_from_hashes(hashed_shingle_stream(df))
@@ -445,13 +447,19 @@ _SQL_SHS = f"""SELECT doc_id,
                                       x -> {sql_md5_hash48('x')})) AS sh
   FROM documents"""
 
-_SQL_PAIR_CTES = _sql_minhash_sigs() + f"""
+# canonical band-collision candidate CTE — the single source of truth
+# for every oracle that consumes the LSH candidate set (also
+# minhash_calibration's); a change to the banding join must land here
+_SQL_CAND_CTE = """
 , cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
-), shs AS (
+)"""
+
+_SQL_PAIR_CTES = _sql_minhash_sigs() + _SQL_CAND_CTE + f"""
+, shs AS (
   {_SQL_SHS}
 ), verified AS (
   SELECT c.doc_a, c.doc_b,

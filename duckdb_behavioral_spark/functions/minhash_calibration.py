@@ -24,12 +24,13 @@ rows total):
 
 Scale shape: the candidate set is the banded LSH bucket join
 (O(docs x bands), never all-pairs — the ``dedup_ngram_jaccard``
-discipline); the raw component signatures are ONE grouped-min pass
-over the exploded hashed-shingle stream, checkpointed because they
-feed band derivation AND both sides of the pair join; the exact side
-rides the shared ``_shingle_sets`` barrier. The final aggregate
-collapses onto the (NUM_HASHES + 1)-value match-count domain —
-constant arity, no windows.
+discipline); the corpus is tokenized/shingled/hashed ONCE — the
+checkpointed ``_shingle_sets`` barrier feeds the exact-Jaccard joins
+AND (exploded) the grouped-min signature pass, whose raw components
+are themselves checkpointed because they feed band derivation and
+both sides of the pair join. The final aggregate collapses onto the
+(NUM_HASHES + 1)-value match-count domain — constant arity, no
+windows.
 
 Exactness: per-pair exact Jaccard is the truncating integer permille
 (1000 * inter - mod) / union; the per-row mean averages those integer
@@ -46,9 +47,9 @@ from duckdb_behavioral_spark.functions.common import NUM_HASHES
 from duckdb_behavioral_spark.functions.dedup import (
     _shingle_sets,
     _sql_minhash_sigs,
+    _SQL_CAND_CTE,
     _SQL_SHS,
     bands_from_sigs,
-    hashed_shingle_stream,
     minhash_candidate_pairs,
     raw_sigs_from_hashes,
 )
@@ -64,10 +65,16 @@ def minhash_calibration(docs: DataFrame) -> DataFrame:
     """(n_eq, est_permille, n_pairs, mean_exact_permille,
     min_exact_permille, max_exact_permille, bias_permille) — the
     MinHash calibration curve over LSH candidate pairs."""
-    # one grouped-min pass; barrier: feeds banding + both join sides
-    raw = raw_sigs_from_hashes(hashed_shingle_stream(docs)).localCheckpoint(
-        eager=False
-    )
+    # ONE tokenize->shingle->hash pass for the whole operator: the
+    # checkpointed shingle sets feed the exact-Jaccard side AND (via
+    # explode) the grouped-min signature pass — grouped min is
+    # duplicate-insensitive, so distinct-set and raw streams yield
+    # identical signatures (banded_from_hashes contract), and docs
+    # with < 3 tokens have empty sets on both paths
+    sh = _shingle_sets(docs)
+    raw = raw_sigs_from_hashes(
+        sh.select("doc_id", F.explode("sh").alias("h"))
+    ).localCheckpoint(eager=False)
     cand = minhash_candidate_pairs(docs, sig=bands_from_sigs(raw)).select(
         "doc_a", "doc_b"
     )
@@ -82,7 +89,6 @@ def minhash_calibration(docs: DataFrame) -> DataFrame:
     n_eq = sum(
         (F.col(f"a{j}") == F.col(f"b{j}")).cast("long") for j in range(NUM_HASHES)
     )
-    sh = _shingle_sets(docs)
     inter = F.size(F.array_intersect(F.col("sha"), F.col("shb"))).cast("long")
     union = (F.size("sha") + F.size("shb")).cast("long") - inter
     exact = F.expr("div(1000 * __inter, __union)").cast("long")
@@ -90,7 +96,7 @@ def minhash_calibration(docs: DataFrame) -> DataFrame:
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .select("doc_a", "doc_b", n_eq.alias("n_eq"))
-        .join(
+        .join(  # sh is the SAME checkpointed barrier the sigs rode
             sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")),
             "doc_a",
         )
@@ -142,13 +148,9 @@ _EQ_COUNT = " + ".join(
 
 MINHASH_CALIBRATION_SQL = (
     _sql_minhash_sigs()
+    + _SQL_CAND_CTE
     + f"""
-, cand AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-), eq AS (
+, eq AS (
   SELECT c.doc_a, c.doc_b, CAST({_EQ_COUNT} AS BIGINT) AS n_eq
   FROM cand c JOIN sig a ON a.doc_id = c.doc_a JOIN sig b ON b.doc_id = c.doc_b
 ), shs AS (

@@ -4,8 +4,10 @@ shipped by each service-lag band, cumulatively. A fulfillment team
 reads one month's row group as a waterfall: "of everything ordered in
 1995-03, 12% had shipped before the order date (synthetic early
 lines), 34% within the first week, 61% within a month, ...". The
-monotone `fill_cum_permille` column is the waterfall; the last band's
-row always reads 1000. No reference analogue; extension operator in
+monotone `fill_cum_permille` column is the waterfall; the last
+observed band's row always reads 1000, and never-shipped volume
+(NULL ship date) surfaces as a terminal `unshipped` band rather than
+silently counting as filled. No reference analogue; extension operator in
 the mold of ``orders_ship_sla_bands`` (the per-priority share view of
 the same join) and ``order_fulfillment_lag``.
 
@@ -13,7 +15,7 @@ Scale shape: ONE orderkey equi-join (the canonical co-partitioned
 TPC-H join — bucketed by orderkey at real scale, one shuffle
 otherwise); the lag CASE is a map-side expression and the first keyed
 aggregate collapses line-item volume onto the (month x band) domain
-(calendar months x 5 bands) BEFORE any window — the cumulative sum
+(calendar months x 6 bands) BEFORE any window — the cumulative sum
 and the month total are windows over that collapsed domain,
 partitioned by month, so no single-partition stage exists at any
 scale factor.
@@ -37,13 +39,18 @@ __all__ = ["fill_rate_waterfall", "q_orders_fill_rate_waterfall", "FILL_WATERFAL
 
 # (band_ord, label, inclusive upper bound in days); lag < 0 is the
 # data-quality band (synthetic data ships some lines before the order
-# date); the last band is open-ended
+# date); '90d+' is open-ended over SHIPPED lines; NULL l_shipdate
+# (never-shipped volume) lands in the terminal 'unshipped' band so it
+# is visible as attrition instead of silently counting as filled —
+# its row closes the cumulative at 1000, so the '90d+' row reads the
+# true ever-shipped share
 _BANDS = (
     (0, "early", -1),
     (1, "0-7d", 7),
     (2, "8-30d", 30),
     (3, "31-90d", 90),
     (4, "90d+", None),
+    (5, "unshipped", None),
 )
 _US_PER_DAY = 86_400_000_000
 
@@ -59,7 +66,8 @@ def fill_rate_waterfall(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
         / F.lit(_US_PER_DAY)
     ).cast("long")
     band_ord = (
-        F.when(F.col("__lag") < 0, _BANDS[0][0])
+        F.when(F.col("__lag").isNull(), _BANDS[5][0])
+        .when(F.col("__lag") < 0, _BANDS[0][0])
         .when(F.col("__lag") <= _BANDS[1][2], _BANDS[1][0])
         .when(F.col("__lag") <= _BANDS[2][2], _BANDS[2][0])
         .when(F.col("__lag") <= _BANDS[3][2], _BANDS[3][0])
@@ -129,7 +137,8 @@ WITH per AS (
          CAST(sum(qty) AS BIGINT) AS qty
   FROM (
     SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
-           CASE WHEN lag < 0 THEN {_BANDS[0][0]}
+           CASE WHEN lag IS NULL THEN {_BANDS[5][0]}
+                WHEN lag < 0 THEN {_BANDS[0][0]}
                 WHEN lag <= {_BANDS[1][2]} THEN {_BANDS[1][0]}
                 WHEN lag <= {_BANDS[2][2]} THEN {_BANDS[2][0]}
                 WHEN lag <= {_BANDS[3][2]} THEN {_BANDS[3][0]}

@@ -46,9 +46,7 @@ from duckdb_behavioral_spark.operators.rank_select import with_global_rank
 __all__ = ["zipf_tail_share", "q_corpus_zipf_tail_share", "ZIPF_TAIL_SQL"]
 
 
-def zipf_tail_share(
-    docs: DataFrame, text: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
+def zipf_tail_share(docs: DataFrame, text: str = "text") -> DataFrame:
     """(k, top_rank, n_terms_cum, tf_cum, share_permille,
     tail_permille, gain_permille) at rank checkpoints 2^k."""
     tf = (

@@ -26,6 +26,18 @@ from pyspark.sql import functions as F
 SIZES = [10**4, 10**5, 10**6]
 
 
+def run_timed(out: dict, name: str, build):
+    """Time one operator end-to-end through the noop sink (DataFrame
+    construction inside the timer — eager work counts). Shared by the
+    scale_probe_* scripts so the harness exists once."""
+    import time
+
+    t0 = time.time()
+    build().write.format("noop").mode("overwrite").save()
+    out[name] = round(time.time() - t0, 2)
+    print(f"    {name}: {out[name]}s", flush=True)
+
+
 def build_spark():
     return (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Round-10 wave-2 scale probe: orders_fill_rate_waterfall (synthetic
-orders x 4-line lineitem, lags spanning all five bands across ~96
-order months) and user_purchase_survival (synthetic purchase streams,
+orders x 4-line lineitem, lags spanning all five shipped bands across
+~96 order months) and user_purchase_survival (synthetic purchase streams,
 per-user gap mix collapsing to a <=64-value day domain). Both are
 expected ~linear: the waterfall is one orderkey equi-join + a
 (month x band)-domain window; the survival curve is one user_id
@@ -15,23 +15,15 @@ from __future__ import annotations
 import os
 import shutil
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from scale_probe_docs import build_spark
+from scale_probe_docs import build_spark, run_timed
 
 BASE = "/tmp/scale_probe_r10_w2"
 _US_PER_DAY = 86_400_000_000
-
-
-def _run(out, name, build):
-    t0 = time.time()
-    build().write.format("noop").mode("overwrite").save()
-    out[name] = round(time.time() - t0, 2)
-    print(f"    {name}: {out[name]}s", flush=True)
 
 
 def synth_orders(spark, n_orders, path):
@@ -70,7 +62,7 @@ def probe_waterfall(spark, path):
     li = spark.read.parquet(f"{path}/lineitem")
     od = spark.read.parquet(f"{path}/orders")
     out = {}
-    _run(out, "fill_rate_waterfall", lambda: fill_rate_waterfall(li, od))
+    run_timed(out, "fill_rate_waterfall", lambda: fill_rate_waterfall(li, od))
     return out
 
 
@@ -99,7 +91,7 @@ def probe_survival(spark, path):
 
     ev = spark.read.parquet(path)
     out = {}
-    _run(out, "purchase_survival", lambda: purchase_survival(ev))
+    run_timed(out, "purchase_survival", lambda: purchase_survival(ev))
     return out
 
 

@@ -14,20 +14,12 @@ from __future__ import annotations
 import os
 import shutil
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from scale_probe_docs import build_spark, synthesize
+from scale_probe_docs import build_spark, run_timed, synthesize
 
 BASE = "/tmp/scale_probe_r10_w3"
-
-
-def _run(out, name, build):
-    t0 = time.time()
-    build().write.format("noop").mode("overwrite").save()
-    out[name] = round(time.time() - t0, 2)
-    print(f"    {name}: {out[name]}s", flush=True)
 
 
 def main():
@@ -47,8 +39,8 @@ def main():
         synthesize(spark, n, path)
         docs = spark.read.parquet(path)
         out = {}
-        _run(out, "minhash_calibration", lambda d=docs: minhash_calibration(d))
-        _run(out, "zipf_tail_share", lambda d=docs: zipf_tail_share(d))
+        run_timed(out, "minhash_calibration", lambda d=docs: minhash_calibration(d))
+        run_timed(out, "zipf_tail_share", lambda d=docs: zipf_tail_share(d))
         results[f"docs_{n}"] = out
     print(results)
     shutil.rmtree(BASE, ignore_errors=True)

@@ -68,6 +68,24 @@ def test_waterfall_months_partition_independently(spark):
     ]
 
 
+def test_waterfall_null_shipdate_lands_in_unshipped_band(spark):
+    from duckdb_behavioral_spark.functions.waterfall import fill_rate_waterfall
+
+    od = _orders(spark, [(1, TS(1995, 3, 10))])
+    li = _lineitem(
+        spark,
+        [
+            (1, TS(1995, 3, 11), 30.0),  # 0-7d
+            (1, None, 10.0),             # never shipped
+        ],
+    )
+    out = fill_rate_waterfall(li, od).collect()
+    assert [(r["sla_band"], r["qty"], r["fill_cum_permille"]) for r in out] == [
+        ("0-7d", 30, 750),       # the shipped share is 750, not 1000
+        ("unshipped", 10, 1000),  # the attrition row closes the month
+    ]
+
+
 def test_waterfall_last_band_always_reads_1000(spark, sf_dir):
     from duckdb_behavioral_spark.functions.waterfall import (
         q_orders_fill_rate_waterfall,
