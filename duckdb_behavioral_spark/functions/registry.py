@@ -104,6 +104,8 @@ from duckdb_behavioral_spark.functions import waterfall as WF
 from duckdb_behavioral_spark.functions import survival as SV
 from duckdb_behavioral_spark.functions import minhash_calibration as MC
 from duckdb_behavioral_spark.functions import zipf as ZF
+from duckdb_behavioral_spark.functions import poweruser as PU
+from duckdb_behavioral_spark.functions import source_overlap as SO
 
 EXT_QUERIES = {
     # text analysis
@@ -248,6 +250,8 @@ EXT_QUERIES = {
     "user_purchase_survival": SV.q_user_purchase_survival,
     "dedup_minhash_calibration": MC.q_dedup_minhash_calibration,
     "corpus_zipf_tail_share": ZF.q_corpus_zipf_tail_share,
+    "events_power_user_curve": PU.q_events_power_user_curve,
+    "dedup_source_overlap": SO.q_dedup_source_overlap,
     "table_profile": PF.q_table_profile,
     "text_bigram_lm": NL.q_text_bigram_lm,
     "events_value_histogram": HG.q_events_value_histogram,
@@ -443,6 +447,8 @@ EXT_ORACLES = {
     "user_purchase_survival": SV.PURCHASE_SURVIVAL_SQL,
     "dedup_minhash_calibration": MC.MINHASH_CALIBRATION_SQL,
     "corpus_zipf_tail_share": ZF.ZIPF_TAIL_SQL,
+    "events_power_user_curve": PU.POWER_USER_SQL,
+    "dedup_source_overlap": SO.SOURCE_OVERLAP_SQL,
     "table_profile": PF.TABLE_PROFILE_SQL,
     "text_bigram_lm": NL.BIGRAM_LM_SQL,
     "events_value_histogram": HG.VALUE_HISTOGRAM_SQL,

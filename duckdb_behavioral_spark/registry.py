@@ -23,6 +23,11 @@ from __future__ import annotations
 # (scripts/driver_mirror.py + tests/test_oracle_parity.py over all
 # declared queries).
 DRIVER_PRIORITY = [
+    # --- round 10, first driver rows: power-user engagement curve +
+    # per-source near-dup exposure (functions/poweruser.py,
+    # source_overlap.py)
+    "events_power_user_curve",
+    "dedup_source_overlap",
     # --- round 10, first driver rows: order-to-ship fill-rate
     # waterfall + inter-purchase KM survival curve + MinHash
     # estimate-vs-exact calibration + Zipf tail-share profile
@@ -85,6 +90,9 @@ DRIVER_PRIORITY = [
     "text_token_count_bpe",
     "text_winnow_fingerprints",
     "tpch_q11_important_stock",
+    # --- past slot 50: tpch_q13_order_counts and tpch_q15_top_supplier
+    # (r05) were displaced by the wave-4 pair (events_power_user_curve,
+    # dedup_source_overlap) and join the round-11 lead rotation below.
     "tpch_q13_order_counts",
     "tpch_q15_top_supplier",
     # --- past slot 50: user_burstiness, user_rfm_segments and the
