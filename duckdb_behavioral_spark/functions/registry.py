@@ -106,6 +106,8 @@ from duckdb_behavioral_spark.functions import minhash_calibration as MC
 from duckdb_behavioral_spark.functions import zipf as ZF
 from duckdb_behavioral_spark.functions import poweruser as PU
 from duckdb_behavioral_spark.functions import source_overlap as SO
+from duckdb_behavioral_spark.functions import prototypes as PR
+from duckdb_behavioral_spark.functions import split_drift as SDR
 
 EXT_QUERIES = {
     # text analysis
@@ -252,6 +254,8 @@ EXT_QUERIES = {
     "corpus_zipf_tail_share": ZF.q_corpus_zipf_tail_share,
     "events_power_user_curve": PU.q_events_power_user_curve,
     "dedup_source_overlap": SO.q_dedup_source_overlap,
+    "embedding_cluster_prototypes": PR.q_embedding_cluster_prototypes,
+    "embedding_split_drift": SDR.q_embedding_split_drift,
     "table_profile": PF.q_table_profile,
     "text_bigram_lm": NL.q_text_bigram_lm,
     "events_value_histogram": HG.q_events_value_histogram,
@@ -449,6 +453,8 @@ EXT_ORACLES = {
     "corpus_zipf_tail_share": ZF.ZIPF_TAIL_SQL,
     "events_power_user_curve": PU.POWER_USER_SQL,
     "dedup_source_overlap": SO.SOURCE_OVERLAP_SQL,
+    "embedding_cluster_prototypes": PR.CLUSTER_PROTOTYPES_SQL,
+    "embedding_split_drift": SDR.SPLIT_DRIFT_SQL,
     "table_profile": PF.TABLE_PROFILE_SQL,
     "text_bigram_lm": NL.BIGRAM_LM_SQL,
     "events_value_histogram": HG.VALUE_HISTOGRAM_SQL,

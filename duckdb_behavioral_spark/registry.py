@@ -28,6 +28,11 @@ DRIVER_PRIORITY = [
     # source_overlap.py)
     "events_power_user_curve",
     "dedup_source_overlap",
+    # --- round 10, first driver rows: per-cluster prototype coverage
+    # sample + train/test embedding-coverage drift
+    # (functions/prototypes.py, split_drift.py)
+    "embedding_cluster_prototypes",
+    "embedding_split_drift",
     # --- round 10, first driver rows: order-to-ship fill-rate
     # waterfall + inter-purchase KM survival curve + MinHash
     # estimate-vs-exact calibration + Zipf tail-share profile
@@ -88,11 +93,12 @@ DRIVER_PRIORITY = [
     "streaming_sink_parity",
     "text_quality_filter",
     "text_token_count_bpe",
+    # --- past slot 50: the four r05 rows below were displaced by the
+    # wave-4 additions (events_power_user_curve, dedup_source_overlap,
+    # embedding_cluster_prototypes, embedding_split_drift) and join
+    # the round-11 lead rotation below.
     "text_winnow_fingerprints",
     "tpch_q11_important_stock",
-    # --- past slot 50: tpch_q13_order_counts and tpch_q15_top_supplier
-    # (r05) were displaced by the wave-4 pair (events_power_user_curve,
-    # dedup_source_overlap) and join the round-11 lead rotation below.
     "tpch_q13_order_counts",
     "tpch_q15_top_supplier",
     # --- past slot 50: user_burstiness, user_rfm_segments and the

@@ -127,3 +127,115 @@ def test_source_overlap_no_pairs_yields_zero_rows_per_source(spark):
     for r in out.values():
         assert r["n_dup_docs"] == 0 and r["n_ext_dup_docs"] == 0
         assert r["dup_permille"] == 0 and r["ext_permille"] == 0
+
+
+# --- embedding_cluster_prototypes / embedding_split_drift ---------------------
+
+
+def _vecs(spark, n=60, dim=8, with_zero=False):
+    # deterministic pseudo-random corpus: hash-derived components
+    rows = []
+    for i in range(n):
+        v = [((i * 37 + j * 101 + (i * j) % 13) % 17) - 8.0 for j in range(dim)]
+        if all(x == 0.0 for x in v):
+            v[0] = 1.0
+        rows.append((i, v))
+    if with_zero:
+        rows.append((n, [0.0] * dim))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cluster_prototypes_matches_pure_python_recount(spark):
+    import numpy as np
+
+    from duckdb_behavioral_spark.functions.prototypes import (
+        PROTO_K,
+        cluster_prototypes,
+    )
+    from duckdb_behavioral_spark.functions.similarity import (
+        _assign_clusters,
+        _centroids,
+        _norm,
+    )
+    from pyspark.sql import functions as F2
+
+    df = _vecs(spark)
+    out = cluster_prototypes(df).collect()
+    assert out, "expected prototypes"
+
+    # independent recount: assignment via the shared kernel, then a
+    # plain numpy per-cluster top-k with the same (csim DESC, cid ASC)
+    # tie rule
+    e = (
+        df.select(F2.col("vec_id").alias("cid"), F2.col("embedding").alias("v"))
+        .withColumn("nrm", _norm(F2.col("v")))
+        .where(F2.col("nrm") > 0)
+    )
+    cent = {r["ctr_id"]: (np.array(r["cv"]), r["cn"]) for r in _centroids(e).collect()}
+    members = {}
+    for r in _assign_clusters(e, _centroids(e)).collect():
+        cv, cn = cent[r["cluster"]]
+        acc = 0.0
+        for a, b in zip(r["v"], cv):  # same left fold
+            acc += a * b
+        members.setdefault(r["cluster"], []).append(
+            (-(acc / (r["nrm"] * cn)), r["cid"])
+        )
+    expect = {}
+    sizes = {}
+    for c, ms in members.items():
+        ms.sort()
+        sizes[c] = len(ms)
+        expect[c] = [cid for _, cid in ms[:PROTO_K]]
+    got = {}
+    for r in out:
+        got.setdefault(r["cluster"], []).append((r["rank"], r["vec_id"]))
+        assert r["n_members"] == sizes[r["cluster"]]
+    for c, pairs in got.items():
+        pairs.sort()
+        assert [p[0] for p in pairs] == list(range(1, len(pairs) + 1))
+        assert [p[1] for p in pairs] == expect[c]
+    assert set(got) == set(expect)
+
+
+def test_cluster_prototypes_excludes_zero_norm_vectors(spark):
+    from duckdb_behavioral_spark.functions.prototypes import cluster_prototypes
+
+    out = cluster_prototypes(_vecs(spark, n=20, with_zero=True)).collect()
+    assert all(r["vec_id"] != 20 for r in out)
+    # population excludes the zero vector too
+    assert sum(r["n_members"] for r in out if r["rank"] == 1) == 20
+
+
+def test_split_drift_counts_and_shares_are_consistent(spark):
+    from duckdb_behavioral_spark.functions.split_drift import split_cluster_drift
+
+    rows = split_cluster_drift(_vecs(spark, n=80)).collect()
+    assert rows
+    tot_tr = sum(r["n_train"] for r in rows)
+    tot_va = sum(r["n_val"] for r in rows)
+    tot_te = sum(r["n_test"] for r in rows)
+    assert tot_tr + tot_va + tot_te == 80
+    tvd = rows[0]["tvd_permille"]
+    drift_sum = 0
+    for r in rows:
+        if tot_tr:
+            assert r["train_permille"] == 1000 * r["n_train"] // tot_tr
+        if tot_te:
+            assert r["test_permille"] == 1000 * r["n_test"] // tot_te
+        if r["drift_permille"] is not None:
+            assert r["drift_permille"] == abs(
+                r["train_permille"] - r["test_permille"]
+            )
+            drift_sum += r["drift_permille"]
+        assert r["tvd_permille"] == tvd  # constant across rows
+    if tvd is not None:
+        assert tvd == drift_sum // 2
+        assert 0 <= tvd <= 1000
+
+
+def test_split_drift_empty_input_yields_no_rows(spark):
+    from duckdb_behavioral_spark.functions.split_drift import split_cluster_drift
+
+    out = split_cluster_drift(_vecs(spark, n=4).limit(0)).collect()
+    assert out == []
