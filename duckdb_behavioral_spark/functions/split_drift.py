@@ -45,12 +45,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from duckdb_behavioral_spark.functions.sampling import (
-    SPLIT_SALT,
-    SPLIT_TRAIN_HI,
-    SPLIT_VAL_HI,
-    split_assign,
-)
+from duckdb_behavioral_spark.functions.leakage import _sql_split
+from duckdb_behavioral_spark.functions.sampling import split_assign
 from duckdb_behavioral_spark.functions.similarity import (
     _IVF_PREFIX_SQL,
     _assign_clusters,
@@ -142,17 +138,9 @@ def q_embedding_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_cluster_drift(load_table(spark, sf_dir, "embeddings"))
 
 
-_SQL_SPLIT = f"""CASE
-    WHEN ('0x' || substr(md5('{SPLIT_SALT}' || CAST(cid AS VARCHAR)), 1, 12))::BIGINT
-         % 1000 < {SPLIT_TRAIN_HI} THEN 'train'
-    WHEN ('0x' || substr(md5('{SPLIT_SALT}' || CAST(cid AS VARCHAR)), 1, 12))::BIGINT
-         % 1000 < {SPLIT_VAL_HI} THEN 'val'
-    ELSE 'test' END"""
-
-
 SPLIT_DRIFT_SQL = _IVF_PREFIX_SQL + _assigned_cte_sql() + f"""
 , tagged AS (
-  SELECT cluster, {_SQL_SPLIT} AS split FROM assigned
+  SELECT cluster, {_sql_split('cid')} AS split FROM assigned
 ), occ AS (
   SELECT cluster,
          CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,

@@ -145,11 +145,16 @@ def _vecs(spark, n=60, dim=8, with_zero=False):
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
 
-def test_cluster_prototypes_matches_pure_python_recount(spark):
+import pytest
+
+
+@pytest.mark.parametrize("n", [60, 2000])
+def test_cluster_prototypes_matches_pure_python_recount(spark, n):
     import numpy as np
 
     from duckdb_behavioral_spark.functions.prototypes import (
         PROTO_K,
+        PROTO_SALTS,
         cluster_prototypes,
     )
     from duckdb_behavioral_spark.functions.similarity import (
@@ -159,9 +164,14 @@ def test_cluster_prototypes_matches_pure_python_recount(spark):
     )
     from pyspark.sql import functions as F2
 
-    df = _vecs(spark)
+    df = _vecs(spark, n=n)
     out = cluster_prototypes(df).collect()
     assert out, "expected prototypes"
+    if n == 2000:
+        # the exactness-critical phase-1 prune (__r1 <= k inside
+        # (cluster, salt) buckets) must actually FIRE at this scale:
+        # 2000 vectors / 32 clusters ~ 62 members, > SALTS * K = 32
+        assert any(r["n_members"] > PROTO_SALTS * PROTO_K for r in out)
 
     # independent recount: assignment via the shared kernel, then a
     # plain numpy per-cluster top-k with the same (csim DESC, cid ASC)
