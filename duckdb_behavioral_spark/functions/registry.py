@@ -108,6 +108,8 @@ from duckdb_behavioral_spark.functions import poweruser as PU
 from duckdb_behavioral_spark.functions import source_overlap as SO
 from duckdb_behavioral_spark.functions import prototypes as PR
 from duckdb_behavioral_spark.functions import split_drift as SDR
+from duckdb_behavioral_spark.functions import audience as AU
+from duckdb_behavioral_spark.functions import pq_transfer as PT
 
 EXT_QUERIES = {
     # text analysis
@@ -256,6 +258,8 @@ EXT_QUERIES = {
     "dedup_source_overlap": SO.q_dedup_source_overlap,
     "embedding_cluster_prototypes": PR.q_embedding_cluster_prototypes,
     "embedding_split_drift": SDR.q_embedding_split_drift,
+    "events_audience_overlap": AU.q_events_audience_overlap,
+    "embedding_pq_transfer": PT.q_embedding_pq_transfer,
     "table_profile": PF.q_table_profile,
     "text_bigram_lm": NL.q_text_bigram_lm,
     "events_value_histogram": HG.q_events_value_histogram,
@@ -455,6 +459,8 @@ EXT_ORACLES = {
     "dedup_source_overlap": SO.SOURCE_OVERLAP_SQL,
     "embedding_cluster_prototypes": PR.CLUSTER_PROTOTYPES_SQL,
     "embedding_split_drift": SDR.SPLIT_DRIFT_SQL,
+    "events_audience_overlap": AU.AUDIENCE_OVERLAP_SQL,
+    "embedding_pq_transfer": PT.PQ_TRANSFER_SQL,
     "table_profile": PF.TABLE_PROFILE_SQL,
     "text_bigram_lm": NL.BIGRAM_LM_SQL,
     "events_value_histogram": HG.VALUE_HISTOGRAM_SQL,

@@ -33,6 +33,11 @@ DRIVER_PRIORITY = [
     # (functions/prototypes.py, split_drift.py)
     "embedding_cluster_prototypes",
     "embedding_split_drift",
+    # --- round 10, first driver rows: event-type audience-overlap
+    # matrix + PQ codebook transfer (generalization gap across splits)
+    # (functions/audience.py, pq_transfer.py)
+    "events_audience_overlap",
+    "embedding_pq_transfer",
     # --- round 10, first driver rows: order-to-ship fill-rate
     # waterfall + inter-purchase KM survival curve + MinHash
     # estimate-vs-exact calibration + Zipf tail-share profile
@@ -91,12 +96,13 @@ DRIVER_PRIORITY = [
     "streaming_join_parity",
     "streaming_quantile_parity",
     "streaming_sink_parity",
+    # --- past slot 50: the six r05 rows below were displaced by the
+    # wave-4/5 additions (events_power_user_curve, dedup_source_overlap,
+    # embedding_cluster_prototypes, embedding_split_drift,
+    # events_audience_overlap, embedding_pq_transfer) and join the
+    # round-11 lead rotation below.
     "text_quality_filter",
     "text_token_count_bpe",
-    # --- past slot 50: the four r05 rows below were displaced by the
-    # wave-4 additions (events_power_user_curve, dedup_source_overlap,
-    # embedding_cluster_prototypes, embedding_split_drift) and join
-    # the round-11 lead rotation below.
     "text_winnow_fingerprints",
     "tpch_q11_important_stock",
     "tpch_q13_order_counts",
