@@ -46,10 +46,17 @@ __all__ = ["source_overlap", "q_dedup_source_overlap", "SOURCE_OVERLAP_SQL"]
 def source_overlap(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """(source, n_docs, n_dup_docs, n_ext_dup_docs, dup_permille,
     ext_permille) from verified near-dup ``pairs`` (doc_a, doc_b)."""
-    links = pairs.select(
+    # Checkpoint barrier: the symmetrizing union consumes ``pairs``
+    # TWICE — without a cut, a non-memoized pairs lineage (the direct
+    # API path; the declared query feeds the parquet-backed memo) runs
+    # the whole MinHash candidate+verify pipeline once per branch
+    # (1M-doc probe: 817s -> ~half with the barrier; the memoized
+    # declared path only re-materializes a small pair list).
+    slim = pairs.select("doc_a", "doc_b").localCheckpoint(eager=False)
+    links = slim.select(
         F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("__other")
     ).unionByName(
-        pairs.select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("__other"))
+        slim.select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("__other"))
     )
     src = docs.select("doc_id", "source")
     lab = (

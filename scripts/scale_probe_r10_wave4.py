@@ -55,8 +55,10 @@ def main():
     max_exp = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     spark = build_spark()
     spark.sparkContext.setLogLevel("ERROR")
+    from duckdb_behavioral_spark.functions.audience import audience_overlap
     from duckdb_behavioral_spark.functions.dedup import dedup_ngram_jaccard
     from duckdb_behavioral_spark.functions.poweruser import power_user_curve
+    from duckdb_behavioral_spark.functions.pq_transfer import pq_split_transfer
     from duckdb_behavioral_spark.functions.prototypes import cluster_prototypes
     from duckdb_behavioral_spark.functions.source_overlap import source_overlap
     from duckdb_behavioral_spark.functions.split_drift import split_cluster_drift
@@ -70,6 +72,9 @@ def main():
         ev = spark.read.parquet(ev_path)
         print(f"events n={n * 10}:", flush=True)
         run_timed(out, "power_user_curve", lambda d=ev: power_user_curve(d))
+        run_timed(out, "audience_overlap", lambda d=ev: audience_overlap(
+            d.withColumn("event_type", (F.pmod(F.hash("event_id"), F.lit(8))).cast("string"))
+        ))
 
         doc_path = f"{BASE}/docs_{n}"
         synthesize(spark, n, doc_path)
@@ -87,6 +92,7 @@ def main():
         print(f"embeddings n={n}:", flush=True)
         run_timed(out, "cluster_prototypes", lambda d=emb: cluster_prototypes(d))
         run_timed(out, "split_drift", lambda d=emb: split_cluster_drift(d))
+        run_timed(out, "pq_transfer", lambda d=emb: pq_split_transfer(d))
         results[f"n_{n}"] = out
     print(results)
     shutil.rmtree(BASE, ignore_errors=True)
