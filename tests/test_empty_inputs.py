@@ -30,6 +30,10 @@ ONE_ROW_OK = {
     # global .agg reports: one row with n=0 / NULL stats on empty input
     "customer_revenue_gini", "graph_triangle_count", "ann_recall_eval",
     "session_hard_cap", "dedup_lsh_recall_eval",
+    # keyless rank-select rollup: one all-NULL/zero row on empty input
+    # (already sanctioned in tests/test_degenerate_inputs.py; this twin
+    # gate missed it when the operator landed late in round 10)
+    "ann_ivf_cluster_balance",
 }
 
 # fixed-arity reports: one row per PROFILED COLUMN (not per data row) —
