@@ -45,9 +45,15 @@ def audience_overlap(
 ) -> DataFrame:
     """(type_a, type_b, n_a, n_b, n_both, jaccard_permille,
     overlap_permille) over distinct (user, type) audiences."""
-    ut = events.select(
-        F.col(user).alias("__u"), F.col(etype).alias("__t")
-    ).distinct()
+    # Checkpoint barrier: ``ut`` feeds THREE consumers (both self-join
+    # sides + the audience-size aggregate) — without it Catalyst can
+    # re-run the events scan + distinct shuffle per consumer (the
+    # market_basket ``items`` precedent, basket.py)
+    ut = (
+        events.select(F.col(user).alias("__u"), F.col(etype).alias("__t"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     # self-equi-join on the user key; fanout bounded by the type domain
     both = (
         ut.alias("a")

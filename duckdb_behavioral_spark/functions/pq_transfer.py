@@ -96,12 +96,15 @@ def pq_split_transfer(
     # pq_error_arrow closes over the collected codebook; an EMPTY
     # train split has no codewords to reconstruct from — return the
     # empty report rather than crash the kernel (oracle mirrors this:
-    # its errs CTE cross-joins an empty cb away)
+    # its errs CTE cross-joins an empty cb away). The collected row is
+    # handed back as a LOCAL one-row DataFrame so the error kernel's
+    # internal collect doesn't re-run the codebook job over the corpus.
     row = cb.collect()
     if not row or not row[0]["cb0"]:
         return df.sparkSession.createDataFrame([], _OUT_SCHEMA)
+    cb_local = df.sparkSession.createDataFrame(row, cb.schema)
     per = (
-        pq_error_arrow(e, cb)
+        pq_error_arrow(e, cb_local)
         .select(
             split_assign(F.col("cid")).alias("__split"),
             F.posexplode("errs").alias("subspace", "__err"),

@@ -14,11 +14,12 @@ from __future__ import annotations
 # First-50 priority for the driver's correctness window (round 10).
 # Every query declared through round 9 is driver-green at its latest
 # check (CORRECTNESS_r09 50/50; zero rows older than r05). This window
-# leads with the queries NEW or CHANGED in round 10, then executes the
-# round-9 handoff's freshness plan: ALL 43 rows whose latest driver
-# check is r05. The two late-round-10 additions (dedup_eval) displace
-# the two r06 tail rows (ann_recall_eval, cdc_merge_users) past slot
-# 50 — those stay r06-fresh and lead the round-11 rotation.
+# leads with the queries NEW or CHANGED in round 10, then refreshes as
+# much of the round-9 handoff's freshness plan (the 43 r05 rows) as
+# the 50 slots allow: the twelve round-10 additions displace twelve
+# r05 rows past slot 50 (see the past-slot-50 markers below), so 30
+# r05 rows are re-checked this round and the displaced twelve lead
+# the round-11 rotation (documented in ROUND10.md's handoff).
 # Everything displaced keeps local-mirror coverage
 # (scripts/driver_mirror.py + tests/test_oracle_parity.py over all
 # declared queries).
@@ -65,7 +66,9 @@ DRIVER_PRIORITY = [
     "text_lm_likelihood",
     "orders_market_basket",
     "corpus_term_cooccurrence",
-    # --- the 43 rows whose latest driver check is r05
+    # --- the r05-freshness block (43 rows in the round-9 handoff
+    # plan; the last twelve were displaced past slot 50 by the twelve
+    # round-10 additions and lead the round-11 rotation)
     "ab_funnel_steps",
     "ann_cosine_topk",
     "ann_ivfpq_topk",

@@ -31,8 +31,8 @@ ONE_ROW_OK = {
     "customer_revenue_gini", "graph_triangle_count", "ann_recall_eval",
     "session_hard_cap", "dedup_lsh_recall_eval",
     # keyless rank-select rollup: one all-NULL/zero row on empty input
-    # (already sanctioned in tests/test_degenerate_inputs.py; this twin
-    # gate missed it when the operator landed late in round 10)
+    # (pinned by tests/test_ann_health.py's degenerate zero-norm case;
+    # this gate missed it when the operator landed late in round 10)
     "ann_ivf_cluster_balance",
 }
 
