@@ -25,10 +25,14 @@ across runs and corpus growth). The codebook is
 deterministic salted-hash sample rule, still O(M*K*SUB_D) and
 broadcastable forever.
 
-Scale shape: one corpus projection; the error pass is the shared
-Arrow map-side kernel (``pq_error.pq_error_arrow`` — zero shuffle);
-the only aggregation is a fixed xM_SUB fan-out rolled up to
-(split, subspace) then pivoted to M_SUB rows. No ranking windows.
+Scale shape: two pruned parquet scans (codebook sample over the
+train slice; the error pass over the corpus) — deliberately NOT a
+checkpointed shared projection, which measured ~7x slower at 1M
+vectors (fat array rows as RDD blocks feed Arrow far slower than
+columnar parquet). The error pass is the shared Arrow map-side
+kernel (``pq_error.pq_error_arrow`` — zero shuffle); the only
+aggregation is a fixed xM_SUB fan-out rolled up to (split, subspace)
+then pivoted to M_SUB rows. No ranking windows.
 
 Exactness: identical index-ordered left-folds make the error doubles
 bitwise-equal across engines; each error is floored to a BIGINT
@@ -88,8 +92,12 @@ def pq_split_transfer(
         .withColumn("nrm", _norm(F.col("v")))
         .where(F.col("nrm") > 0)
         .drop("nrm")
-        # two consumers (codebook sample + error pass) — scan once
-        .localCheckpoint(eager=False)
+        # NO checkpoint barrier here, measured deliberately: the two
+        # consumers (codebook sample + error pass) each re-scan
+        # parquet, which beats materializing 1M fat array rows as RDD
+        # blocks by ~7x at 1M vectors (14.7s vs ~110s steady-state —
+        # columnar parquet->Arrow feeds the pandas UDF far faster than
+        # deserialized Row blocks; see SCALE.md round-10 wave-4/5)
     )
     train = e.where(split_assign(F.col("cid")) == "train")
     cb = pq_codebook(train).limit(1)
