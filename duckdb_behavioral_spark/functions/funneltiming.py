@@ -25,16 +25,16 @@ no global sort. Durations are exact integer microseconds; tie order
 (dur_us, user_id, session_id) is total, so bin placement is
 cross-engine identical.
 
-DATA ASSUMPTION (the same one ``sessfunnel.py`` documents): per-user
-timestamps are DISTINCT across funnel steps. The DP's row frames
-order by ``__t`` only — ``w_prev`` excludes the current row and
-``w_cur`` includes it as the strict/non-strict time predicates —
-while the oracle requires strictly increasing timestamps
-(``b.t > a.t``, ``c.t > b.t``). With EQUAL per-user timestamps on
-different steps the Spark result is tie-order nondeterministic and
-can diverge from the oracle; the driver testdata satisfies
-distinctness at every SF (event times carry per-event microsecond
-offsets).
+Tie handling: the DP frames are integer RANGE frames over ``__t``
+microseconds — ``rangeBetween(unboundedPreceding, -1)`` admits exactly
+the rows with ``t < cur_t`` — so the strictly-increasing-timestamp
+predicates of the oracle (``b.t > a.t``, ``c.t > b.t``) hold by frame
+construction, not by a distinct-timestamps data assumption. Equal
+per-user timestamps across funnel steps are deterministic: tied rows
+simply cannot chain off each other, in both engines. (ROW frames
+ordered by ``__t`` alone — the pre-round-11 form — were tie-order
+nondeterministic here; ``sessfunnel.py`` documents the same
+convention for the flagship.)
 """
 
 from __future__ import annotations
@@ -91,23 +91,21 @@ def cohort_conversion_time_quartiles(
         (F.col("event_type") == "click").alias("__c1"),
         (F.col("event_type") == "purchase").alias("__c2"),
     )
-    w_prev = (
+    # strict-time frames: RANGE over integer microseconds with upper
+    # bound -1 admits exactly the rows with t < cur_t, so the oracle's
+    # strict predicates hold even under equal per-user timestamps
+    w_strict = (
         Window.partitionBy(*keys)
         .orderBy(F.col("__t").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_cur = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__t").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
     x0 = F.when(F.col("__c0"), F.col("__t"))
     cur = base.withColumn("__x0", x0)
-    p1 = F.max("__x0").over(w_prev)
+    p1 = F.max("__x0").over(w_strict)
     cur = cur.withColumn(
         "__x1", F.when(F.col("__c1") & (p1 >= F.col("__t") - F.lit(win_us)), p1)
     )
-    p2 = F.max("__x1").over(w_cur)
+    p2 = F.max("__x1").over(w_strict)
     cur = cur.withColumn(
         "__x2", F.when(F.col("__c2") & (p2 >= F.col("__t") - F.lit(win_us)), p2)
     )

@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 from duckdb_behavioral_spark.functions.similarity import (
     _IVF_PREFIX_SQL,
     NCENT,
-    _assign_clusters,
+    _assign_by_rows,
     _assigned_cte_sql,
     _centroids,
     _dot,
@@ -66,12 +66,18 @@ PROTO_SALTS = 8   # phase-1 salt fanout (exactness-preserving)
 
 def cluster_prototypes(
     df: DataFrame,
-    k: int = PROTO_K,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(cluster, rank, vec_id, n_members) — the ``k`` most-central
-    members of every IVF cluster via an exact salted two-phase top-k."""
+    """(cluster, rank, vec_id, n_members) — the ``PROTO_K`` most-central
+    members of every IVF cluster via an exact salted two-phase top-k.
+
+    ``PROTO_K`` is a module constant (not a parameter) so the DataFrame
+    path and ``CLUSTER_PROTOTYPES_SQL`` can never diverge — the oracle
+    is generated from the same constant, and the phase-1 prune bound
+    assumes it.
+    """
+    k = PROTO_K
     e = (
         df.select(
             F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("v")
@@ -81,14 +87,22 @@ def cluster_prototypes(
         # one corpus projection for the centroid sample + assignment
         .localCheckpoint(eager=False)
     )
-    cent = _centroids(e)
+    # ONE centroid job: the collected O(NCENT) rows feed both the
+    # Arrow assignment state and the broadcast scoring side (the
+    # pq_transfer cb_local device — no second TakeOrdered job).
+    cent_df = _centroids(e)
+    cent_rows = cent_df.collect()
+    state = {
+        int(r["ctr_id"]): (list(r["cv"]), float(r["cn"])) for r in cent_rows
+    }
+    cent = df.sparkSession.createDataFrame(cent_rows, cent_df.schema)
     # two consumers (scored + sizes) — run the Arrow pass once
-    assigned = _assign_clusters(e, cent).localCheckpoint(eager=False)
+    assigned = _assign_by_rows(e, state).localCheckpoint(eager=False)
     sizes = assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("long").alias("n_members")
     )
     scored = assigned.join(
-        F.broadcast(cent.limit(NCENT)), assigned["cluster"] == cent["ctr_id"]
+        F.broadcast(cent), assigned["cluster"] == cent["ctr_id"]
     ).select(
         "cluster",
         "cid",
