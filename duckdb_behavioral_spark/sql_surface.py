@@ -48,11 +48,17 @@ hoists as a struct (``struct(tbl.*) AS __q_tbl__star`` inside,
 ``__q_tbl__star.*`` outside — Spark's struct-star expansion restores
 tbl's columns under their own names), and qualified FUNCTION
 references (``db.fn(…)``) pass through untouched — they resolve from
-the catalog, not the FROM scope. Shapes a hoist cannot express
-(multi-level ``a.b.*``, outer subqueries) and ``GROUP BY`` (grouping
-changes the rows the window sees) raise a ``ValueError`` pointing at
-the CTE workaround rather than silently computing the window over the
-wrong row set. One
+the catalog, not the FROM scope. UNCORRELATED subqueries in the outer
+scope pass through verbatim (they resolve entirely from their own
+FROM scope / the catalog, so they survive the derived-table rewrite;
+bare-name correlation also survives, because the referenced column
+flows through the derived table's ``SELECT *``). Shapes a hoist
+cannot express (multi-level ``a.b.*``, subqueries carrying a
+qualified chain whose qualifier is not bound inside the subquery —
+a possible outer-table-alias correlation, which cannot survive the
+derived table) and ``GROUP BY`` (grouping changes the rows the window
+sees) raise a ``ValueError`` pointing at the CTE workaround rather
+than silently computing the window over the wrong row set. One
 statement may contain many behavioral aggregate calls but at most one
 sessionize-OVER.
 """
@@ -469,6 +475,90 @@ def _rewrite_calls(sql: str, fn: str) -> str:
         pos = lo + len(repl)
 
 
+# --- outer-scope subquery handling (sessionize + JOIN hoist) ----------------
+
+_CHAIN_RE = re.compile(r"(?<![\w.])[A-Za-z_]\w*(?:\s*\.\s*(?:[A-Za-z_]\w*|\*))+")
+
+
+def _assert_subquery_uncorrelated(sub: str) -> None:
+    """Raise the pointed CTE error if the (string-blanked) subquery
+    text carries a qualified chain whose qualifier is not bound inside
+    the subquery itself.
+
+    Such a chain can be an outer-table-alias reference — the one form
+    of correlation the derived-table rewrite cannot preserve (the
+    alias does not survive the derived table). Everything else is
+    safe to pass through verbatim: inner-alias chains resolve from the
+    subquery's own FROM scope, qualified function calls resolve from
+    the catalog, and BARE-name correlation flows through the derived
+    table's ``SELECT *`` unchanged. The check is lexical and errs
+    toward the pointed error (e.g. a struct-field path on an inner
+    column whose name is not also a FROM-bound alias)."""
+    bound: set[str] = set()
+
+    def _eat_source(m: "re.Match[str]") -> str:
+        tbl = m.group("tbl")
+        bound.add(tbl.split(".")[0].lower())
+        bound.add(tbl.split(".")[-1].lower())
+        alias, keep = m.group("alias"), ""
+        if alias:
+            if alias.lower() in _CLAUSE_KEYWORDS:
+                keep = alias  # clause keyword, not an alias
+            else:
+                bound.add(alias.lower())
+        return " " * (len(m.group(0)) - len(keep)) + keep
+
+    masked = re.sub(
+        r"\b(?:FROM|JOIN)\s+(?P<tbl>[A-Za-z_][\w.]*)"
+        r"(?:\s+(?:AS\s+)?(?P<alias>[A-Za-z_]\w*))?",
+        _eat_source,
+        sub,
+        flags=re.IGNORECASE,
+    )
+    for m in re.finditer(r"\)\s*(?:AS\s+)?([A-Za-z_]\w*)", masked):
+        if m.group(1).lower() not in _CLAUSE_KEYWORDS:
+            bound.add(m.group(1).lower())  # derived-table alias
+    for m in re.finditer(r"\b([A-Za-z_]\w*)\s+AS\s*\(", masked, re.IGNORECASE):
+        bound.add(m.group(1).lower())  # CTE name
+    for cm in _CHAIN_RE.finditer(masked):
+        if re.match(r"\s*\(", masked[cm.end():]):
+            continue  # qualified FUNCTION reference — catalog-resolved
+        chain = re.sub(r"\s*\.\s*", ".", cm.group(0))
+        if chain.split(".")[0].lower() not in bound:
+            raise ValueError(
+                f"sessionize … OVER with JOIN: the subquery reference "
+                f"{chain!r} may be correlated with the outer query (its "
+                "qualifier is not bound inside the subquery) — compute "
+                "the session ids in a CTE first"
+            )
+
+
+def _tombstone_subqueries(b: str) -> str:
+    """Tombstone (NUL-fill) every balanced ``(SELECT …)`` group in a
+    string-blanked outer-region copy, after checking it cannot be
+    outer-alias-correlated, so the chain scan and the hoist splice
+    treat it as an opaque unit that passes through verbatim."""
+    out = list(b)
+    for mm in re.finditer(r"\(\s*SELECT\b", b, re.IGNORECASE):
+        if out[mm.start()] == "\0":
+            continue  # nested inside an already-tombstoned subquery
+        i, depth = mm.start(), 0
+        while i < len(b):
+            if b[i] == "(":
+                depth += 1
+            elif b[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        if depth:
+            raise ValueError("unbalanced parentheses in subquery")
+        _assert_subquery_uncorrelated(b[mm.start(): i + 1])
+        for k in range(mm.start(), i + 1):
+            out[k] = "\0"
+    return "".join(out)
+
+
 # --- sessionize (window form, statement-level) -----------------------------
 
 _OVER_RE = re.compile(
@@ -589,9 +679,11 @@ def _rewrite_sessionize(sql: str) -> str:
         # column and struct-field path — are valid expressions inside
         # the derived table, so the hoist needs NO schema knowledge.
         # Chains inside the segment (ON/WHERE) stay untouched — they
-        # remain in scope. Shapes a hoist cannot express (qualified
-        # function calls, `.*` expansion, subqueries in the outer
-        # scope) keep the pointed CTE-workaround error.
+        # remain in scope. Uncorrelated outer-scope subqueries pass
+        # through verbatim (tombstoned as opaque units); shapes a
+        # hoist cannot express (multi-level `.*`, subqueries with a
+        # possibly-outer-correlated qualified chain) keep the pointed
+        # CTE-workaround error.
         # the enclosing SELECT = the last one before the call at the
         # call's OWN paren depth (a prefix-masked rfind would miss it
         # when the call sits inside a CTE body or FROM-subquery, whose
@@ -611,15 +703,15 @@ def _rewrite_sessionize(sql: str) -> str:
         blank = lambda s: re.sub(
             r"'(?:[^']|'')*'", lambda mm: " " * len(mm.group(0)), s
         )
-        chain_re = re.compile(r"(?<![\w.])[A-Za-z_]\w*(?:\s*\.\s*(?:[A-Za-z_]\w*|\*))+")
+        # outer view: strings blanked AND subqueries tombstoned —
+        # uncorrelated subqueries pass through verbatim (validated in
+        # _tombstone_subqueries; possible outer-alias correlation keeps
+        # the pointed CTE error), so the chain scan never hoists their
+        # inner-scope references.
+        opaque = lambda s: _tombstone_subqueries(blank(s))
+        chain_re = _CHAIN_RE
         chains: list[str] = []
-        for b in map(blank, regions):
-            if re.search(r"\(\s*SELECT\b", b, re.IGNORECASE):
-                raise ValueError(
-                    "sessionize … OVER with JOIN does not support "
-                    "subqueries among the outer select items / ORDER BY "
-                    "— compute the session ids in a CTE first"
-                )
+        for b in map(opaque, regions):
             for cm in chain_re.finditer(b):
                 key = re.sub(r"\s*\.\s*", ".", cm.group(0))
                 if re.match(r"\s*\(", b[cm.end():]):
@@ -681,7 +773,7 @@ def _rewrite_sessionize(sql: str) -> str:
             # ``alias_bare`` (select-items region): a chain that IS a
             # whole top-depth select item must keep its output column
             # name — emit `__q_a_b AS b`, matching SELECT a.b's name.
-            b = blank(text)
+            b = opaque(text)
             spans: list[tuple[int, int, str]] = []
             for c in sorted(chains, key=len, reverse=True):
                 pat = re.compile(
@@ -693,7 +785,7 @@ def _rewrite_sessionize(sql: str) -> str:
                     spans.append((mo2.start(), mo2.end(), c))
                 b = pat.sub(lambda s: "\0" * len(s.group(0)), b)
             spans.sort()
-            blanked = blank(text)
+            blanked = opaque(text)
             parts, prev = [], 0
             for s0, s1, c in spans:
                 rep = mangled[c]

@@ -246,13 +246,75 @@ def test_multi_level_star_still_directed_to_cte(spark, ev, dims):
         behavioral_sql(spark, sql)
 
 
-def test_outer_subquery_still_directed_to_cte(spark, ev, dims):
+def test_uncorrelated_outer_subquery_passes_through(spark, ev, dims):
+    # round 11: an UNCORRELATED scalar subquery among the select items
+    # passes through verbatim (it resolves from its own FROM scope) —
+    # equal to the CTE workaround
     sql = (
-        f"SELECT (SELECT max(tier) FROM sess_scope_dim), {SE} AS sid "
+        f"SELECT (SELECT max(tier) FROM sess_scope_dim) AS mt, {SE} AS sid "
+        "FROM sess_scope_ev e JOIN sess_scope_dim d ON e.user_id = d.user_id"
+    )
+    cte = (
+        "WITH j AS (SELECT e.user_id AS uid, e.ts AS ets "
+        "FROM sess_scope_ev e JOIN sess_scope_dim d ON e.user_id = d.user_id) "
+        "SELECT (SELECT max(tier) FROM sess_scope_dim) AS mt, "
+        "sessionize(ets, INTERVAL '30 minutes') "
+        "OVER (PARTITION BY uid ORDER BY ets) AS sid FROM j"
+    )
+    got = sorted(map(tuple, behavioral_sql(spark, sql).collect()))
+    want = sorted(map(tuple, behavioral_sql(spark, cte).collect()))
+    assert got == want and len(got) == 5
+
+
+def test_uncorrelated_subquery_with_inner_alias_chain(spark, ev, dims):
+    # inner-alias qualified chains (x.tier, where x is bound inside the
+    # subquery) must NOT be hoisted — they reference the subquery scope
+    sql = (
+        f"SELECT (SELECT max(x.tier) FROM sess_scope_dim x) AS mt, {SE} AS sid "
+        "FROM sess_scope_ev e JOIN sess_scope_dim d ON e.user_id = d.user_id"
+    )
+    rows = behavioral_sql(spark, sql).collect()
+    assert len(rows) == 5 and {r["mt"] for r in rows} == {"gold"}
+
+
+def test_bare_name_correlated_subquery_flows_through_star(spark, ev, dims):
+    # bare-name correlation survives: user_id flows through the derived
+    # table's SELECT * and still resolves in the subquery (the lookup
+    # table deliberately has no user_id column, so the bare name binds
+    # to the OUTER scope in both the original and rewritten forms)
+    spark.createDataFrame(
+        [(1, "g1"), (2, "b2")], "uid long, lt string"
+    ).createOrReplaceTempView("sess_scope_lk")
+    sql = (
+        "SELECT user_id, (SELECT max(x.lt) FROM sess_scope_lk x "
+        f"WHERE x.uid = user_id) AS mt, {S} AS sid "
+        "FROM sess_scope_ev JOIN sess_scope_dim USING (user_id)"
+    )
+    rows = behavioral_sql(spark, sql).collect()
+    assert len(rows) == 5
+    assert {(r["user_id"], r["mt"]) for r in rows} == {(1, "g1"), (2, "b2")}
+
+
+def test_outer_alias_correlated_subquery_directed_to_cte(spark, ev, dims):
+    # e.user_id inside the subquery is an outer-table-alias correlation
+    # — the alias cannot survive the derived table; pointed error
+    sql = (
+        "SELECT (SELECT max(x.tier) FROM sess_scope_dim x "
+        f"WHERE x.user_id = e.user_id) AS mt, {SE} AS sid "
         "FROM sess_scope_ev e JOIN sess_scope_dim d ON e.user_id = d.user_id"
     )
     with pytest.raises(ValueError, match="CTE"):
         behavioral_sql(spark, sql)
+
+
+def test_subquery_in_order_by_passes_through(spark, ev, dims):
+    sql = (
+        f"SELECT e.user_id, {SE} AS sid "
+        "FROM sess_scope_ev e JOIN sess_scope_dim d ON e.user_id = d.user_id "
+        "ORDER BY (SELECT count(*) FROM sess_scope_dim) * e.user_id, e.ts"
+    )
+    rows = behavioral_sql(spark, sql).collect()
+    assert [r["user_id"] for r in rows] == [1, 1, 1, 1, 2]
 
 
 def test_struct_field_chain_hoists(spark, ev, dims):
