@@ -13,12 +13,15 @@ event time — the documented contract of the stateful operators (they
 sort within a batch; cross-batch reordering is not repaired).
 
 TEST-INFRASTRUCTURE ONLY — do not copy this harness into a production
-operator: every gate here collects whole micro-batches DRIVER-SIDE
+operator: most gates here collect whole micro-batches DRIVER-SIDE
 inside ``foreachBatch`` to fold them against a batch oracle. That is
 fine for an oracle comparison at test scale factors and would be a
 driver OOM at production volume; a real streaming sink keeps the fold
-distributed (write to a table / state store, as streaming/sink.py's
-exactly-once parquet upsert does).
+distributed. Two gates demonstrate that production shape end-to-end
+and the guard does NOT apply to them: ``streaming_sink_parity``
+(dynamic partition-overwrite parquet upsert, compared from the table
+on disk) and ``streaming_cms_parity`` (per-batch grids appended to
+parquet, merged by a distributed groupBy-SUM on read-back).
 """
 
 from __future__ import annotations
@@ -287,14 +290,25 @@ def streaming_cms_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Chunks interleave on ``event_id % 4`` (NOT time-ordered) to prove
     arrival-order independence — the stronger claim streaming funnel
     (which contracts time-ordered arrival) cannot make.
+
+    PRODUCTION-SHAPED FOLD (no driver-side collect, round 11): each
+    batch APPENDS its bounded per-batch grid (CMS_ROWS x CMS_BUCKETS
+    cells, corpus-size independent) to a parquet table inside
+    ``foreachBatch``, and the cell-wise merge is a distributed
+    groupBy-SUM over the accumulated grids when the table is read
+    back — the same sink-then-merge shape a real deployment uses, so
+    the module's TEST-ONLY collect guard does not apply to this gate
+    (nor to ``streaming_sink_parity``, which compares via its on-disk
+    table).
     """
-    from collections import defaultdict
+    import os
 
     from duckdb_behavioral_spark.functions.cms import cms_sketch
     from duckdb_behavioral_spark.sources import load_events
 
     ev = load_events(spark, sf_dir).select("event_id", "user_id")
     src = tempfile.mkdtemp(prefix="sg_cms_src_")
+    tbl = tempfile.mkdtemp(prefix="sg_cms_tbl_")
     try:
         for i in range(N_CHUNKS):
             (ev.where(F.col("event_id") % N_CHUNKS == i)
@@ -304,11 +318,8 @@ def streaming_cms_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "maxFilesPerTrigger", 1
         ).parquet(src)
 
-        cells: dict = defaultdict(int)
-
         def fold_batch(bdf: DataFrame, _epoch: int) -> None:
-            for r in cms_sketch(bdf, "user_id").collect():
-                cells[(r["row"], r["bucket"])] += r["cnt"]
+            cms_sketch(bdf, "user_id").write.mode("append").parquet(tbl)
 
         q = (
             stream.writeStream.outputMode("append")
@@ -320,15 +331,18 @@ def streaming_cms_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
 
-        rows = [(int(r), int(b), int(c)) for (r, b), c in cells.items()]
-        got = spark.createDataFrame(
-            rows or [(None, None, None)], "row int, bucket long, cnt long"
+        if not any(f.endswith(".parquet") for f in os.listdir(tbl)):
+            return spark.createDataFrame([], "row int, bucket long, cnt long")
+        return (
+            spark.read.parquet(tbl)
+            .groupBy("row", "bucket")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            # materialize now: the temp table dir is deleted on return
+            .localCheckpoint(eager=True)
         )
-        if not rows:
-            got = got.where(F.lit(False))
-        return got
     finally:
         shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(tbl, ignore_errors=True)
 
 
 def streaming_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
