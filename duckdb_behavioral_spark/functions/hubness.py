@@ -1,0 +1,179 @@
+"""kNN-graph hubness profile — the embedding-health diagnostic that
+catches the known high-dimensional pathology the other ANN operators
+can't see: HUBS (vectors that appear in a disproportionate share of
+other vectors' nearest-neighbor lists) and ANTIHUBS (vectors no one
+lists). A hub-heavy kNN graph degrades every downstream consumer —
+SemDeDup-style semantic dedup over-merges around hubs, kNN label
+propagation amplifies hub labels, retrieval eval saturates on the
+same few neighbors — so pipelines profile the IN-DEGREE distribution
+of the kNN graph before trusting it.
+
+The graph is built the SemDeDup way: each vector's K_NN nearest
+neighbors are searched WITHIN its IVF cluster only (the bounded
+candidate set; ``ann_ivf_cluster_balance`` is the companion check
+that the clusters themselves are sane). In-degree = how many vectors
+list this one among their top-K_NN.
+
+One row per occupied power-of-2 in-degree bucket (<= 41 rows):
+
+  k               smallest k with 2^k >= indeg + 1 (integer CASE —
+                  k=0 is exactly the antihubs, indeg = 0)
+  lo_indeg        smallest in-degree in the bucket
+  hi_indeg        largest in-degree in the bucket
+  n_vectors       vectors whose in-degree lands in the bucket
+  share_permille  1000 * n_vectors / total vectors (floor, exact)
+
+Scale shape: assignment is the shared Arrow map-side pass against the
+driver-held O(NCENT) centroid table; the candidate generation is the
+cluster-keyed SELF-equi-join (never all-pairs — O(sum n_c^2) with
+cluster sizes bounded by the balance profile, the standard IVF/
+SemDeDup cost); per-vector top-K is a window over the candidate rows
+keyed by the query vector; in-degree is one hash aggregate on the
+neighbor id; bucketing runs on the O(vectors) in-degree table and the
+report on <= 41 rows. The assigned barrier feeds both join sides and
+the indeg-0 base without re-running the Arrow pass.
+
+Exactness: cosines ride the engines' shared left-fold dot product
+(bitwise-equal doubles; ties neighbor_id ASC), so ranks — and
+therefore every count in the report — are cross-engine identical; the
+output carries integers only.
+
+Reference scope note: the reference ships no ANN/graph operator (its
+surface is the seven behavioral aggregates,
+/root/reference/src/lib.rs:11-19); this extends SURVEY.md §2.5's
+ANN/embedding family per the north-star LLM-pipeline scope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from duckdb_behavioral_spark.functions.burstiness import _k_case
+from duckdb_behavioral_spark.functions.similarity import (
+    _IVF_PREFIX_SQL,
+    _assign_by_rows,
+    _assigned_cte_sql,
+    _centroids,
+    _dot,
+    _fold_dot_sql,
+    _norm,
+)
+
+__all__ = [
+    "embedding_knn_hubness",
+    "q_embedding_knn_hubness",
+    "KNN_HUBNESS_SQL",
+]
+
+K_NN = 4  # neighbors kept per vector in the graph
+
+
+def embedding_knn_hubness(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(k, lo_indeg, hi_indeg, n_vectors, share_permille) — in-degree
+    profile of the within-cluster kNN graph."""
+    e = (
+        df.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("nrm", _norm(F.col("v")))
+        .where(F.col("nrm") > 0)
+        .localCheckpoint(eager=False)
+    )
+    cent_df = _centroids(e)
+    state = {
+        int(r["ctr_id"]): (list(r["cv"]), float(r["cn"]))
+        for r in cent_df.collect()
+    }
+    # three consumers: both self-join sides + the indeg-0 base
+    assigned = _assign_by_rows(e, state).localCheckpoint(eager=False)
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col("a.cid") != F.col("b.cid")),
+    ).select(
+        F.col("a.cid").alias("query_id"),
+        F.col("b.cid").alias("neighbor_id"),
+        (
+            _dot(F.col("a.v"), F.col("b.v"))
+            / (F.col("a.nrm") * F.col("b.nrm"))
+        ).alias("__sim"),
+    )
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.desc("__sim"), F.asc("neighbor_id")
+    )
+    knn = cand.withColumn("__r", F.row_number().over(w_q)).where(
+        F.col("__r") <= K_NN
+    )
+    indeg = (
+        assigned.select("cid")
+        .join(knn.select("neighbor_id"), assigned["cid"] == knn["neighbor_id"], "left")
+        .groupBy("cid")
+        .agg(F.count("neighbor_id").cast("long").alias("indeg"))
+    )
+    buckets = indeg.groupBy(
+        F.expr(_k_case("(indeg + 1)")).cast("long").alias("k")
+    ).agg(
+        F.min("indeg").cast("long").alias("lo_indeg"),
+        F.max("indeg").cast("long").alias("hi_indeg"),
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+    )
+    total = indeg.agg(F.count(F.lit(1)).cast("long").alias("__total"))
+    return (
+        buckets.crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            "lo_indeg",
+            "hi_indeg",
+            "n_vectors",
+            F.expr("div(1000 * n_vectors, __total)")
+            .cast("long")
+            .alias("share_permille"),
+        )
+        .orderBy("k")
+    )
+
+
+def q_embedding_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_behavioral_spark.sources import load_table
+
+    return embedding_knn_hubness(load_table(spark, sf_dir, "embeddings"))
+
+
+KNN_HUBNESS_SQL = _IVF_PREFIX_SQL + _assigned_cte_sql() + f"""
+, cand AS (
+  SELECT a.cid AS query_id, b.cid AS neighbor_id,
+         {_fold_dot_sql('a.v', 'b.v')} / (a.nrm * b.nrm) AS sim
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.cid <> b.cid
+), knn AS (
+  SELECT neighbor_id FROM (
+    SELECT neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS r
+    FROM cand)
+  WHERE r <= {K_NN}
+), indeg AS (
+  SELECT n.cid, CAST(count(k.neighbor_id) AS BIGINT) AS indeg
+  FROM assigned n LEFT JOIN knn k ON k.neighbor_id = n.cid
+  GROUP BY n.cid
+), buckets AS (
+  SELECT CAST({_k_case('(indeg + 1)')} AS BIGINT) AS k,
+         CAST(min(indeg) AS BIGINT) AS lo_indeg,
+         CAST(max(indeg) AS BIGINT) AS hi_indeg,
+         CAST(count(*) AS BIGINT) AS n_vectors
+  FROM indeg GROUP BY 1
+)
+SELECT k, lo_indeg, hi_indeg, n_vectors,
+       CAST((1000 * n_vectors) // (SELECT count(*) FROM indeg) AS BIGINT)
+         AS share_permille
+FROM buckets
+ORDER BY k
+"""

@@ -108,6 +108,8 @@ from duckdb_behavioral_spark.functions import poweruser as PU
 from duckdb_behavioral_spark.functions import source_overlap as SO
 from duckdb_behavioral_spark.functions import prototypes as PR
 from duckdb_behavioral_spark.functions import split_drift as SDR
+from duckdb_behavioral_spark.functions import label_noise as LN
+from duckdb_behavioral_spark.functions import hubness as HB
 from duckdb_behavioral_spark.functions import audience as AU
 from duckdb_behavioral_spark.functions import pq_transfer as PT
 
@@ -258,6 +260,8 @@ EXT_QUERIES = {
     "dedup_source_overlap": SO.q_dedup_source_overlap,
     "embedding_cluster_prototypes": PR.q_embedding_cluster_prototypes,
     "embedding_split_drift": SDR.q_embedding_split_drift,
+    "embedding_label_noise": LN.q_embedding_label_noise,
+    "embedding_knn_hubness": HB.q_embedding_knn_hubness,
     "events_audience_overlap": AU.q_events_audience_overlap,
     "embedding_pq_transfer": PT.q_embedding_pq_transfer,
     "table_profile": PF.q_table_profile,
@@ -459,6 +463,8 @@ EXT_ORACLES = {
     "dedup_source_overlap": SO.SOURCE_OVERLAP_SQL,
     "embedding_cluster_prototypes": PR.CLUSTER_PROTOTYPES_SQL,
     "embedding_split_drift": SDR.SPLIT_DRIFT_SQL,
+    "embedding_label_noise": LN.LABEL_NOISE_SQL,
+    "embedding_knn_hubness": HB.KNN_HUBNESS_SQL,
     "events_audience_overlap": AU.AUDIENCE_OVERLAP_SQL,
     "embedding_pq_transfer": PT.PQ_TRANSFER_SQL,
     "table_profile": PF.TABLE_PROFILE_SQL,

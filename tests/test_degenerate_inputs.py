@@ -99,6 +99,8 @@ _VEC_QUERIES = [
     "dedup_embedding_cosine",
     "embedding_quantize",
     "embedding_label_coherence",
+    "embedding_label_noise",
+    "embedding_knn_hubness",
 ]
 
 
