@@ -110,6 +110,8 @@ from duckdb_behavioral_spark.functions import prototypes as PR
 from duckdb_behavioral_spark.functions import split_drift as SDR
 from duckdb_behavioral_spark.functions import label_noise as LN
 from duckdb_behavioral_spark.functions import hubness as HB
+from duckdb_behavioral_spark.functions import df_profile as DFP
+from duckdb_behavioral_spark.functions import boilerplate as BP
 from duckdb_behavioral_spark.functions import audience as AU
 from duckdb_behavioral_spark.functions import pq_transfer as PT
 
@@ -262,6 +264,8 @@ EXT_QUERIES = {
     "embedding_split_drift": SDR.q_embedding_split_drift,
     "embedding_label_noise": LN.q_embedding_label_noise,
     "embedding_knn_hubness": HB.q_embedding_knn_hubness,
+    "dedup_shingle_df_profile": DFP.q_dedup_shingle_df_profile,
+    "corpus_boilerplate_passages": BP.q_corpus_boilerplate_passages,
     "events_audience_overlap": AU.q_events_audience_overlap,
     "embedding_pq_transfer": PT.q_embedding_pq_transfer,
     "table_profile": PF.q_table_profile,
@@ -465,6 +469,8 @@ EXT_ORACLES = {
     "embedding_split_drift": SDR.SPLIT_DRIFT_SQL,
     "embedding_label_noise": LN.LABEL_NOISE_SQL,
     "embedding_knn_hubness": HB.KNN_HUBNESS_SQL,
+    "dedup_shingle_df_profile": DFP.SHINGLE_DF_PROFILE_SQL,
+    "corpus_boilerplate_passages": BP.BOILERPLATE_SQL,
     "events_audience_overlap": AU.AUDIENCE_OVERLAP_SQL,
     "embedding_pq_transfer": PT.PQ_TRANSFER_SQL,
     "table_profile": PF.TABLE_PROFILE_SQL,

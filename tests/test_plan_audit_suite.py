@@ -55,6 +55,9 @@ SINGLE_PARTITION_OK = {
     # doubling-checkpoint cumsum runs over the <= 41 rank-checkpoint
     # rows (MAX_K constant), never over the term table
     "corpus_zipf_tail_share": "constant-arity checkpoint cumsum",
+    # total-postings window runs over the <= 41 power-of-2 df-bucket
+    # rows (MAX_K constant), never over the shingle table
+    "dedup_shingle_df_profile": "constant-arity bucket total",
     # concentration cumsum runs over the <= 31 active-day bucket rows
     # (calendar-bounded), never over raw events or user-months
     "events_power_user_curve": "calendar-bounded bucket cumsum",
