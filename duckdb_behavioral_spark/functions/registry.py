@@ -112,6 +112,8 @@ from duckdb_behavioral_spark.functions import label_noise as LN
 from duckdb_behavioral_spark.functions import hubness as HB
 from duckdb_behavioral_spark.functions import df_profile as DFP
 from duckdb_behavioral_spark.functions import boilerplate as BP
+from duckdb_behavioral_spark.functions import rfm_migration as RM
+from duckdb_behavioral_spark.functions import reorder_trend as RT
 from duckdb_behavioral_spark.functions import audience as AU
 from duckdb_behavioral_spark.functions import pq_transfer as PT
 
@@ -266,6 +268,8 @@ EXT_QUERIES = {
     "embedding_knn_hubness": HB.q_embedding_knn_hubness,
     "dedup_shingle_df_profile": DFP.q_dedup_shingle_df_profile,
     "corpus_boilerplate_passages": BP.q_corpus_boilerplate_passages,
+    "user_rfm_migration": RM.q_user_rfm_migration,
+    "orders_reorder_gap_trend": RT.q_orders_reorder_gap_trend,
     "events_audience_overlap": AU.q_events_audience_overlap,
     "embedding_pq_transfer": PT.q_embedding_pq_transfer,
     "table_profile": PF.q_table_profile,
@@ -471,6 +475,8 @@ EXT_ORACLES = {
     "embedding_knn_hubness": HB.KNN_HUBNESS_SQL,
     "dedup_shingle_df_profile": DFP.SHINGLE_DF_PROFILE_SQL,
     "corpus_boilerplate_passages": BP.BOILERPLATE_SQL,
+    "user_rfm_migration": RM.RFM_MIGRATION_SQL,
+    "orders_reorder_gap_trend": RT.REORDER_TREND_SQL,
     "events_audience_overlap": AU.AUDIENCE_OVERLAP_SQL,
     "embedding_pq_transfer": PT.PQ_TRANSFER_SQL,
     "table_profile": PF.TABLE_PROFILE_SQL,

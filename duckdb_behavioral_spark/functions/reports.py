@@ -308,30 +308,43 @@ def q_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_rfm(_ev(spark, sf_dir))
 
 
-USER_RFM_SQL = """
-WITH pu AS (
+def _rfm_base_cte(src: str, p: str = "") -> str:
+    """The per-user RFM base as a reusable prefixed CTE chain
+    (``{p}pu`` / ``{p}base``) over any event source — the single
+    definition shared by ``USER_RFM_SQL`` and the round-11 segment
+    migration (``rfm_migration.py``)."""
+    return f"""{p}pu AS (
   SELECT user_id, MAX(epoch_us(ts)) AS last_us, COUNT(*) AS frequency,
          COALESCE(SUM(CASE WHEN event_type = 'purchase'
                            THEN CAST(value AS DECIMAL(30,10)) END),
                   CAST(0 AS DECIMAL(30,10))) AS mon
-  FROM events WHERE ts IS NOT NULL GROUP BY user_id
-), base AS (
+  FROM {src} WHERE ts IS NOT NULL GROUP BY user_id
+), {p}base AS (
   SELECT user_id,
          CAST(FLOOR((MAX(last_us) OVER () - last_us) / 86400000000) AS BIGINT)
            AS recency_days,
          frequency,
          CAST(mon AS DOUBLE) AS monetary
-  FROM pu
-)
+  FROM {p}pu
+)"""
+
+
+# the 'r-f-m' segment label — the single ntile definition shared with
+# the migration oracle
+RFM_SEGMENT_EXPR = """CAST(5 - ntile(4) OVER (ORDER BY recency_days ASC, user_id ASC) AS VARCHAR)
+         || '-' ||
+       CAST(5 - ntile(4) OVER (ORDER BY frequency DESC, user_id ASC) AS VARCHAR)
+         || '-' ||
+       CAST(5 - ntile(4) OVER (ORDER BY monetary DESC, user_id ASC) AS VARCHAR)"""
+
+
+USER_RFM_SQL = f"""
+WITH {_rfm_base_cte('events')}
 SELECT user_id, recency_days, frequency, monetary,
        CAST(5 - ntile(4) OVER (ORDER BY recency_days ASC, user_id ASC) AS BIGINT) AS r,
        CAST(5 - ntile(4) OVER (ORDER BY frequency DESC, user_id ASC) AS BIGINT) AS f,
        CAST(5 - ntile(4) OVER (ORDER BY monetary DESC, user_id ASC) AS BIGINT) AS m,
-       CAST(5 - ntile(4) OVER (ORDER BY recency_days ASC, user_id ASC) AS VARCHAR)
-         || '-' ||
-       CAST(5 - ntile(4) OVER (ORDER BY frequency DESC, user_id ASC) AS VARCHAR)
-         || '-' ||
-       CAST(5 - ntile(4) OVER (ORDER BY monetary DESC, user_id ASC) AS VARCHAR)
+       {RFM_SEGMENT_EXPR}
          AS segment
 FROM base
 """

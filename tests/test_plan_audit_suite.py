@@ -61,6 +61,9 @@ SINGLE_PARTITION_OK = {
     # concentration cumsum runs over the <= 31 active-day bucket rows
     # (calendar-bounded), never over raw events or user-months
     "events_power_user_curve": "calendar-bounded bucket cumsum",
+    # matrix-total window runs over the <= (4^3+1)^2 segment-pair
+    # rows (segment-domain-bounded), never over users or events
+    "user_rfm_migration": "segment-domain-bounded matrix total",
 }
 
 BATCH_QUERIES = sorted(
@@ -110,6 +113,8 @@ MULTI_SCAN_OK = {
     "corpus_vocab_growth": 4,
     # per-day MAD legs read the same pruned day aggregate projection
     "events_anomaly_mad": 4,
+    # timeline-midpoint bounds pass + the two half-filtered RFM legs
+    "user_rfm_migration": 3,
 }
 
 
