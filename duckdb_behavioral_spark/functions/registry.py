@@ -114,6 +114,7 @@ from duckdb_behavioral_spark.functions import df_profile as DFP
 from duckdb_behavioral_spark.functions import boilerplate as BP
 from duckdb_behavioral_spark.functions import rfm_migration as RM
 from duckdb_behavioral_spark.functions import reorder_trend as RT
+from duckdb_behavioral_spark.functions import pad_waste as PW
 from duckdb_behavioral_spark.functions import audience as AU
 from duckdb_behavioral_spark.functions import pq_transfer as PT
 
@@ -270,6 +271,7 @@ EXT_QUERIES = {
     "corpus_boilerplate_passages": BP.q_corpus_boilerplate_passages,
     "user_rfm_migration": RM.q_user_rfm_migration,
     "orders_reorder_gap_trend": RT.q_orders_reorder_gap_trend,
+    "training_pad_waste_curve": PW.q_training_pad_waste_curve,
     "events_audience_overlap": AU.q_events_audience_overlap,
     "embedding_pq_transfer": PT.q_embedding_pq_transfer,
     "table_profile": PF.q_table_profile,
@@ -477,6 +479,7 @@ EXT_ORACLES = {
     "corpus_boilerplate_passages": BP.BOILERPLATE_SQL,
     "user_rfm_migration": RM.RFM_MIGRATION_SQL,
     "orders_reorder_gap_trend": RT.REORDER_TREND_SQL,
+    "training_pad_waste_curve": PW.PAD_WASTE_SQL,
     "events_audience_overlap": AU.AUDIENCE_OVERLAP_SQL,
     "embedding_pq_transfer": PT.PQ_TRANSFER_SQL,
     "table_profile": PF.TABLE_PROFILE_SQL,
