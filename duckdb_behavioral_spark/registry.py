@@ -11,122 +11,84 @@ history and ride local parity (tests/test_oracle_parity.py) this round.
 
 from __future__ import annotations
 
-# First-50 priority for the driver's correctness window (round 10).
-# Every query declared through round 9 is driver-green at its latest
-# check (CORRECTNESS_r09 50/50; zero rows older than r05). This window
-# leads with the queries NEW or CHANGED in round 10, then refreshes as
-# much of the round-9 handoff's freshness plan (the 43 r05 rows) as
-# the 50 slots allow: the twelve round-10 additions displace twelve
-# r05 rows past slot 50 (see the past-slot-50 markers below), so 30
-# r05 rows are re-checked this round and the displaced twelve lead
-# the round-11 rotation (documented in ROUND10.md's handoff).
-# Everything displaced keeps local-mirror coverage
+# First-50 priority for the driver's correctness window (round 11).
+# Every query declared through round 10 is driver-green at its latest
+# check (CORRECTNESS_r10 50/50; 228/228 latest-check green). This
+# window leads with the seven round-11 additions and the three
+# changed queries, then clears ALL freshness debt older than r07: the
+# 12 r05 rows + all 22 r06 rows from ROUND10.md's handoff, plus 6
+# targeted r07 rows (the load-contaminated bench trio + the three r07
+# streaming gates). After this window lands, no row's latest check
+# predates r07. Everything displaced keeps local-mirror coverage
 # (scripts/driver_mirror.py + tests/test_oracle_parity.py over all
 # declared queries).
 DRIVER_PRIORITY = [
-    # --- round 10, first driver rows: power-user engagement curve +
-    # per-source near-dup exposure (functions/poweruser.py,
-    # source_overlap.py)
-    "events_power_user_curve",
-    "dedup_source_overlap",
-    # --- round 10, first driver rows: per-cluster prototype coverage
-    # sample + train/test embedding-coverage drift
-    # (functions/prototypes.py, split_drift.py)
+    # --- round 11, first driver rows: the seven new operators
+    # (functions/label_noise.py, hubness.py, df_profile.py,
+    # boilerplate.py, rfm_migration.py, reorder_trend.py, pad_waste.py)
+    "embedding_label_noise",
+    "embedding_knn_hubness",
+    "dedup_shingle_df_profile",
+    "corpus_boilerplate_passages",
+    "user_rfm_migration",
+    "orders_reorder_gap_trend",
+    "training_pad_waste_curve",
+    # --- changed in round 11 — fresh rows required:
+    # funneltiming strict-time RANGE frames (results unchanged on
+    # distinct-timestamp data, semantics now tie-safe), prototypes'
+    # single-centroid-job refactor (plan-only), the CMS parity gate's
+    # distributed parquet fold (harness change)
+    "cohort_conversion_time_quartiles",
     "embedding_cluster_prototypes",
-    "embedding_split_drift",
-    # --- round 10, first driver rows: event-type audience-overlap
-    # matrix + PQ codebook transfer (generalization gap across splits)
-    # (functions/audience.py, pq_transfer.py)
-    "events_audience_overlap",
-    "embedding_pq_transfer",
-    # --- round 10, first driver rows: order-to-ship fill-rate
-    # waterfall + inter-purchase KM survival curve + MinHash
-    # estimate-vs-exact calibration + Zipf tail-share profile
-    # (functions/waterfall.py, survival.py, minhash_calibration.py,
-    # zipf.py)
-    "orders_fill_rate_waterfall",
-    "user_purchase_survival",
-    "dedup_minhash_calibration",
-    "corpus_zipf_tail_share",
-    # --- round 10, first driver rows: dedup-index quality eval +
-    # incremental-ingest dedup (functions/dedup_eval.py)
-    "dedup_lsh_recall_eval",
-    "dedup_incremental_newdocs",
-    # --- round 10, first driver rows: vocabulary-shape diagnostics +
-    # PQ codebook health + the IVF nprobe tuning curve + the IVF
-    # cluster-balance profile
-    "corpus_token_burstiness",
-    "corpus_heaps_residual",
-    "ann_pq_quantization_error",
-    "ann_ivf_nprobe_sweep",
-    "ann_ivf_cluster_balance",
-    # --- changed in round 10 (localCheckpoint barriers on multi-
-    # consumer lineages; results unchanged, plans changed) — fresh
-    # rows required
-    "text_lm_likelihood",
-    "orders_market_basket",
-    "corpus_term_cooccurrence",
-    # --- the r05-freshness block (43 rows in the round-9 handoff
-    # plan; the last twelve were displaced past slot 50 by the twelve
-    # round-10 additions and lead the round-11 rotation)
-    "ab_funnel_steps",
-    "ann_cosine_topk",
-    "ann_ivfpq_topk",
-    "ann_pq_topk",
-    "asof_view_before_purchase",
-    "cohort_retention",
-    "corpus_decontaminate",
-    "corpus_decontaminate_attr",
-    "dataset_split",
-    "dedup_exact",
-    "dedup_minhash_pairs",
-    "dedup_minhash_sigs",
-    "dedup_winnow_pairs",
-    "embedding_label_coherence",
-    "events_sliding_rollup",
-    "multimodal_ppm_decode",
-    "order_fulfillment_lag",
-    "q11_session_stats",
-    "q12_funnel_dropoff",
-    "q18_session_paths",
-    "q2_retention",
-    "q3_window_funnel",
-    "q4_window_funnel_modes",
-    "q6_sequence_match_time",
-    "q8_sequence_match_events",
-    "sequence_time_gate_mix",
-    "sketch_quantile_sample",
-    "streaming_join_parity",
-    "streaming_quantile_parity",
-    "streaming_sink_parity",
-    # --- past slot 50: the six r05 rows below were displaced by the
-    # wave-4/5 additions (events_power_user_curve, dedup_source_overlap,
-    # embedding_cluster_prototypes, embedding_split_drift,
-    # events_audience_overlap, embedding_pq_transfer) and join the
-    # round-11 lead rotation below.
+    "streaming_cms_parity",
+    # --- the 12 r05-vintage rows (ROUND10.md handoff: they lead this
+    # rotation; user_rfm_segments' oracle was also refactored onto the
+    # shared RFM CTE this round)
     "text_quality_filter",
     "text_token_count_bpe",
     "text_winnow_fingerprints",
     "tpch_q11_important_stock",
     "tpch_q13_order_counts",
     "tpch_q15_top_supplier",
-    # --- past slot 50: user_burstiness, user_rfm_segments and the
-    # four tpch_* rows below were displaced by the six late-round
-    # additions (ann_ivf_nprobe_sweep, ann_ivf_cluster_balance,
-    # orders_fill_rate_waterfall, user_purchase_survival,
-    # dedup_minhash_calibration, corpus_zipf_tail_share) — the SIX
-    # r05 rows left unrefreshed this round, documented in ROUND10.md;
-    # ann_recall_eval and cdc_merge_users were displaced by the
-    # dedup_eval pair and are r06-fresh. All eight lead the round-11
-    # rotation.
     "tpch_q19_disjunctive",
     "tpch_q21_waiting_suppliers",
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",
     "user_burstiness",
     "user_rfm_segments",
+    # --- the 22 r06-vintage rows (handoff list, complete)
     "ann_recall_eval",
     "cdc_merge_users",
+    "corpus_vocab_growth",
+    "dedup_fuzzy_titles",
+    "events_cusum_daily",
+    "events_gapfill_locf",
+    "events_rollup_cascade",
+    "events_salted_join",
+    "events_time_weighted_avg",
+    "events_type_hhi",
+    "events_user_churn",
+    "events_value_histogram",
+    "events_zorder_cells",
+    "lineitem_abc_classes",
+    "multimodal_binaryfile_ingest",
+    "scd2_point_in_time",
+    "search_inverted_postings",
+    "session_trigrams_topk",
+    "streaming_bloom_parity",
+    "streaming_hll_parity",
+    "text_bigram_lm",
+    "user_ltv_cohort_curve",
+    # --- 6 r07 rows fill the window: the three queries whose r10
+    # bench reads were load-contaminated (fresh correctness reads
+    # alongside the r11 quiet re-measure) + the three r07 streaming
+    # gates; the remaining 40 r07 rows lead the round-12 rotation
+    "text_repetition",
+    "graph_triangle_count",
+    "user_state_scd2",
+    "streaming_cdc_parity",
+    "streaming_scd2_parity",
+    "streaming_watermark_parity",
 ]
 
 
