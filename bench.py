@@ -12,6 +12,12 @@ Env:
 
 Each query is fully materialized through the noop sink (no driver
 collect). Reported value = total seconds across queries.
+
+The JSON carries a LOAD SENTINEL (sentinel_pre_sec / sentinel_post_sec
+/ sentinel_spread / sentinel_ok): a fixed code-independent hash
+aggregate timed before and after the suite. Records with
+sentinel_ok=false were measured under moving external load — re-run
+them instead of reading per-query regressions from them.
 """
 
 from __future__ import annotations
@@ -42,6 +48,28 @@ def build_spark(cpus: int):
 
 GC_EVERY = int(os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "1"))
 
+# Load-sentinel acceptance bound: the suite record is trustworthy for
+# per-query regression reads only when the box was comparably quiet
+# before and after the run (round-10 lesson: a loaded window inflated
+# unchanged queries up to 28x and poisoned the official record).
+SENTINEL_MAX_SPREAD = float(os.environ.get("SPARK_GRAFT_SENTINEL_SPREAD", "1.5"))
+
+
+def sentinel_sec(spark) -> float:
+    """Fixed CPU-bound probe, independent of any repo code: median of
+    3 runs of a 400M-row hash aggregate through the noop sink. Run
+    before AND after the suite; a pre/post spread beyond
+    SENTINEL_MAX_SPREAD means external load moved during the window
+    and the record must be re-measured, not compared."""
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (spark.range(400_000_000).selectExpr("sum(hash(id)) AS h")
+         .write.format("noop").mode("overwrite").save())
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return round(times[1], 4)
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -69,6 +97,7 @@ def main() -> int:
 
     # Warm up the JVM + parquet footer caches outside the timed region.
     load_events(spark, sf_dir).count()
+    sent_pre = sentinel_sec(spark)
 
     def drop_persisted(i: int) -> None:
         # Several queries pin intermediate results with lazy
@@ -111,6 +140,10 @@ def main() -> int:
             per_query[name] = round(time.perf_counter() - t0, 4)
         drop_persisted(i)
 
+    sent_post = sentinel_sec(spark)
+    spread = round(
+        max(sent_pre, sent_post) / max(min(sent_pre, sent_post), 1e-9), 3
+    )
     total = round(sum(per_query.values()), 4)
     payload = {
         "metric": "behavioral_suite_total_sec",
@@ -118,6 +151,10 @@ def main() -> int:
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
+        "sentinel_pre_sec": sent_pre,
+        "sentinel_post_sec": sent_post,
+        "sentinel_spread": spread,
+        "sentinel_ok": spread <= SENTINEL_MAX_SPREAD,
     }
     print(json.dumps(payload))
     # The driver keeps only the LAST 2000 characters of stdout and

@@ -3,7 +3,9 @@
 uses — the denominator of the suite-vs-oracle wall-time ratio.
 
 Usage: python scripts/oracle_bench.py [sf_dir]   # default sf0.1
-Prints one JSON line mirroring bench.py's shape.
+Prints one JSON line mirroring bench.py's shape, including the same
+pre/post load sentinel (a fixed single-threaded DuckDB aggregate) so
+the matched pair is self-certifying on BOTH sides.
 """
 
 from __future__ import annotations
@@ -21,6 +23,18 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
 
+def sentinel_sec(con) -> float:
+    """Median of 3 runs of a fixed code-independent aggregate (the
+    DuckDB twin of bench.sentinel_sec)."""
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        con.execute("SELECT sum(hash(r)) FROM range(100000000) t(r)").fetchall()
+        times.append(time.time() - t0)
+    times.sort()
+    return round(times[1], 4)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     from duckdb_behavioral_spark.registry import all_oracles
@@ -34,6 +48,7 @@ def main() -> int:
     oracles = {
         k: v for k, v in all_oracles().items() if not k.startswith("streaming_")
     }
+    sent_pre = sentinel_sec(con)
     times, total = {}, 0.0
     for name, sql in oracles.items():
         t0 = time.time()
@@ -41,6 +56,10 @@ def main() -> int:
         dt = time.time() - t0
         times[name] = round(dt, 4)
         total += dt
+    sent_post = sentinel_sec(con)
+    spread = round(
+        max(sent_pre, sent_post) / max(min(sent_pre, sent_post), 1e-9), 3
+    )
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -48,6 +67,8 @@ def main() -> int:
     print(json.dumps({
         "metric": "oracle_suite_total_sec", "value": round(total, 4),
         "unit": "sec", "queries": times, "sf": sf,
+        "sentinel_pre_sec": sent_pre, "sentinel_post_sec": sent_post,
+        "sentinel_spread": spread, "sentinel_ok": spread <= 1.5,
     }))
     return 0
 
