@@ -20,12 +20,22 @@ One row per kept passage (<= TOP_N rows):
                      an md5-48 collision would surface here as a
                      mismatched sample, never a silent merge)
 
-Scale shape: one tokenize + passage explode (the ``passages.py``
+Scale shape: ONE tokenize + passage explode (the ``passages.py``
 ``word_grams_indexed`` device — no intermediate gram arrays), one
 hash aggregate to per-fp counts (map-side partials; the 48-bit key is
 uniform by construction, no skew), then the distributed top-k
 (TakeOrderedAndProject — O(TOP_N) state per task, no global sort);
-the corpus-doc divisor is a 1-row broadcast aggregate.
+the corpus-doc divisor is a 1-row broadcast aggregate. The sample
+string rides THROUGH the aggregate deliberately: a two-pass variant
+(longs-only counts, then a second gram pass resolving samples for the
+<= TOP_N winners via broadcast semi-join) never won an interleaved
+A/B — steady-state 9.2s vs 10.8s at 300k docs, and the two-pass
+form's FIRST execution cost 4.7x more (329.7s vs 69.7s, same quiet
+session, sentinel-checked) because it pays the gram pipeline's
+warm-up twice. Running the tokenize + gram construction twice loses
+more than the string-bearing shuffle costs — the inverse of the
+``pq_transfer`` lesson: re-derive only when the re-derivation is
+cheap.
 
 Exactness: tokenization/gram construction is the engines' shared
 definition (``common.sql_word_grams``); counts and BIGINT floor

@@ -19,11 +19,19 @@ One row per occupied power-of-2 df bucket (<= 41 rows):
   truth_band              1 when the bucket is truth-eligible
                           (df in [2, TRUTH_DF_CAP]), else 0
 
-Scale shape: one shingle pipeline (``dedup._shingle_sets`` — the
-checkpointed distinct-shingle stream every dedup operator rides),
-one vocabulary-bounded hash aggregate to df, one <= 41-row bucket
-aggregate; the total-postings divisor is a window over the BUCKET
-rows (never a second pass over the df table).
+Scale shape: the distinct-shingle stream is derived INLINE (tokenize
+-> per-doc distinct shingle hashes -> explode), NOT through
+``dedup._shingle_sets``: that helper's repartition + checkpoint
+barrier exists for its multi-consumer join legs, and with this
+operator's single consumer the barrier is pure cost: the inline form
+stays in whole-stage codegen from the scan and reads a stable
+6.3-7.8s at 300k docs in an interleaved sentinel-checked A/B, while
+the barrier form's materialized Row blocks made it erratic (5.1s then
+60.9s on identical reruns — block-manager/GC pressure) and a cold
+1M-doc window read 676s barrier vs 219s inline (the ``pq_transfer``
+fat-row counter-lesson). Then one vocabulary-bounded hash aggregate to df and one
+<= 41-row bucket aggregate; the total-postings divisor is a window
+over the BUCKET rows (never a second pass over the df table).
 
 Exactness: counts and BIGINT floor permilles only.
 
@@ -39,7 +47,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from duckdb_behavioral_spark.functions.burstiness import _k_case
-from duckdb_behavioral_spark.functions.dedup import _SQL_SHS, _shingle_sets
+from duckdb_behavioral_spark.functions.common import (
+    md5_hash48,
+    shingles3,
+    tokens,
+)
+from duckdb_behavioral_spark.functions.dedup import _SQL_SHS
 from duckdb_behavioral_spark.functions.dedup_eval import TRUTH_DF_CAP
 
 __all__ = [
@@ -57,8 +70,14 @@ def shingle_df_profile(docs: DataFrame) -> DataFrame:
     """(k, n_shingles, lo_df, hi_df, postings, postings_share_permille,
     truth_band) — power-of-2 shingle-df histogram."""
     dfed = (
-        _shingle_sets(docs)
-        .select(F.explode("sh").alias("h"))
+        docs.select(tokens(F.col("text")).alias("__toks"))
+        .select(
+            F.explode(
+                F.array_distinct(
+                    F.transform(shingles3(F.col("__toks")), md5_hash48)
+                )
+            ).alias("h")
+        )
         .groupBy("h")
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
     )
