@@ -57,14 +57,22 @@ SENTINEL_MAX_SPREAD = float(os.environ.get("SPARK_GRAFT_SENTINEL_SPREAD", "1.5")
 
 def sentinel_sec(spark) -> float:
     """Fixed CPU-bound probe, independent of any repo code: median of
-    3 runs of a 400M-row hash aggregate through the noop sink. Run
+    3 runs of a 4B-row hash aggregate through the noop sink. Run
     before AND after the suite; a pre/post spread beyond
     SENTINEL_MAX_SPREAD means external load moved during the window
-    and the record must be re-measured, not compared."""
+    and the record must be re-measured, not compared.
+
+    One discarded warm-up execution first, and the probe is sized to
+    ~3s quiet (4e9 hashed rows on local[32]): a sub-second probe's
+    JIT/scheduling jitter fabricates spreads (measured 0.56s pre vs
+    0.22s post on a quiet box), while at seconds-scale only real CPU
+    contention moves the reading."""
+    (spark.range(4_000_000_000).selectExpr("sum(hash(id)) AS h")
+     .write.format("noop").mode("overwrite").save())
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        (spark.range(400_000_000).selectExpr("sum(hash(id)) AS h")
+        (spark.range(4_000_000_000).selectExpr("sum(hash(id)) AS h")
          .write.format("noop").mode("overwrite").save())
         times.append(time.perf_counter() - t0)
     times.sort()
@@ -131,6 +139,7 @@ def main() -> int:
 
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_REPEAT", "1")))
     per_query: dict[str, float] = {}
+    sent_series: list[float] = []
     for i, name in enumerate(names):
         fn = queries[name]
         for _ in range(repeat):
@@ -139,11 +148,16 @@ def main() -> int:
             df.write.format("noop").mode("overwrite").save()
             per_query[name] = round(time.perf_counter() - t0, 4)
         drop_persisted(i)
+        # MID-suite sentinel samples: a 10-minute suite can be hit by
+        # load waves the endpoint readings never see (measured: a
+        # green-endpoint run with 115 of 220 queries diffusely
+        # inflated). ~1.3s per sample, every 50 queries.
+        if (i + 1) % 50 == 0:
+            sent_series.append(sentinel_sec(spark))
 
     sent_post = sentinel_sec(spark)
-    spread = round(
-        max(sent_pre, sent_post) / max(min(sent_pre, sent_post), 1e-9), 3
-    )
+    all_sent = [sent_pre, *sent_series, sent_post]
+    spread = round(max(all_sent) / max(min(all_sent), 1e-9), 3)
     total = round(sum(per_query.values()), 4)
     payload = {
         "metric": "behavioral_suite_total_sec",
@@ -152,6 +166,7 @@ def main() -> int:
         "queries": per_query,
         "sf": sf,
         "sentinel_pre_sec": sent_pre,
+        "sentinel_mid_sec": sent_series,
         "sentinel_post_sec": sent_post,
         "sentinel_spread": spread,
         "sentinel_ok": spread <= SENTINEL_MAX_SPREAD,

@@ -25,7 +25,9 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 def sentinel_sec(con) -> float:
     """Median of 3 runs of a fixed code-independent aggregate (the
-    DuckDB twin of bench.sentinel_sec)."""
+    DuckDB twin of bench.sentinel_sec); one discarded warm-up run
+    first so the probe's own warm-up can't fabricate a spread."""
+    con.execute("SELECT sum(hash(r)) FROM range(100000000) t(r)").fetchall()
     times = []
     for _ in range(3):
         t0 = time.time()
