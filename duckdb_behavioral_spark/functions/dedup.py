@@ -46,6 +46,21 @@ from duckdb_behavioral_spark.functions.common import (
 
 JACCARD_THRESHOLD_TENTHS = 6  # pairs with jaccard >= 0.6
 
+# Frequency cap on LSH band buckets (the ``hamming.HAM_BAND_CAP`` /
+# ``WINNOW_FP_CAP`` convention): a (band, band_hash) bucket holding
+# more than this many documents is a boilerplate / low-entropy
+# pile-up whose intra-bucket fan-out is quadratic — at 10M docs on a
+# 60-word vocabulary the uncapped join measurably degenerated (78 GB
+# of shuffle spill, SCALE.md round 11). Dropping over-cap buckets
+# bounds the candidate join output by buckets x CAP^2/2 — independent
+# of corpus size — and is the documented fidelity cut: a pair living
+# ONLY in over-cap buckets is lost to candidate generation (visible
+# as recall + dropped-mass columns in ``dedup_lsh_recall_eval``).
+# The cap is mirrored verbatim in every oracle SQL, so cross-engine
+# parity holds at every scale; it never triggers at the test SFs
+# (measured max bucket size: 4 at sf0.01, 18 at sf0.1).
+MH_BAND_CAP = 256
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_behavioral_spark.sources import load_table
@@ -274,9 +289,14 @@ def dedup_ngram_jaccard(df: DataFrame) -> DataFrame:
     (lang, length-bucket) blocked all-pairs variant was O(block^2) on
     hot blocks: a corpus concentrated in one block went quadratic no
     matter its content (see tests/test_dedup_scale.py); LSH buckets split on
-    *content*, so only true near-duplicate mass densifies a bucket.
+    *content* — but a LOW-ENTROPY corpus (boilerplate-heavy crawl
+    regions, tiny vocabularies) densifies buckets with merely-similar
+    mass too, which is why the candidate join additionally
+    frequency-caps its buckets at ``MH_BAND_CAP`` (the round-11 10M
+    adversarial probe measured the uncapped degeneration).
     Recall is the LSH collision probability at the threshold —
-    1-(1-j^r)^b, the standard tunable — with no length/language prior.
+    1-(1-j^r)^b, the standard tunable — minus the capped-bucket mass
+    reported by ``dedup_lsh_recall_eval``.
     """
     cand = minhash_candidate_pairs(df).select("doc_a", "doc_b")
     sh = _shingle_sets(df)
@@ -380,7 +400,42 @@ def bands_from_sigs(sigs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_candidate_pairs(df: DataFrame, sig: DataFrame | None = None) -> DataFrame:
+def capped_bands(sig: DataFrame) -> DataFrame:
+    """Banded signatures with over-cap buckets removed.
+
+    Aggregate-then-semijoin rather than a ``count() OVER`` window:
+    the grouped count partial-aggregates map-side (an over-cap bucket
+    collapses per-mapper, so the stats shuffle stays tiny even on the
+    degenerate corpus this cap exists for), while a window would
+    buffer the whole mega-bucket in one window partition — exactly
+    the pathological allocation the cap is defending against. Both
+    the stats aggregate and the filter join key on (band, band_hash),
+    the same key the downstream pair join uses, so no extra exchange
+    is introduced."""
+    ok = (
+        sig.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("__bsz"))
+        .where(F.col("__bsz") <= MH_BAND_CAP)
+        .select("band", "band_hash")
+    )
+    return sig.join(ok, ["band", "band_hash"])
+
+
+def overcap_buckets(sig: DataFrame) -> DataFrame:
+    """(band, band_hash, bsz) — the buckets ``capped_bands`` drops.
+    The dropped-mass accounting side of the cap: ``bsz`` doc-slots
+    per over-cap bucket never reach candidate generation
+    (``dedup_lsh_recall_eval`` reports the totals)."""
+    return (
+        sig.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).cast("long").alias("bsz"))
+        .where(F.col("bsz") > MH_BAND_CAP)
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame, sig: DataFrame | None = None, *, sig_checkpointed: bool = False
+) -> DataFrame:
     """(doc_a, doc_b, shared_bands) — pairs sharing ≥1 LSH bucket.
 
     The banded signatures are checkpointed before the self-join:
@@ -388,9 +443,17 @@ def minhash_candidate_pairs(df: DataFrame, sig: DataFrame | None = None) -> Data
     tokenize→shingle→hash→min→band pipeline once per join side (plan
     showed 4 parquet scans, zero exchange reuse). Pass ``sig`` to
     band a precomputed signature DataFrame instead (dedup_eval feeds
-    the banding of its postings barrier here)."""
-    sig = (minhash_signatures(df) if sig is None else sig).localCheckpoint(eager=False)
-    a, b = sig.alias("a"), sig.alias("b")
+    the banding of its postings barrier here). Buckets larger than
+    ``MH_BAND_CAP`` are dropped before the self-join (see the
+    constant's docstring — the bounded-fan-out guarantee). A caller
+    that already checkpointed ``sig`` (recall eval shares it with the
+    dropped-mass accounting) passes ``sig_checkpointed=True`` to skip
+    the redundant second materialization."""
+    sig = minhash_signatures(df) if sig is None else sig
+    if not sig_checkpointed:
+        sig = sig.localCheckpoint(eager=False)
+    capped = capped_bands(sig)
+    a, b = capped.alias("a"), capped.alias("b")
     return (
         a.join(
             b,
@@ -433,9 +496,22 @@ WITH t AS (
 
 MINHASH_SIG_SQL = _sql_minhash_sigs() + "SELECT doc_id, band, band_hash FROM banded"
 
-MINHASH_PAIRS_SQL = _sql_minhash_sigs() + f"""
+# capped banded signatures — the verbatim SQL mirror of
+# ``capped_bands`` (MH_BAND_CAP docstring); every oracle that joins
+# banded buckets must join ``bok``, never ``banded`` directly
+_SQL_BOK_CTE = f"""
+, bok AS (
+  SELECT s.doc_id, s.band, s.band_hash
+  FROM banded s
+  JOIN (SELECT band, band_hash FROM banded
+        GROUP BY band, band_hash
+        HAVING count(*) <= {MH_BAND_CAP}) k
+    ON s.band = k.band AND s.band_hash = k.band_hash
+)"""
+
+MINHASH_PAIRS_SQL = _sql_minhash_sigs() + _SQL_BOK_CTE + """
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_bands
-FROM banded a JOIN banded b
+FROM bok a JOIN bok b
   ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 """
@@ -449,11 +525,13 @@ _SQL_SHS = f"""SELECT doc_id,
 
 # canonical band-collision candidate CTE — the single source of truth
 # for every oracle that consumes the LSH candidate set (also
-# minhash_calibration's); a change to the banding join must land here
-_SQL_CAND_CTE = """
+# minhash_calibration's); a change to the banding join must land here.
+# Joins the MH_BAND_CAP-capped ``bok`` buckets, mirroring
+# ``capped_bands`` on the Spark side.
+_SQL_CAND_CTE = _SQL_BOK_CTE + """
 , cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM banded a JOIN banded b
+  FROM bok a JOIN bok b
     ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )"""

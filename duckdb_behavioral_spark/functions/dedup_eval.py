@@ -19,6 +19,14 @@ row:
   n_truth_pairs / n_lsh_pairs / n_verified_pairs / n_hit_pairs
   recall_permille    = 1000 * |truth ∩ lsh| // |truth|
   precision_permille = 1000 * |lsh pairs passing exact tau| // |lsh|
+  n_overcap_buckets  = band buckets dropped by dedup.MH_BAND_CAP
+  overcap_docslots   = doc-slots inside those dropped buckets
+
+The last two make the cap's recall cost VISIBLE in the same report
+that measures recall: on a healthy corpus both are 0 (no bucket near
+the cap); on a low-entropy/boilerplate corpus they grow exactly as
+recall_permille falls, so the operator that pays the fidelity cut is
+the one that reports it.
 
 ``dedup_incremental_newdocs`` — the daily-ingest shape: the corpus is
 split into the standing collection (doc_id % INC_MOD != INC_NEW_REM)
@@ -44,14 +52,18 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from duckdb_behavioral_spark.functions.dedup import (
+    _SQL_BOK_CTE,
     _SQL_PAIR_CTES,
     _SQL_SHS,
     _docs,
     _shingle_sets,
     _sql_minhash_sigs,
     JACCARD_THRESHOLD_TENTHS,
+    MH_BAND_CAP,
     banded_from_hashes,
+    capped_bands,
     minhash_candidate_pairs,
+    overcap_buckets,
 )
 
 __all__ = [
@@ -120,11 +132,15 @@ def lsh_recall_eval(docs: DataFrame, df_cap: int = TRUTH_DF_CAP) -> DataFrame:
         sh.select("doc_id", F.explode("sh").alias("h"))
         .localCheckpoint(eager=False)
     )
+    # the banded signatures feed candidate generation AND the
+    # over-cap dropped-mass accounting — one barrier for both
+    sig = banded_from_hashes(posting).localCheckpoint(eager=False)
     cand = (
-        minhash_candidate_pairs(docs, sig=banded_from_hashes(posting))
+        minhash_candidate_pairs(docs, sig=sig, sig_checkpointed=True)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=False)  # feeds the tau pass, hit, and its count
     )
+    ocb = overcap_buckets(sig)
 
     # df-capped postings ground truth: keep shingles with df in
     # [2, CAP] and pair the surviving postings bucket-locally
@@ -163,12 +179,17 @@ def lsh_recall_eval(docs: DataFrame, df_cap: int = TRUTH_DF_CAP) -> DataFrame:
     hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
 
     # single bounded global aggregate over tagged pair sets (no
-    # cross-join of one-row frames — that would be a nested-loop join)
+    # cross-join of one-row frames — that would be a nested-loop
+    # join). Pair families carry val=1 (sum == count); the over-cap
+    # bucket rows carry val=bucket_size so the same aggregate yields
+    # both the bucket count and the dropped doc-slot mass.
+    one = F.lit(1).cast("long").alias("val")
     tagged = (
-        truth.select(F.lit("truth").alias("tag"))
-        .unionAll(cand.select(F.lit("lsh").alias("tag")))
-        .unionAll(verified.select(F.lit("ver").alias("tag")))
-        .unionAll(hit.select(F.lit("hit").alias("tag")))
+        truth.select(F.lit("truth").alias("tag"), one)
+        .unionAll(cand.select(F.lit("lsh").alias("tag"), one))
+        .unionAll(verified.select(F.lit("ver").alias("tag"), one))
+        .unionAll(hit.select(F.lit("hit").alias("tag"), one))
+        .unionAll(ocb.select(F.lit("ocb").alias("tag"), F.col("bsz").alias("val")))
     )
 
     def _n(tag: str, name: str):
@@ -181,11 +202,23 @@ def lsh_recall_eval(docs: DataFrame, df_cap: int = TRUTH_DF_CAP) -> DataFrame:
             .alias(name)
         )
 
+    def _s(tag: str, name: str):
+        return (
+            F.coalesce(
+                F.sum(F.when(F.col("tag") == tag, F.col("val")).otherwise(F.lit(0))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(name)
+        )
+
     counts = tagged.agg(
         _n("truth", "n_truth_pairs"),
         _n("lsh", "n_lsh_pairs"),
         _n("ver", "n_verified_pairs"),
         _n("hit", "n_hit_pairs"),
+        _n("ocb", "n_overcap_buckets"),
+        _s("ocb", "overcap_docslots"),
     )
     recall = F.when(
         F.col("n_truth_pairs") > 0,
@@ -202,6 +235,8 @@ def lsh_recall_eval(docs: DataFrame, df_cap: int = TRUTH_DF_CAP) -> DataFrame:
         "n_hit_pairs",
         recall.alias("recall_permille"),
         precision.alias("precision_permille"),
+        "n_overcap_buckets",
+        "overcap_docslots",
     )
 
 
@@ -219,8 +254,12 @@ def dedup_incremental_newdocs(
     sig = banded_from_hashes(
         sh.select("doc_id", F.explode("sh").alias("h"))
     ).localCheckpoint(eager=False)
-    new_sig = sig.where(F.col("doc_id") % mod == new_rem)
-    old_sig = sig.where(F.col("doc_id") % mod != new_rem)
+    # MH_BAND_CAP applies to the TOTAL bucket size (new + old
+    # combined), before the split — a boilerplate pile-up is dropped
+    # whether its members are standing or arriving
+    capped = capped_bands(sig)
+    new_sig = capped.where(F.col("doc_id") % mod == new_rem)
+    old_sig = capped.where(F.col("doc_id") % mod != new_rem)
     cand = (
         new_sig.alias("n")
         .join(
@@ -310,26 +349,35 @@ LSH_RECALL_EVAL_SQL = _SQL_PAIR_CTES + f"""
 ), hit AS (
   SELECT t.doc_a FROM truth t
   JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+), ocb AS (
+  SELECT CAST(count(*) AS BIGINT) AS nb,
+         CAST(COALESCE(sum(c), 0) AS BIGINT) AS ns
+  FROM (SELECT count(*) AS c FROM banded
+        GROUP BY band, band_hash HAVING count(*) > {MH_BAND_CAP})
 ), m AS (
   SELECT (SELECT count(*) FROM truth)    AS t,
          (SELECT count(*) FROM cand)     AS c,
          (SELECT count(*) FROM verified) AS v,
-         (SELECT count(*) FROM hit)      AS h
+         (SELECT count(*) FROM hit)      AS h,
+         (SELECT nb FROM ocb)            AS ob,
+         (SELECT ns FROM ocb)            AS os
 )
 SELECT CAST(t AS BIGINT) AS n_truth_pairs,
        CAST(c AS BIGINT) AS n_lsh_pairs,
        CAST(v AS BIGINT) AS n_verified_pairs,
        CAST(h AS BIGINT) AS n_hit_pairs,
        CAST(CASE WHEN t > 0 THEN h * 1000 // t END AS BIGINT) AS recall_permille,
-       CAST(CASE WHEN c > 0 THEN v * 1000 // c END AS BIGINT) AS precision_permille
+       CAST(CASE WHEN c > 0 THEN v * 1000 // c END AS BIGINT) AS precision_permille,
+       CAST(ob AS BIGINT) AS n_overcap_buckets,
+       CAST(os AS BIGINT) AS overcap_docslots
 FROM m
 """
 
-INCREMENTAL_NEWDOCS_SQL = _sql_minhash_sigs() + f"""
+INCREMENTAL_NEWDOCS_SQL = _sql_minhash_sigs() + _SQL_BOK_CTE + f"""
 , nsig AS (
-  SELECT * FROM banded WHERE doc_id % {INC_MOD} = {INC_NEW_REM}
+  SELECT * FROM bok WHERE doc_id % {INC_MOD} = {INC_NEW_REM}
 ), osig AS (
-  SELECT * FROM banded WHERE doc_id % {INC_MOD} <> {INC_NEW_REM}
+  SELECT * FROM bok WHERE doc_id % {INC_MOD} <> {INC_NEW_REM}
 ), icand AS (
   SELECT n.doc_id AS new_doc, o.doc_id AS old_doc
   FROM nsig n JOIN osig o

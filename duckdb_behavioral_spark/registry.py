@@ -11,84 +11,80 @@ history and ride local parity (tests/test_oracle_parity.py) this round.
 
 from __future__ import annotations
 
-# First-50 priority for the driver's correctness window (round 11).
-# Every query declared through round 10 is driver-green at its latest
-# check (CORRECTNESS_r10 50/50; 228/228 latest-check green). This
-# window leads with the seven round-11 additions and the three
-# changed queries, then clears ALL freshness debt older than r07: the
-# 12 r05 rows + all 22 r06 rows from ROUND10.md's handoff, plus 6
-# targeted r07 rows (the load-contaminated bench trio + the three r07
-# streaming gates). After this window lands, no row's latest check
-# predates r07. Everything displaced keeps local-mirror coverage
-# (scripts/driver_mirror.py + tests/test_oracle_parity.py over all
-# declared queries).
+# First-50 priority for the driver's correctness window (round 12).
+# Every declared query is driver-green at its latest check
+# (CORRECTNESS_r11 50/50; 235/235 latest-check green). This window
+# leads with the ten round-12 changed queries — the MH_BAND_CAP
+# frequency cap on the MinHash-LSH banded candidate join
+# (functions/dedup.py; a no-op at oracle SFs, proven by
+# tests/test_round12_band_cap.py and the full sf0.01 mirror) ripples
+# through every _SQL_PAIR_CTES consumer, and the Bloom/HLL streaming
+# gates moved to the sink-then-merge parquet fold — then clears the
+# remaining 40 r07-vintage rows from ROUND11.md's handoff. After this
+# window lands, no row's latest check predates r08. Three cap-touched
+# rows did NOT fit the 50 (13 changed + 40 debt > 50):
+# dedup_canonical_pick, dedup_threshold_sweep, dedup_cluster_sizes —
+# the most derivative consumers (they read VERIFIED pairs, one step
+# past the capped candidate set). All three were mirror-checked green
+# at sf0.01 this round (ROUND12.md) and lead the round-13 rotation.
 DRIVER_PRIORITY = [
-    # --- round 11, first driver rows: the seven new operators
-    # (functions/label_noise.py, hubness.py, df_profile.py,
-    # boilerplate.py, rfm_migration.py, reorder_trend.py, pad_waste.py)
-    "embedding_label_noise",
-    "embedding_knn_hubness",
-    "dedup_shingle_df_profile",
-    "corpus_boilerplate_passages",
-    "user_rfm_migration",
-    "orders_reorder_gap_trend",
-    "training_pad_waste_curve",
-    # --- changed in round 11 — fresh rows required:
-    # funneltiming strict-time RANGE frames (results unchanged on
-    # distinct-timestamp data, semantics now tie-safe), prototypes'
-    # single-centroid-job refactor (plan-only), the CMS parity gate's
-    # distributed parquet fold (harness change)
-    "cohort_conversion_time_quartiles",
-    "embedding_cluster_prototypes",
-    "streaming_cms_parity",
-    # --- the 12 r05-vintage rows (ROUND10.md handoff: they lead this
-    # rotation; user_rfm_segments' oracle was also refactored onto the
-    # shared RFM CTE this round)
-    "text_quality_filter",
-    "text_token_count_bpe",
-    "text_winnow_fingerprints",
-    "tpch_q11_important_stock",
-    "tpch_q13_order_counts",
-    "tpch_q15_top_supplier",
-    "tpch_q19_disjunctive",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_volume_shipping",
-    "user_burstiness",
-    "user_rfm_segments",
-    # --- the 22 r06-vintage rows (handoff list, complete)
-    "ann_recall_eval",
-    "cdc_merge_users",
-    "corpus_vocab_growth",
-    "dedup_fuzzy_titles",
-    "events_cusum_daily",
-    "events_gapfill_locf",
-    "events_rollup_cascade",
-    "events_salted_join",
-    "events_time_weighted_avg",
-    "events_type_hhi",
-    "events_user_churn",
-    "events_value_histogram",
-    "events_zorder_cells",
-    "lineitem_abc_classes",
-    "multimodal_binaryfile_ingest",
-    "scd2_point_in_time",
-    "search_inverted_postings",
-    "session_trigrams_topk",
+    # --- changed in round 12: MH_BAND_CAP on the banded candidate
+    # join (+ dropped-mass columns on the recall eval) — the direct
+    # candidate-set consumers
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_lsh_recall_eval",
+    "dedup_incremental_newdocs",
+    "split_leakage_audit",
+    "dedup_source_overlap",
+    "dedup_minhash_calibration",
+    # --- changed in round 12: sink-shaped parquet fold (harness
+    # change, same merge algebra — the CMS-gate shape)
     "streaming_bloom_parity",
     "streaming_hll_parity",
-    "text_bigram_lm",
-    "user_ltv_cohort_curve",
-    # --- 6 r07 rows fill the window: the three queries whose r10
-    # bench reads were load-contaminated (fresh correctness reads
-    # alongside the r11 quiet re-measure) + the three r07 streaming
-    # gates; the remaining 40 r07 rows lead the round-12 rotation
-    "text_repetition",
-    "graph_triangle_count",
-    "user_state_scd2",
-    "streaming_cdc_parity",
-    "streaming_scd2_parity",
-    "streaming_watermark_parity",
+    # --- the 40 remaining r07-vintage rows (ROUND11.md handoff list,
+    # complete; dedup_containment is also cap-touched)
+    "ann_filtered_topk",
+    "attribution_time_decay",
+    "bloom_semijoin_pushdown",
+    "corpus_curriculum_phases",
+    "corpus_langid_confusion",
+    "corpus_ngram_novelty",
+    "corpus_oov_rate",
+    "corpus_slice_chi2",
+    "customer_revenue_gini",
+    "dedup_containment",
+    "dedup_rate_by_source",
+    "dow_seasonal_profile",
+    "dq_constraint_audit",
+    "dq_schema_drift",
+    "embedding_dim_covariance",
+    "events_daily_acf",
+    "events_median_gap",
+    "events_wow_growth",
+    "feature_hashing",
+    "files_compaction_bins",
+    "lineitem_price_deciles",
+    "lineitem_price_qty_ols",
+    "orders_repeat_rate",
+    "sample_negatives",
+    "scd2_snapshot_diff",
+    "search_phrase_match",
+    "search_rrf_fusion",
+    "session_hard_cap",
+    "sketch_bloom_membership",
+    "sketch_hll_sliding",
+    "table_profile",
+    "target_encoding",
+    "tpch_q12_late_lines",
+    "tpch_q16_supplier_counts",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q22_idle_balances",
+    "tpch_q8_market_share",
+    "tpch_q9_profit",
+    "user_lifecycle_ledger",
 ]
 
 
