@@ -17,11 +17,16 @@ operator: most gates here collect whole micro-batches DRIVER-SIDE
 inside ``foreachBatch`` to fold them against a batch oracle. That is
 fine for an oracle comparison at test scale factors and would be a
 driver OOM at production volume; a real streaming sink keeps the fold
-distributed. Two gates demonstrate that production shape end-to-end
+distributed. Four gates demonstrate that production shape end-to-end
 and the guard does NOT apply to them: ``streaming_sink_parity``
 (dynamic partition-overwrite parquet upsert, compared from the table
-on disk) and ``streaming_cms_parity`` (per-batch grids appended to
-parquet, merged by a distributed groupBy-SUM on read-back).
+on disk) and the three mergeable-sketch gates — ``streaming_cms_parity``
+(per-batch grids appended to parquet, merged by a distributed
+groupBy-SUM on read-back), ``streaming_bloom_parity`` (per-batch word
+tables appended, merged by groupBy-BIT_OR) and
+``streaming_hll_parity`` (per-batch register tables appended, merged
+by groupBy-MAX). The remaining gates are oracle-comparison plumbing
+by design.
 """
 
 from __future__ import annotations
@@ -861,11 +866,15 @@ def streaming_bloom_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting sketches (CMS gate), which tolerate reordering but not
     duplication.
 
-    Scale posture: the fold state is the <= 512-word filter itself —
-    the O(1) state that makes Bloom the standard streaming-membership
-    device; per batch only the folded words cross to the driver, never
-    cells.
+    PRODUCTION-SHAPED FOLD (no driver-side collect, round 12): each
+    batch APPENDS its bounded word table (<= 512 rows, corpus-size
+    independent) to a parquet table inside ``foreachBatch``, and the
+    OR-merge is a distributed groupBy-BIT_OR over the accumulated
+    word tables on read-back — the CMS-gate sink-then-merge shape, so
+    the module's TEST-ONLY collect guard does not apply to this gate.
     """
+    import os
+
     from duckdb_behavioral_spark.functions.bloom import (
         activity_cells,
         bloom_words,
@@ -876,6 +885,7 @@ def streaming_bloom_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = activity_cells(load_events(spark, sf_dir))
     build = cells.where(F.col("first_half")).select("cell")
     src = tempfile.mkdtemp(prefix="sg_bloom_src_")
+    tbl = tempfile.mkdtemp(prefix="sg_bloom_tbl_")
     try:
         for i in range(N_CHUNKS):
             (build.where(F.abs(F.hash("cell")) % N_CHUNKS == i)
@@ -885,11 +895,8 @@ def streaming_bloom_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "maxFilesPerTrigger", 1
         ).parquet(src)
 
-        words: dict = {}
-
         def fold_batch(bdf: DataFrame, _epoch: int) -> None:
-            for r in bloom_words(bdf, "cell").collect():
-                words[r["word"]] = words.get(r["word"], 0) | r["bits"]
+            bloom_words(bdf, "cell").write.mode("append").parquet(tbl)
 
         q = (
             stream.writeStream.outputMode("append")
@@ -901,15 +908,20 @@ def streaming_bloom_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
 
-        rows = [(int(w), int(b)) for w, b in sorted(words.items())]
-        wdf = spark.createDataFrame(
-            rows or [(None, None)], "word bigint, bits bigint"
-        )
-        if not rows:
-            wdf = wdf.where(F.lit(False))
+        if any(f.endswith(".parquet") for f in os.listdir(tbl)):
+            wdf = (
+                spark.read.parquet(tbl)
+                .groupBy("word")
+                .agg(F.bit_or("bits").cast("long").alias("bits"))
+                # materialize now: the temp table dir is deleted on return
+                .localCheckpoint(eager=True)
+            )
+        else:
+            wdf = spark.createDataFrame([], "word bigint, bits bigint")
         return membership_summary(cells, wdf)
     finally:
         shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(tbl, ignore_errors=True)
 
 
 def streaming_hll_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -927,9 +939,16 @@ def streaming_hll_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reason HLL (not exact distinct state) is the streaming
     cardinality device at 100 TB.
 
-    Scale posture: fold state is <= |types| x 512 integer registers;
-    per batch only register rows cross to the driver, never events.
+    PRODUCTION-SHAPED FOLD (no driver-side collect, round 12): each
+    batch APPENDS its bounded register table (<= |types| x 512 rows,
+    corpus-size independent) to a parquet table inside
+    ``foreachBatch``, and the union is a distributed groupBy-MAX over
+    the accumulated register tables on read-back — the CMS-gate
+    sink-then-merge shape, so the module's TEST-ONLY collect guard
+    does not apply to this gate.
     """
+    import os
+
     from duckdb_behavioral_spark.functions.sketches import (
         hll_estimate,
         hll_registers,
@@ -938,6 +957,7 @@ def streaming_hll_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_events(spark, sf_dir).select("event_type", "event_id")
     src = tempfile.mkdtemp(prefix="sg_hll_src_")
+    tbl = tempfile.mkdtemp(prefix="sg_hll_tbl_")
     try:
         for i in range(N_CHUNKS):
             (ev.where(F.col("event_id") % N_CHUNKS == i)
@@ -947,14 +967,9 @@ def streaming_hll_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type string, event_id long"
         ).option("maxFilesPerTrigger", 1).parquet(src)
 
-        regs: dict = {}
-
         def fold_batch(bdf: DataFrame, _epoch: int) -> None:
-            batch = hll_registers(bdf, key="event_id", group_cols=["event_type"])
-            for r in batch.collect():
-                k = (r["event_type"], r["bucket"])
-                if regs.get(k, -1) < r["rho_max"]:
-                    regs[k] = r["rho_max"]
+            (hll_registers(bdf, key="event_id", group_cols=["event_type"])
+             .write.mode("append").parquet(tbl))
 
         q = (
             stream.writeStream.outputMode("append")
@@ -966,13 +981,18 @@ def streaming_hll_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
 
-        rows = [(t, int(b), int(r)) for (t, b), r in sorted(regs.items())]
-        folded = spark.createDataFrame(
-            rows or [(None, None, None)],
-            "event_type string, bucket long, rho_max int",
-        )
-        if not rows:
-            folded = folded.where(F.lit(False))
+        if any(f.endswith(".parquet") for f in os.listdir(tbl)):
+            folded = (
+                spark.read.parquet(tbl)
+                .groupBy("event_type", "bucket")
+                .agg(F.max("rho_max").cast("int").alias("rho_max"))
+                # materialize now: the temp table dir is deleted on return
+                .localCheckpoint(eager=True)
+            )
+        else:
+            folded = spark.createDataFrame(
+                [], "event_type string, bucket long, rho_max int"
+            )
         est = hll_estimate(folded, group_cols=["event_type"])
         exact = ev.groupBy("event_type").agg(
             F.countDistinct("event_id").alias("n_exact")
