@@ -82,20 +82,37 @@ _AGG_FNS = (
 
 
 def behavioral_sql(spark: SparkSession, sql: str) -> DataFrame:
-    """Execute a reference-dialect behavioral SQL statement on Spark."""
+    """Execute a reference-dialect behavioral SQL statement on Spark.
+
+    The rewrite runs schema-aware: registered table/view schemas let
+    the sessionize-JOIN hoist prove whether a subquery's qualified
+    chain binds inside the subquery's own FROM scope or is a genuine
+    outer-alias correlation (hoisted mechanically). The pure-string
+    :func:`rewrite_behavioral_sql` API keeps the lexical-only
+    behavior (pointed CTE error for every unproven chain)."""
     from duckdb_behavioral_spark.sql import register
 
     register(spark)
-    return spark.sql(rewrite_behavioral_sql(sql))
+
+    def _resolver(name: str) -> "set[str] | None":
+        try:
+            return {f.name.lower() for f in spark.table(name).schema.fields}
+        except Exception:  # noqa: BLE001 — unresolvable ⇒ unprovable
+            return None
+
+    return spark.sql(rewrite_behavioral_sql(sql, resolver=_resolver))
 
 
-def rewrite_behavioral_sql(sql: str) -> str:
+def rewrite_behavioral_sql(sql: str, resolver=None) -> str:
     """Source-to-source rewrite of behavioral calls into Spark SQL,
     plus two host-dialect gaps the reference's docs/examples rely on:
     DuckDB's 1-based NULL-tolerant list subscript and
-    ``EXTRACT(EPOCH FROM <interval>)``."""
+    ``EXTRACT(EPOCH FROM <interval>)``. ``resolver`` (optional,
+    ``table -> lowercase column-name set | None``) enables the
+    schema-aware correlated-subquery hoist; without it every unproven
+    subquery chain keeps the pointed CTE error."""
     sql = _rewrite_distinct_on(sql)
-    sql = _rewrite_sessionize(sql)
+    sql = _rewrite_sessionize(sql, resolver)
     for fn in _AGG_FNS:
         sql = _rewrite_calls(sql, fn)
     sql = _rewrite_epoch_extract(sql)
@@ -480,26 +497,38 @@ def _rewrite_calls(sql: str, fn: str) -> str:
 _CHAIN_RE = re.compile(r"(?<![\w.])[A-Za-z_]\w*(?:\s*\.\s*(?:[A-Za-z_]\w*|\*))+")
 
 
-def _assert_subquery_uncorrelated(sub: str) -> None:
-    """Raise the pointed CTE error if the (string-blanked) subquery
-    text carries a qualified chain whose qualifier is not bound inside
-    the subquery itself.
+def _subquery_outer_spans(
+    sub: str,
+    outer_aliases: "set[str] | None" = None,
+    resolver=None,
+) -> "list[tuple[int, int]]":
+    """Classify every qualified chain in a (string-blanked) outer-
+    region subquery; return the spans of chains that are PROVABLY
+    outer-scope correlations (safe to hoist into the derived table),
+    raising the pointed CTE error for chains that are neither provably
+    inner nor provably outer.
 
-    Such a chain can be an outer-table-alias reference — the one form
-    of correlation the derived-table rewrite cannot preserve (the
-    alias does not survive the derived table). Everything else is
-    safe to pass through verbatim: inner-alias chains resolve from the
-    subquery's own FROM scope, qualified function calls resolve from
-    the catalog, and BARE-name correlation flows through the derived
-    table's ``SELECT *`` unchanged. The check is lexical and errs
-    toward the pointed error (e.g. a struct-field path on an inner
-    column whose name is not also a FROM-bound alias)."""
+    A chain whose qualifier is bound inside the subquery's own FROM
+    scope is inner — it passes through verbatim. A chain whose
+    qualifier is NOT bound inside but IS an alias of the segment being
+    wrapped (``outer_aliases``) is an outer correlation — hoistable,
+    PROVIDED no inner reading could shadow it: SQL resolves the
+    qualifier against the subquery's own columns first, so the hoist
+    is only safe when ``resolver`` (the registered-catalog schema
+    lookup) shows that NO table in the subquery's FROM scope carries a
+    column of that name, and every such source IS a resolvable table
+    (a derived table or unresolvable view could hide a shadowing
+    column). Everything unprovable keeps the pointed error —
+    qualified function calls excepted (catalog-resolved), and
+    BARE-name correlation flows through ``SELECT *`` unchanged."""
     bound: set[str] = set()
+    tables: list[str] = []
 
     def _eat_source(m: "re.Match[str]") -> str:
         tbl = m.group("tbl")
         bound.add(tbl.split(".")[0].lower())
         bound.add(tbl.split(".")[-1].lower())
+        tables.append(tbl)
         alias, keep = m.group("alias"), ""
         if alias:
             if alias.lower() in _CLAUSE_KEYWORDS:
@@ -515,29 +544,60 @@ def _assert_subquery_uncorrelated(sub: str) -> None:
         sub,
         flags=re.IGNORECASE,
     )
+    # any non-table source (derived table / lateral) means we cannot
+    # enumerate the subquery's column namespace — shadowing unprovable
+    opaque_sources = bool(
+        re.search(r"\b(?:FROM|JOIN)\s*\(", masked, re.IGNORECASE)
+    )
     for m in re.finditer(r"\)\s*(?:AS\s+)?([A-Za-z_]\w*)", masked):
         if m.group(1).lower() not in _CLAUSE_KEYWORDS:
             bound.add(m.group(1).lower())  # derived-table alias
     for m in re.finditer(r"\b([A-Za-z_]\w*)\s+AS\s*\(", masked, re.IGNORECASE):
         bound.add(m.group(1).lower())  # CTE name
+    spans: list[tuple[int, int]] = []
     for cm in _CHAIN_RE.finditer(masked):
         if re.match(r"\s*\(", masked[cm.end():]):
             continue  # qualified FUNCTION reference — catalog-resolved
         chain = re.sub(r"\s*\.\s*", ".", cm.group(0))
-        if chain.split(".")[0].lower() not in bound:
-            raise ValueError(
-                f"sessionize … OVER with JOIN: the subquery reference "
-                f"{chain!r} may be correlated with the outer query (its "
-                "qualifier is not bound inside the subquery) — compute "
-                "the session ids in a CTE first"
-            )
+        q = chain.split(".")[0].lower()
+        if q in bound:
+            continue  # inner-scope chain
+        if (
+            outer_aliases is not None
+            and resolver is not None
+            and q in outer_aliases
+            and not opaque_sources
+        ):
+            shadowed = False
+            for t in tables:
+                cols = resolver(t)
+                if cols is None or q in cols:
+                    shadowed = True  # unresolvable source or real shadow
+                    break
+            if not shadowed:
+                spans.append((cm.start(), cm.end()))
+                continue
+        raise ValueError(
+            f"sessionize … OVER with JOIN: the subquery reference "
+            f"{chain!r} may be correlated with the outer query (its "
+            "qualifier is not bound inside the subquery) — compute "
+            "the session ids in a CTE first"
+        )
+    return spans
 
 
-def _tombstone_subqueries(b: str) -> str:
+def _tombstone_subqueries(
+    b: str,
+    outer_aliases: "set[str] | None" = None,
+    resolver=None,
+) -> str:
     """Tombstone (NUL-fill) every balanced ``(SELECT …)`` group in a
-    string-blanked outer-region copy, after checking it cannot be
-    outer-alias-correlated, so the chain scan and the hoist splice
-    treat it as an opaque unit that passes through verbatim."""
+    string-blanked outer-region copy so the chain scan and the hoist
+    splice treat it as an opaque unit that passes through verbatim —
+    EXCEPT the spans of provably outer-correlated chains
+    (:func:`_subquery_outer_spans`), which stay visible so the
+    ordinary hoist machinery projects them into the derived table and
+    renames their occurrences inside the subquery too."""
     out = list(b)
     for mm in re.finditer(r"\(\s*SELECT\b", b, re.IGNORECASE):
         if out[mm.start()] == "\0":
@@ -553,10 +613,36 @@ def _tombstone_subqueries(b: str) -> str:
             i += 1
         if depth:
             raise ValueError("unbalanced parentheses in subquery")
-        _assert_subquery_uncorrelated(b[mm.start(): i + 1])
+        spans = _subquery_outer_spans(
+            b[mm.start(): i + 1], outer_aliases, resolver
+        )
         for k in range(mm.start(), i + 1):
             out[k] = "\0"
+        for s0, s1 in spans:
+            for k in range(mm.start() + s0, mm.start() + s1):
+                out[k] = b[k]
     return "".join(out)
+
+
+def _from_scope_aliases(segment: str) -> "set[str]":
+    """Lower-cased alias/table names bound by the FROM…JOIN scope of
+    the segment being wrapped into the derived table (the names an
+    outer-region subquery chain may legitimately correlate with)."""
+    names: set[str] = set()
+    blanked = re.sub(
+        r"'(?:[^']|'')*'", lambda mm: " " * len(mm.group(0)), segment
+    )
+    for m in re.finditer(
+        r"\b(?:FROM|JOIN)\s+(?P<tbl>[A-Za-z_][\w.]*)"
+        r"(?:\s+(?:AS\s+)?(?P<alias>[A-Za-z_]\w*))?",
+        blanked,
+        re.IGNORECASE,
+    ):
+        names.add(m.group("tbl").split(".")[-1].lower())
+        a = m.group("alias")
+        if a and a.lower() not in _CLAUSE_KEYWORDS:
+            names.add(a.lower())
+    return names
 
 
 # --- sessionize (window form, statement-level) -----------------------------
@@ -567,7 +653,7 @@ _OVER_RE = re.compile(
 )
 
 
-def _rewrite_sessionize(sql: str) -> str:
+def _rewrite_sessionize(sql: str, resolver=None) -> str:
     found = _scan_call(sql, "sessionize")
     if found is None:
         return sql
@@ -704,11 +790,16 @@ def _rewrite_sessionize(sql: str) -> str:
             r"'(?:[^']|'')*'", lambda mm: " " * len(mm.group(0)), s
         )
         # outer view: strings blanked AND subqueries tombstoned —
-        # uncorrelated subqueries pass through verbatim (validated in
-        # _tombstone_subqueries; possible outer-alias correlation keeps
-        # the pointed CTE error), so the chain scan never hoists their
-        # inner-scope references.
-        opaque = lambda s: _tombstone_subqueries(blank(s))
+        # uncorrelated subqueries pass through verbatim; with a
+        # resolver, PROVEN outer-alias correlations stay visible
+        # through the tombstone so the chain scan hoists them like any
+        # other outer chain (projected into the derived table, renamed
+        # at their in-subquery occurrences); unproven chains keep the
+        # pointed CTE error (_subquery_outer_spans).
+        seg_aliases = _from_scope_aliases(
+            "FROM " + out[src_lo:src_hi] + tail[:seg_end]
+        )
+        opaque = lambda s: _tombstone_subqueries(blank(s), seg_aliases, resolver)
         chain_re = _CHAIN_RE
         chains: list[str] = []
         for b in map(opaque, regions):

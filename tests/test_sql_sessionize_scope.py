@@ -295,16 +295,114 @@ def test_bare_name_correlated_subquery_flows_through_star(spark, ev, dims):
     assert {(r["user_id"], r["mt"]) for r in rows} == {(1, "g1"), (2, "b2")}
 
 
-def test_outer_alias_correlated_subquery_directed_to_cte(spark, ev, dims):
-    # e.user_id inside the subquery is an outer-table-alias correlation
-    # — the alias cannot survive the derived table; pointed error
+def test_outer_alias_correlated_subquery_runs_verbatim(spark, ev, dims):
+    # round 12: e.user_id inside the subquery is an outer-table-alias
+    # correlation. behavioral_sql runs schema-aware: the catalog
+    # proves sess_scope_dim has no column 'e' (no inner shadow), so
+    # the chain hoists into the derived table like any outer chain
+    # and the reference-style correlated report runs verbatim,
+    # matching the documented CTE workaround exactly
+    sql = (
+        "SELECT (SELECT max(x.tier) FROM sess_scope_dim x "
+        f"WHERE x.user_id = e.user_id) AS mt, {SE} AS sid "
+        "FROM sess_scope_ev e JOIN sess_scope_dim d ON e.user_id = d.user_id"
+    )
+    cte_form = (
+        "WITH s AS (SELECT e.user_id AS uid, e.ts, "
+        "sessionize(e.ts, INTERVAL '30 minutes') OVER "
+        "(PARTITION BY e.user_id ORDER BY e.ts) AS sid "
+        "FROM sess_scope_ev e JOIN sess_scope_dim d "
+        "ON e.user_id = d.user_id) "
+        "SELECT (SELECT max(x.tier) FROM sess_scope_dim x "
+        "WHERE x.user_id = s.uid) AS mt, sid FROM s"
+    )
+    got = sorted(map(tuple, behavioral_sql(spark, sql).collect()))
+    want = sorted(map(tuple, behavioral_sql(spark, cte_form).collect()))
+    assert got == want and len(got) == 5
+
+
+def test_correlated_subquery_without_resolver_keeps_pointed_error(ev, dims):
+    # the pure-string rewrite API has no catalog — the lexical check
+    # cannot prove the chain safe, so the pointed CTE error stays
+    from duckdb_behavioral_spark.sql_surface import rewrite_behavioral_sql
+
     sql = (
         "SELECT (SELECT max(x.tier) FROM sess_scope_dim x "
         f"WHERE x.user_id = e.user_id) AS mt, {SE} AS sid "
         "FROM sess_scope_ev e JOIN sess_scope_dim d ON e.user_id = d.user_id"
     )
     with pytest.raises(ValueError, match="CTE"):
+        rewrite_behavioral_sql(sql)
+
+
+def test_correlated_subquery_shadowed_qualifier_keeps_pointed_error(spark, ev, dims):
+    # the subquery's own table carries a column named like the outer
+    # alias — SQL would resolve the qualifier inner-first, so the
+    # hoist cannot prove the outer reading; pointed error
+    spark.createDataFrame(
+        [(1, 7)], "user_id long, e long"
+    ).createOrReplaceTempView("sess_scope_shadow")
+    sql = (
+        "SELECT (SELECT max(x.e) FROM sess_scope_shadow x "
+        f"WHERE x.user_id = e.user_id) AS mt, {SE} AS sid "
+        "FROM sess_scope_ev e JOIN sess_scope_dim d ON e.user_id = d.user_id"
+    )
+    with pytest.raises(ValueError, match="CTE"):
         behavioral_sql(spark, sql)
+
+
+def test_correlated_subquery_over_derived_source_keeps_pointed_error(spark, ev, dims):
+    # a derived table inside the subquery hides its column namespace —
+    # shadowing is unprovable, so the chain keeps the pointed error
+    sql = (
+        "SELECT (SELECT max(x.tier) FROM "
+        "(SELECT * FROM sess_scope_dim) x "
+        f"WHERE x.user_id = e.user_id) AS mt, {SE} AS sid "
+        "FROM sess_scope_ev e JOIN sess_scope_dim d ON e.user_id = d.user_id"
+    )
+    with pytest.raises(ValueError, match="CTE"):
+        behavioral_sql(spark, sql)
+
+
+def test_correlated_subquery_unknown_qualifier_keeps_pointed_error(spark, ev, dims):
+    # a qualifier bound NEITHER in the subquery NOR in the wrapped
+    # segment cannot be anything but a mistake — pointed error
+    sql = (
+        "SELECT (SELECT max(x.tier) FROM sess_scope_dim x "
+        f"WHERE x.user_id = zz.user_id) AS mt, {SE} AS sid "
+        "FROM sess_scope_ev e JOIN sess_scope_dim d ON e.user_id = d.user_id"
+    )
+    with pytest.raises(ValueError, match="CTE"):
+        behavioral_sql(spark, sql)
+
+
+def test_correlated_subquery_two_outer_chains_hoist(spark, ev, dims):
+    # a subquery correlating with BOTH join sides: each chain hoists
+    # independently; the subquery's inner chains (x.*) stay untouched.
+    # (Spark supports correlated scalar subqueries only in
+    # filters/aggregations/projections, so projection position is the
+    # whole addressable surface — an ORDER BY correlation fails in
+    # Spark's analyzer for the CTE form too.)
+    sql = (
+        "SELECT e.user_id, "
+        "(SELECT max(x.tier) FROM sess_scope_dim x "
+        "WHERE x.user_id = e.user_id AND x.tier = d.tier) AS mt, "
+        f"{SE} AS sid "
+        "FROM sess_scope_ev e JOIN sess_scope_dim d ON e.user_id = d.user_id"
+    )
+    cte_form = (
+        "WITH s AS (SELECT e.user_id AS uid, d.tier AS dt, e.ts, "
+        "sessionize(e.ts, INTERVAL '30 minutes') OVER "
+        "(PARTITION BY e.user_id ORDER BY e.ts) AS sid "
+        "FROM sess_scope_ev e JOIN sess_scope_dim d "
+        "ON e.user_id = d.user_id) "
+        "SELECT uid AS user_id, "
+        "(SELECT max(x.tier) FROM sess_scope_dim x "
+        "WHERE x.user_id = s.uid AND x.tier = s.dt) AS mt, sid FROM s"
+    )
+    got = sorted(map(tuple, behavioral_sql(spark, sql).collect()))
+    want = sorted(map(tuple, behavioral_sql(spark, cte_form).collect()))
+    assert got == want and len(got) == 5
 
 
 def test_subquery_in_order_by_passes_through(spark, ev, dims):
