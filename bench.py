@@ -139,14 +139,33 @@ def main() -> int:
 
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_REPEAT", "1")))
     per_query: dict[str, float] = {}
+    query_jobs: dict[str, dict[str, int]] = {}
     sent_series: list[float] = []
+    tracker = spark.sparkContext.statusTracker()
     for i, name in enumerate(names):
         fn = queries[name]
-        for _ in range(repeat):
+        for k in range(repeat):
+            # each (query, run) gets its own job group so the status
+            # tracker can attribute Spark jobs/stages to the TIMED run
+            # — a per-query structural fingerprint that separates plan
+            # changes (job/stage count moves) from box noise (seconds
+            # move, counts don't) without re-running the suite
+            group = f"bench:{name}:{k}"
+            spark.sparkContext.setJobGroup(group, name)
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             per_query[name] = round(time.perf_counter() - t0, 4)
+        try:
+            job_ids = tracker.getJobIdsForGroup(group)
+            stage_ids: set[int] = set()
+            for jid in job_ids:
+                info = tracker.getJobInfo(jid)
+                if info is not None:
+                    stage_ids.update(info.stageIds)
+            query_jobs[name] = {"jobs": len(job_ids), "stages": len(stage_ids)}
+        except Exception:
+            pass
         drop_persisted(i)
         # MID-suite sentinel samples: a 10-minute suite can be hit by
         # load waves the endpoint readings never see (measured: a
@@ -170,6 +189,7 @@ def main() -> int:
         "sentinel_post_sec": sent_post,
         "sentinel_spread": spread,
         "sentinel_ok": spread <= SENTINEL_MAX_SPREAD,
+        "query_jobs": query_jobs,
     }
     print(json.dumps(payload))
     # The driver keeps only the LAST 2000 characters of stdout and
@@ -178,8 +198,13 @@ def main() -> int:
     # Emit a second, compact line LAST — same shape, slowest queries
     # first, trimmed to fit the tail window — so the driver's parse
     # succeeds again. BENCH_full.json (below) remains the full record.
+    # query_jobs stays in the full record only — it would blow the
+    # driver's stdout-tail parse window
+    compact_base = {k: v for k, v in payload.items() if k != "query_jobs"}
     compact_q: dict[str, float] = {}
-    budget = 1700 - len(json.dumps({**payload, "queries": {}, "queries_omitted": 0}))
+    budget = 1700 - len(
+        json.dumps({**compact_base, "queries": {}, "queries_omitted": 0})
+    )
     for name, secs in sorted(per_query.items(), key=lambda kv: -kv[1]):
         entry = len(json.dumps({name: secs})) + 1
         if budget - entry < 0:
@@ -189,7 +214,7 @@ def main() -> int:
     print(
         json.dumps(
             {
-                **payload,
+                **compact_base,
                 "queries": compact_q,
                 "queries_omitted": len(per_query) - len(compact_q),
             }
