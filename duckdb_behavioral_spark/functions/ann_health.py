@@ -56,11 +56,19 @@ __all__ = ["ivf_cluster_balance", "q_ann_ivf_cluster_balance"]
 
 
 def ivf_cluster_balance(
-    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ncent: "int | None" = None,
 ) -> DataFrame:
     """One row: (n_clusters, n_vectors, n_empty, min_size, p25_size,
     median_size, p75_size, max_size, mean_size_x1000,
-    imbalance_max_permille, scan_skew_permille)."""
+    imbalance_max_permille, scan_skew_permille).
+
+    ``ncent=None`` (the API default) sizes the IVF partition
+    adaptively via :func:`similarity.ivf_ncent` (~sqrt(n)) — the
+    deployment sizing this report audits. The DECLARED query pins
+    ``ncent=NCENT`` to match the oracle SQL's hardcoded LIMIT."""
     e = (
         df.select(
             F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("v")
@@ -70,8 +78,12 @@ def ivf_cluster_balance(
         # one corpus projection for the centroid sample + assignment
         .localCheckpoint(eager=False)
     )
-    cent = _centroids(e)
-    assigned = _assign_clusters(e, cent)
+    if ncent is None:
+        from duckdb_behavioral_spark.functions.similarity import ivf_ncent
+
+        ncent = ivf_ncent(e.count())  # one bounded count on the barrier
+    cent = _centroids(e, ncent)
+    assigned = _assign_clusters(e, cent, ncent)
     # every centroid appears, empty clusters as 0 (a centroid vector
     # identical to a lower-id centroid assigns there — ties go ctr_id
     # ASC — leaving its own list empty)
@@ -134,9 +146,13 @@ def ivf_cluster_balance(
 
 
 def q_ann_ivf_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_behavioral_spark.functions.similarity import NCENT
     from duckdb_behavioral_spark.sources import load_table
 
-    return ivf_cluster_balance(load_table(spark, sf_dir, "embeddings"))
+    # ncent pinned: the oracle SQL's centroid CTE hardcodes LIMIT NCENT
+    return ivf_cluster_balance(
+        load_table(spark, sf_dir, "embeddings"), ncent=NCENT
+    )
 
 
 ANN_CLUSTER_BALANCE_SQL = (

@@ -73,9 +73,17 @@ def embedding_knn_hubness(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    ncent: "int | None" = None,
 ) -> DataFrame:
     """(k, lo_indeg, hi_indeg, n_vectors, share_permille) — in-degree
-    profile of the within-cluster kNN graph."""
+    profile of the within-cluster kNN graph.
+
+    ``ncent=None`` (the API default) sizes the IVF partition
+    adaptively via :func:`similarity.ivf_ncent` (~sqrt(n)), which
+    keeps the within-cluster self-join ~O(n^1.5) total instead of the
+    O(n^2/NCENT) a fixed centroid count degrades to — the deployment
+    sizing. The DECLARED query pins ``ncent=NCENT`` to match the
+    oracle SQL's hardcoded centroid LIMIT."""
     e = (
         df.select(
             F.col(id_col).alias("cid"),
@@ -85,7 +93,11 @@ def embedding_knn_hubness(
         .where(F.col("nrm") > 0)
         .localCheckpoint(eager=False)
     )
-    cent_df = _centroids(e)
+    if ncent is None:
+        from duckdb_behavioral_spark.functions.similarity import ivf_ncent
+
+        ncent = ivf_ncent(e.count())  # one bounded count on the barrier
+    cent_df = _centroids(e, ncent)
     state = {
         int(r["ctr_id"]): (list(r["cv"]), float(r["cn"]))
         for r in cent_df.collect()
@@ -142,9 +154,13 @@ def embedding_knn_hubness(
 
 
 def q_embedding_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_behavioral_spark.functions.similarity import NCENT
     from duckdb_behavioral_spark.sources import load_table
 
-    return embedding_knn_hubness(load_table(spark, sf_dir, "embeddings"))
+    # ncent pinned: the oracle SQL's centroid CTE hardcodes LIMIT NCENT
+    return embedding_knn_hubness(
+        load_table(spark, sf_dir, "embeddings"), ncent=NCENT
+    )
 
 
 KNN_HUBNESS_SQL = _IVF_PREFIX_SQL + _assigned_cte_sql() + f"""

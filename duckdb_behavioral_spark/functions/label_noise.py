@@ -60,9 +60,16 @@ def embedding_label_noise(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    ncent: "int | None" = None,
 ) -> DataFrame:
     """(cluster, n_members, majority_label, n_majority, noise_permille)
-    — per-IVF-cluster label consensus."""
+    — per-IVF-cluster label consensus.
+
+    ``ncent=None`` (the API default) sizes the IVF partition
+    adaptively via :func:`similarity.ivf_ncent` (~sqrt(n)) — the
+    deployment sizing, keeping per-cluster consensus groups ~sqrt(n).
+    The DECLARED query pins ``ncent=NCENT`` to match the oracle SQL's
+    hardcoded centroid LIMIT."""
     e = (
         df.select(
             F.col(id_col).alias("cid"),
@@ -74,7 +81,11 @@ def embedding_label_noise(
         # two consumers: centroid sample + assignment, label join-back
         .localCheckpoint(eager=False)
     )
-    cent_df = _centroids(e)
+    if ncent is None:
+        from duckdb_behavioral_spark.functions.similarity import ivf_ncent
+
+        ncent = ivf_ncent(e.count())  # one bounded count on the barrier
+    cent_df = _centroids(e, ncent)
     state = {
         int(r["ctr_id"]): (list(r["cv"]), float(r["cn"]))
         for r in cent_df.collect()
@@ -110,9 +121,13 @@ def embedding_label_noise(
 
 
 def q_embedding_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_behavioral_spark.functions.similarity import NCENT
     from duckdb_behavioral_spark.sources import load_table
 
-    return embedding_label_noise(load_table(spark, sf_dir, "embeddings"))
+    # ncent pinned: the oracle SQL's centroid CTE hardcodes LIMIT NCENT
+    return embedding_label_noise(
+        load_table(spark, sf_dir, "embeddings"), ncent=NCENT
+    )
 
 
 LABEL_NOISE_SQL = _IVF_PREFIX_SQL + _assigned_cte_sql() + """

@@ -163,16 +163,37 @@ FROM e
 
 # --- IVF (inverted-file) approximate top-k --------------------------------
 
-NCENT = 32   # FIXED centroid count — corpus-size-independent by design
+NCENT = 32   # pinned oracle-scale centroid count (the SQL oracles hardcode it)
 NPROBE = 2   # clusters probed per query
 
+# Upper clamp for the adaptive centroid count: the centroid table is
+# a driver-held broadcast/closure (NCENT x dim doubles), so it must
+# stay a bounded control plane — 4096 x 64 doubles = 2 MB.
+NCENT_MAX = 4096
 
-def _centroids(e: DataFrame) -> DataFrame:
-    """Fixed-``NCENT`` deterministic centroid sample.
+
+def ivf_ncent(n: int) -> int:
+    """Adaptive centroid count for a corpus of ``n`` vectors:
+    ~sqrt(n), clamped to [NCENT, NCENT_MAX] — the standard IVF sizing
+    rule (cluster size ~ sqrt(n) keeps the centroid scan AND the
+    within-cluster work both O(sqrt(n)) per vector instead of one of
+    them growing linearly). This is the deployment path the
+    NCENT∝corpus prose note used to describe: operators that take
+    ``ncent=None`` resolve it through this rule; the DECLARED oracle
+    queries pin ``ncent=NCENT`` because the DuckDB oracle SQL
+    hardcodes the same LIMIT (a non-constant LIMIT cannot be mirrored
+    bit-exactly across both engines)."""
+    import math
+
+    return max(NCENT, min(math.isqrt(max(n, 0)), NCENT_MAX))
+
+
+def _centroids(e: DataFrame, ncent: int = NCENT) -> DataFrame:
+    """Deterministic ``ncent``-centroid sample.
 
     Rank the corpus by a 48-bit md5 of the vector id (a deterministic
     uniform shuffle both engines compute identically) and take the
-    first ``NCENT``. The centroid table is O(NCENT) no matter the
+    first ``ncent``. The centroid table is O(ncent) no matter the
     corpus size — selection is a TakeOrdered (per-partition top-k, no
     full sort), and the broadcast below stays constant-size at 100 TB.
     A production system would k-means-train these; a deterministic
@@ -184,12 +205,12 @@ def _centroids(e: DataFrame) -> DataFrame:
     return (
         e.withColumn("__h", h)
         .orderBy(F.asc("__h"), F.asc("cid"))
-        .limit(NCENT)
+        .limit(ncent)
         .select(F.col("cid").alias("ctr_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
     )
 
 
-def _assign_clusters(e: DataFrame, cent: DataFrame) -> DataFrame:
+def _assign_clusters(e: DataFrame, cent: DataFrame, ncent: int = NCENT) -> DataFrame:
     """(cid, v, nrm, cluster) — nearest centroid by cosine, as ONE
     Arrow-vectorized map-side pass: the O(NCENT) centroid table (a
     constant-size control-plane fetch, same bound as the broadcast it
@@ -208,7 +229,7 @@ def _assign_clusters(e: DataFrame, cent: DataFrame) -> DataFrame:
     sorted by id."""
     state = {
         int(r["ctr_id"]): (list(r["cv"]), float(r["cn"]))
-        for r in cent.limit(NCENT).collect()
+        for r in cent.limit(ncent).collect()
     }
     return _assign_by_rows(e, state)
 
