@@ -117,5 +117,7 @@ def test_recall_eval_single_global_row_schema(spark):
         "n_hit_pairs",
         "recall_permille",
         "precision_permille",
+        "n_overcap_buckets",
+        "overcap_docslots",
     ]
-    assert [f.dataType.simpleString() for f in df.schema.fields] == ["bigint"] * 6
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["bigint"] * 8
