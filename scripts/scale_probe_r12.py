@@ -81,6 +81,22 @@ def _run(out, name, build):
     print(f"    {name}: {out[name]}s", flush=True)
 
 
+def _drop_persisted(spark):
+    """Unpersist checkpoint blocks + GC between sizes (the bench.py
+    device): accumulated localCheckpoint blocks from earlier sizes
+    otherwise eat execution memory until a 10M-scale aggregation
+    throws AGGREGATE_OUT_OF_MEMORY — measured on the first run of
+    this probe."""
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet().toArray()):
+            jmap.get(rid).unpersist()
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
 def _recall_row(docs):
     from duckdb_behavioral_spark.functions.dedup_eval import lsh_recall_eval
 
@@ -116,16 +132,20 @@ def main():
         synth_docs(spark, n, path, 60)
         docs = spark.read.parquet(path)
         out: dict = {}
-        dt, row = _recall_row(docs)
-        out["lsh_recall_eval"] = dt
-        out["overcap_buckets"] = int(row["n_overcap_buckets"])
-        out["overcap_docslots"] = int(row["overcap_docslots"])
-        out["recall_permille"] = (
-            None if row["recall_permille"] is None else int(row["recall_permille"])
-        )
-        _run(out, "incremental_newdocs", lambda: dedup_incremental_newdocs(docs))
+        try:
+            dt, row = _recall_row(docs)
+            out["lsh_recall_eval"] = dt
+            out["overcap_buckets"] = int(row["n_overcap_buckets"])
+            out["overcap_docslots"] = int(row["overcap_docslots"])
+            out["recall_permille"] = (
+                None if row["recall_permille"] is None else int(row["recall_permille"])
+            )
+            _run(out, "incremental_newdocs", lambda: dedup_incremental_newdocs(docs))
+        except Exception as ex:  # noqa: BLE001 — record and continue
+            out["error"] = f"{type(ex).__name__}: {str(ex)[:160]}"
         results[f"adv_{n}"] = out
         shutil.rmtree(path, ignore_errors=True)
+        _drop_persisted(spark)
         print(results, flush=True)
 
     # --- 2. realistic 5000-word vocabulary at the top sizes --------------
@@ -137,13 +157,17 @@ def main():
         synth_docs(spark, n, path, 5000)
         docs = spark.read.parquet(path)
         out = {}
-        dt, row = _recall_row(docs)
-        out["lsh_recall_eval"] = dt
-        out["overcap_buckets"] = int(row["n_overcap_buckets"])
-        out["overcap_docslots"] = int(row["overcap_docslots"])
-        _run(out, "incremental_newdocs", lambda: dedup_incremental_newdocs(docs))
+        try:
+            dt, row = _recall_row(docs)
+            out["lsh_recall_eval"] = dt
+            out["overcap_buckets"] = int(row["n_overcap_buckets"])
+            out["overcap_docslots"] = int(row["overcap_docslots"])
+            _run(out, "incremental_newdocs", lambda: dedup_incremental_newdocs(docs))
+        except Exception as ex:  # noqa: BLE001 — record and continue
+            out["error"] = f"{type(ex).__name__}: {str(ex)[:160]}"
         results[f"real_{n}"] = out
         shutil.rmtree(path, ignore_errors=True)
+        _drop_persisted(spark)
         print(results, flush=True)
 
     # --- 3. hubness: adaptive sqrt(n) vs pinned NCENT --------------------
@@ -154,15 +178,19 @@ def main():
         synth_embeddings(spark, n, path)
         emb = spark.read.parquet(path)
         out = {}
-        _run(out, "hubness_adaptive", lambda: embedding_knn_hubness(emb))
-        if n <= 10**5:
-            _run(
-                out,
-                "hubness_pinned32",
-                lambda: embedding_knn_hubness(emb, ncent=NCENT),
-            )
+        try:
+            _run(out, "hubness_adaptive", lambda: embedding_knn_hubness(emb))
+            if n <= 10**5:
+                _run(
+                    out,
+                    "hubness_pinned32",
+                    lambda: embedding_knn_hubness(emb, ncent=NCENT),
+                )
+        except Exception as ex:  # noqa: BLE001 — record and continue
+            out["error"] = f"{type(ex).__name__}: {str(ex)[:160]}"
         results[f"emb_{n}"] = out
         shutil.rmtree(path, ignore_errors=True)
+        _drop_persisted(spark)
         print(results, flush=True)
 
     print("FINAL:", results, flush=True)
