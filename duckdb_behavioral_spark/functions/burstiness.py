@@ -164,6 +164,8 @@ def heaps_residual(
         [F.col(id_col).asc()],
         rank_name="__r",
         n_name="__n",
+        # cheap projection of the already-checkpointed toked barrier
+        barrier_input=False,
     )
     kcol = F.expr(_k_case("__r")).cast("long").alias("k")
     per_k_docs = ranked.groupBy(kcol).agg(

@@ -43,6 +43,9 @@ def price_deciles(lineitem: DataFrame) -> DataFrame:
         [F.col("cents").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
         rank_name="__rank",
         n_name="__n",
+        # raw column-pruned scan: re-reading parquet twice beats
+        # materializing a full copy (guide §5 caching tradeoff)
+        barrier_input=False,
     )
     binned = ranked.select(
         "cents",

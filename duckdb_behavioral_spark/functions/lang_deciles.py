@@ -47,6 +47,9 @@ def doc_length_deciles_by_lang(docs: DataFrame) -> DataFrame:
         rank_name="__rank",
         n_name="__n",
         group_cols=["lang"],
+        # raw column-pruned scan: re-reading parquet twice beats
+        # materializing a full copy (guide §5 caching tradeoff)
+        barrier_input=False,
     )
     return (
         ranked.select(

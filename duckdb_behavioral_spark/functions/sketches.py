@@ -482,7 +482,9 @@ def quantile_readout(samp: DataFrame, pop: DataFrame) -> DataFrame:
 
     from duckdb_behavioral_spark.operators.rank_select import with_global_rank
 
-    r = with_global_rank(pop, [F.col("v").asc()])
+    # barrier_input off: pop is a raw column-pruned scan — re-reading
+    # it twice beats materializing a full copy (guide §5)
+    r = with_global_rank(pop, [F.col("v").asc()], barrier_input=False)
     exact = r.agg(
         F.max("__n").alias("n_rows"),
         *[

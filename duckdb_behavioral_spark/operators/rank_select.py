@@ -46,6 +46,7 @@ def with_global_rank(
     rank_name: str = "__grank",
     n_name: str = "__n",
     group_cols: Sequence[str] = (),
+    barrier_input: bool = True,
 ) -> DataFrame:
     """``df`` + ``rank_name`` (1-based BIGINT global rank under
     ``sort_cols``) + ``n_name`` (total row count), computed without a
@@ -59,9 +60,19 @@ def with_global_rank(
     — and the prefix-sum offsets fold per group. Callers fusing
     several rankings (e.g. RFM's three metric quartiles) tag-union
     their streams and rank once instead of paying the
-    repartition/checkpoint/broadcast round trip per ranking."""
+    repartition/checkpoint/broadcast round trip per ranking.
+
+    ``barrier_input`` (default on) lazily checkpoints ``df`` first:
+    ``repartitionByRange`` evaluates its child TWICE (the range-
+    boundary sample job, then the shuffle itself), so an expensive
+    input lineage — an aggregation, a join — would run twice (r12
+    measurement: every consumer paid its input twice). Callers whose
+    input is already a cached barrier pass ``barrier_input=False`` to
+    skip the redundant copy."""
     sort_cols = list(sort_cols)
     gcols = list(group_cols)
+    if barrier_input:
+        df = df.localCheckpoint(eager=False)
     if num_partitions is None:
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
@@ -125,6 +136,7 @@ def with_global_prefix_sum(
     num_partitions: int | None = None,
     prefix_name: str = "__gprefix",
     group_cols: Sequence[str] = (),
+    barrier_input: bool = True,
 ) -> DataFrame:
     """``df`` + ``prefix_name``: the EXCLUSIVE running BIGINT sum of
     ``value_col`` under ``sort_cols`` (per ``group_cols`` group), with
@@ -137,10 +149,13 @@ def with_global_prefix_sum(
     ``value_col`` must be integral (BIGINT arithmetic is exact and
     commutative; callers with decimal scales pre-scale to integers).
     The first row of each group gets prefix 0; a row's inclusive sum
-    is ``prefix + value``.
+    is ``prefix + value``. ``barrier_input`` as in
+    :func:`with_global_rank`.
     """
     sort_cols = list(sort_cols)
     gcols = list(group_cols)
+    if barrier_input:
+        df = df.localCheckpoint(eager=False)
     if num_partitions is None:
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
