@@ -39,12 +39,14 @@ user_id tie-breaks). The oracle keeps the single-node ntile form.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from duckdb_behavioral_spark.functions.timeutil import event_time
 
-__all__ = ["hourly_anomalies", "user_rfm"]
+__all__ = ["hourly_anomalies", "user_rfm", "rfm_base", "rfm_score_segments"]
 
 Z_SQ_THRESHOLD = 9  # flag when squared deviation exceeds 9x variance
 
@@ -114,10 +116,50 @@ def user_rfm(
     reproducible), total events, exact-decimal purchase value sum, and
     quartile scores 1-4 (4 = best) with deterministic user_id
     tie-breaks; segment is 'r-f-m'."""
+    base = rfm_base(
+        events, ts=ts, user=user, type_col=type_col, value_col=value_col,
+        monetary_type=monetary_type,
+    )
+    scored = rfm_score_segments(base)
+    return scored.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r",
+        "f",
+        "m",
+        "segment",
+    )
+
+
+def rfm_base(
+    events: DataFrame,
+    ts: str = "ts",
+    user: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    monetary_type: str = "purchase",
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """(*group_cols, user_id, recency_days, frequency, monetary) — the
+    per-user RFM metric base, one events pass. With ``group_cols``
+    (e.g. the migration operator's half tag) every metric — including
+    the recency anchor — is computed within the group, exactly as if
+    ``user_rfm`` ran on that group's slice alone.
+
+    One full events scan total (r12 optimization, guide §1.2/§2.4):
+    the per-user aggregate is the lazily checkpointed barrier, and the
+    recency anchor is a bounded per-group aggregate over the CACHED
+    user rows broadcast back onto them — the previous shape
+    checkpointed downstream of the anchor crossJoin, so the anchor leg
+    re-ran the full events groupBy (2 fact scans per report, 4 for the
+    migration matrix)."""
     tu = F.unix_micros(event_time(ts))
+    gcols = list(group_cols)
     per_user = (
         events.where(F.col(ts).isNotNull())
-        .groupBy(F.col(user).alias("user_id"))
+        .groupBy(*gcols, F.col(user).alias("user_id"))
         .agg(
             F.max(tu).alias("__last"),
             F.count("*").alias("frequency"),
@@ -131,47 +173,68 @@ def user_rfm(
                 F.lit(0).cast("decimal(30,10)"),
             ).alias("__mon"),
         )
+        # the ONE barrier: feeds the anchor aggregate, the rank pass
+        # and the final scored projection without re-scanning events
+        .localCheckpoint(eager=False)
     )
-    # corpus-max anchor as a 1-row bounded aggregate broadcast onto
-    # the user rows — NOT a partitionBy(lit(1)) window, which is a
-    # single-partition pass over every user (and, sitting behind the
+    # per-group corpus-max anchor as a bounded aggregate broadcast
+    # onto the user rows — NOT a partitionBy(lit(1)) window, which is
+    # a single-partition pass over every user (and, sitting behind the
     # checkpoint barrier, was invisible to the plan audit)
-    anchor_row = per_user.agg(F.max("__last").alias("__anchor"))
-    base = (
-        per_user.crossJoin(F.broadcast(anchor_row))
-        .select(
-            "user_id",
-            F.floor(
-                (F.col("__anchor") - F.col("__last")) / F.lit(86_400_000_000)
-            )
-            .cast("long")
-            .alias("recency_days"),
-            "frequency",
-            F.col("__mon").cast("double").alias("monetary"),
-        )
-        .localCheckpoint(eager=False)  # consumed by the rank pass + final join
-    )
-    # quartiles: recency LOWER is better -> rank ascending then invert.
-    # The three metric rankings fuse into ONE grouped rank-select pass
-    # (tag-union + group_cols) — one repartition/checkpoint/broadcast
-    # round trip instead of three serial ones.
-    cuts = _ntile4_cuts_fused(base, _RFM_METRICS)
-    scored = base.crossJoin(F.broadcast(cuts))
+    anchor_row = per_user.groupBy(*gcols).agg(F.max("__last").alias("__anchor"))
+    if gcols:
+        joined = per_user.join(F.broadcast(anchor_row), gcols)
+    else:
+        joined = per_user.crossJoin(F.broadcast(anchor_row))
+    return joined.select(
+        *gcols,
+        "user_id",
+        F.floor((F.col("__anchor") - F.col("__last")) / F.lit(86_400_000_000))
+        .cast("long")
+        .alias("recency_days"),
+        "frequency",
+        F.col("__mon").cast("double").alias("monetary"),
+    ).localCheckpoint(eager=False)
+    # ^ second (cheap) barrier: base feeds the 3 tagged rank streams +
+    # the final scored projection; without it each consumer re-runs
+    # the anchor broadcast attach as its own job. The barrier reads
+    # the CACHED per_user rows, so unlike the pre-r12 shape it does
+    # not re-scan events.
+
+
+def rfm_score_segments(
+    base: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """``base`` + (r, f, m, segment): quartile scores per
+    ``group_cols`` population (ntile(4) with user_id tie-breaks —
+    module docstring device). All metric rankings of ALL groups run in
+    ONE grouped rank-select pass; the cut table is one bounded row per
+    group, broadcast back.
+
+    quartiles: recency LOWER is better -> rank ascending then invert.
+    The three metric rankings fuse into ONE grouped rank-select pass
+    (tag-union + group_cols) — one repartition/checkpoint/broadcast
+    round trip instead of three serial ones."""
+    gcols = list(group_cols)
+    cuts = _ntile4_cuts_fused(base, _RFM_METRICS, gcols)
+    if gcols:
+        scored = base.join(F.broadcast(cuts), gcols)
+    else:
+        scored = base.crossJoin(F.broadcast(cuts))
     for tag, metric, ascending in _RFM_METRICS:
         scored = scored.withColumn(
             f"__q_{metric}", _quartile_of(metric, ascending, tag)
         )
-    return scored.select(
-        "user_id",
-        "recency_days",
-        "frequency",
-        "monetary",
-        (F.lit(5) - F.col("__q_recency_days")).cast("long").alias("r"),
-        (F.lit(5) - F.col("__q_frequency")).cast("long").alias("f"),
-        (F.lit(5) - F.col("__q_monetary")).cast("long").alias("m"),
-    ).withColumn(
-        "segment",
-        F.concat_ws("-", F.col("r"), F.col("f"), F.col("m")),
+    return (
+        scored.withColumn(
+            "r", (F.lit(5) - F.col("__q_recency_days")).cast("long")
+        )
+        .withColumn("f", (F.lit(5) - F.col("__q_frequency")).cast("long"))
+        .withColumn("m", (F.lit(5) - F.col("__q_monetary")).cast("long"))
+        .withColumn(
+            "segment",
+            F.concat_ws("-", F.col("r"), F.col("f"), F.col("m")),
+        )
     )
 
 
@@ -184,24 +247,28 @@ _RFM_METRICS = (
 )
 
 
-def _ntile4_cuts_fused(base: DataFrame, metrics) -> DataFrame:
-    """1-row cut table ``{tag}{i}m`` / ``{tag}{i}u`` for every metric
-    tag and boundary i in 1..3: the (metric, user_id) pairs sitting at
-    the three ntile(4) boundary ranks under (metric asc|desc, user_id
-    asc). All metric rankings run in ONE grouped rank-select pass: each
-    metric contributes a tagged stream whose sort key ``__k1`` is the
-    metric cast to double, negated when descending (exact for counts/
-    days < 2^53; ``-x`` ascending totally orders like ``x`` descending
-    for finite doubles), and ``group_cols=['__tag']`` ranks the three
-    streams independently without a global sort
+def _ntile4_cuts_fused(base: DataFrame, metrics, group_cols=()) -> DataFrame:
+    """Cut table ``{tag}{i}m`` / ``{tag}{i}u`` for every metric tag
+    and boundary i in 1..3 — one row per ``group_cols`` group (ONE row
+    total without groups): the (metric, user_id) pairs sitting at the
+    three ntile(4) boundary ranks under (metric asc|desc, user_id
+    asc) within the group's population. All metric rankings of all
+    groups run in ONE grouped rank-select pass: each metric
+    contributes a tagged stream whose sort key ``__k1`` is the metric
+    cast to double, negated when descending (exact for counts/days <
+    2^53; ``-x`` ascending totally orders like ``x`` descending for
+    finite doubles), and ``group_cols=[*group_cols, '__tag']`` ranks
+    every (group, metric) stream independently without a global sort
     (operators/rank_select.py)."""
     from duckdb_behavioral_spark.operators.rank_select import with_global_rank
 
+    gcols = list(group_cols)
     streams = []
     for tag, metric, ascending in metrics:
         k1 = F.col(metric).cast("double")
         streams.append(
             base.select(
+                *gcols,
                 F.lit(tag).alias("__tag"),
                 (k1 if ascending else -k1).alias("__k1"),
                 "user_id",
@@ -214,7 +281,10 @@ def _ntile4_cuts_fused(base: DataFrame, metrics) -> DataFrame:
     ranked = with_global_rank(
         tagged,
         [F.col("__k1").asc(), F.col("user_id").asc()],
-        group_cols=["__tag"],
+        group_cols=[*gcols, "__tag"],
+        # tagged is 3 cheap projections of the already-checkpointed
+        # base — a second barrier would just copy it
+        barrier_input=False,
     )
 
     def b(i: int):
@@ -228,7 +298,7 @@ def _ntile4_cuts_fused(base: DataFrame, metrics) -> DataFrame:
         | (F.col("__grank") == b(2))
         | (F.col("__grank") == b(3))
     )
-    return ranked.where(is_cut).agg(
+    return ranked.where(is_cut).groupBy(*gcols).agg(
         *[
             c
             for tag, _, _ in metrics

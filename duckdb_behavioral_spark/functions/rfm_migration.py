@@ -17,16 +17,19 @@ far fewer in practice):
   n_users         users making that transition
   share_permille  1000 * n_users / all scored users (floor, exact)
 
-Each half is scored by the SAME ``user_rfm`` derivation as the
-declared point-in-time report (recency anchored at the half's own max
-ts, quartiles over the half's own population — the standard RFM
-refresh discipline), so the two queries can never drift apart.
+Each half is scored by the SAME RFM derivation as the declared
+point-in-time report — ``reports.rfm_base`` / ``rfm_score_segments``
+with the half tag as the group column (recency anchored at the half's
+own max ts, quartiles over the half's own population — the standard
+RFM refresh discipline), so the two queries can never drift apart.
 
-Scale shape: one 1-row bounds aggregate broadcast onto the stream,
-two filtered ``user_rfm`` legs (each is the existing fused rank-select
-pass), a user-keyed full outer join of two O(users) segment tables,
-and a final aggregate on the bounded segment-pair domain; the matrix
-total is a window over the matrix rows, never a second user pass.
+Scale shape (r12-fused): one 1-row bounds aggregate broadcast onto
+the stream, ONE (half, user) aggregate over ONE events scan, one
+grouped rank-select pass covering all 6 (half, metric) streams, a
+groupBy(user_id) pivot of the already-user-keyed segment rows (no
+full-outer join), and a final aggregate on the bounded segment-pair
+domain; the matrix total is a window over the matrix rows, never a
+second user pass.
 
 Exactness: counts and BIGINT floor permilles; the midpoint is integer
 microseconds ((mn + mx) DIV 2 — non-negative, so Spark truncation ==
@@ -46,7 +49,6 @@ from pyspark.sql import functions as F
 from duckdb_behavioral_spark.functions.reports import (
     RFM_SEGMENT_EXPR,
     _rfm_base_cte,
-    user_rfm,
 )
 from duckdb_behavioral_spark.functions.timeutil import event_time
 
@@ -59,21 +61,48 @@ __all__ = [
 
 def user_rfm_migration(events: DataFrame) -> DataFrame:
     """(seg_from, seg_to, n_users, share_permille) — first-half vs
-    second-half RFM segment transitions."""
+    second-half RFM segment transitions.
+
+    r12 optimization (guide §1.2 "remove passes", §2.4 "share one
+    exchange"): the two halves are scored in ONE fused pass instead of
+    two independent ``user_rfm`` legs. The half tag becomes a group
+    column through the whole derivation — one events scan + one
+    (half, user) aggregate (vs two full scans + two user aggregates),
+    one grouped rank-select pass over all 6 (half, metric) streams (vs
+    two repartitionByRange/checkpoint/broadcast round trips), and the
+    O(users) full-outer join of the two segment tables collapses into
+    a groupBy(user_id) pivot on rows that are already user-keyed.
+    Per-half semantics are unchanged and oracle-checked: each half's
+    anchor, population and quartile cuts are computed within its own
+    group, exactly as if ``user_rfm`` ran on the half's slice alone.
+    """
+    from duckdb_behavioral_spark.functions.reports import (
+        rfm_base,
+        rfm_score_segments,
+    )
+
     t = F.unix_micros(event_time("ts"))
     ev = events.where(F.col("ts").isNotNull())
     bounds = ev.agg(
         F.min(t).alias("__mn"), F.max(t).alias("__mx")
     ).select(F.expr("div(__mn + __mx, 2)").alias("__mid"))
-    ev2 = ev.crossJoin(F.broadcast(bounds))
-    s1 = user_rfm(ev2.where(t <= F.col("__mid"))).select(
-        "user_id", F.col("segment").alias("__seg_from")
+    evh = ev.crossJoin(F.broadcast(bounds)).withColumn(
+        "__half", F.when(t <= F.col("__mid"), F.lit(1)).otherwise(F.lit(2))
     )
-    s2 = user_rfm(ev2.where(t > F.col("__mid"))).select(
-        "user_id", F.col("segment").alias("__seg_to")
+    base = rfm_base(evh, group_cols=("__half",))
+    seg = rfm_score_segments(base, group_cols=("__half",)).select(
+        "__half", "user_id", "segment"
     )
     m = (
-        s1.join(s2, "user_id", "full")
+        seg.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("__half") == 1, F.col("segment"))
+            ).alias("__seg_from"),
+            F.max(
+                F.when(F.col("__half") == 2, F.col("segment"))
+            ).alias("__seg_to"),
+        )
         .select(
             F.coalesce("__seg_from", F.lit("new")).alias("seg_from"),
             F.coalesce("__seg_to", F.lit("churned")).alias("seg_to"),
