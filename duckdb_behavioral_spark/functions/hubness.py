@@ -23,15 +23,15 @@ One row per occupied power-of-2 in-degree bucket (<= 41 rows):
   n_vectors       vectors whose in-degree lands in the bucket
   share_permille  1000 * n_vectors / total vectors (floor, exact)
 
-Scale shape: assignment is the shared Arrow map-side pass against the
-driver-held O(NCENT) centroid table; the candidate generation is the
-cluster-keyed SELF-equi-join (never all-pairs — O(sum n_c^2) with
-cluster sizes bounded by the balance profile, the standard IVF/
-SemDeDup cost); per-vector top-K is a window over the candidate rows
-keyed by the query vector; in-degree is one hash aggregate on the
-neighbor id; bucketing runs on the O(vectors) in-degree table and the
-report on <= 41 rows. The assigned barrier feeds both join sides and
-the indeg-0 base without re-running the Arrow pass.
+Scale shape (r12): assignment is the shared Arrow map-side pass
+against the driver-held O(NCENT) centroid table; the kNN graph and
+its in-degrees are computed INSIDE each cluster by one grouped
+vectorized kernel (never all-pairs — the O(sum n_c^2 x dim) pairwise
+work is unchanged and bounded by the balance profile, the standard
+IVF/SemDeDup cost, but no pair-cardinality row set ever crosses an
+exchange: only the O(vectors) member rows shuffle on the cluster
+key); bucketing runs on the O(vectors) in-degree table and the
+report on <= 41 rows.
 
 Exactness: cosines ride the engines' shared left-fold dot product
 (bitwise-equal doubles; ties neighbor_id ASC), so ranks — and
@@ -46,7 +46,7 @@ ANN/embedding family per the north-star LLM-pipeline scope.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duckdb_behavioral_spark.functions.burstiness import _k_case
@@ -55,7 +55,6 @@ from duckdb_behavioral_spark.functions.similarity import (
     _assign_by_rows,
     _assigned_cte_sql,
     _centroids,
-    _dot,
     _fold_dot_sql,
     _norm,
 )
@@ -67,6 +66,48 @@ __all__ = [
 ]
 
 K_NN = 4  # neighbors kept per vector in the graph
+
+_INDEG_BLOCK = 256  # query rows scored per kernel block (memory bound)
+
+
+def _cluster_indeg_kernel(pdf, block=None):
+    """kNN in-degrees of ONE cluster's members: (cid, indeg) rows.
+
+    Exactness contract (shared with the SQL oracle): similarity is the
+    left-fold dot product over ascending dimension index divided by
+    the norm product — reproduced as dimension-ascending vectorized
+    accumulation (`acc += V[:, i] * V[:, i]`-style), bit-identical to
+    `((0 + t0) + t1) + ...` per pair; neighbors rank by (sim DESC,
+    neighbor_id ASC) excluding self. Row order inside the group is
+    irrelevant: ids key every comparison, and in-degree counting is
+    order-insensitive."""
+    import numpy as np
+    import pandas as pd
+
+    if block is None:
+        block = _INDEG_BLOCK
+    n = len(pdf)
+    ids = pdf["cid"].to_numpy(dtype="int64")
+    indeg = np.zeros(n, dtype="int64")
+    if n > 1:
+        V = np.stack(
+            [np.asarray(x, dtype=np.float64) for x in pdf["v"].to_numpy()]
+        )
+        nrm = pdf["nrm"].to_numpy(dtype="float64")
+        d = V.shape[1]
+        idx = np.arange(n)
+        for s in range(0, n, block):
+            t = min(s + block, n)
+            acc = np.zeros((t - s, n))
+            for i in range(d):  # exact left-fold over dimensions
+                acc += V[s:t, i, None] * V[None, :, i]
+            sims = acc / (nrm[s:t, None] * nrm[None, :])
+            for r in range(t - s):
+                q = s + r
+                cand = idx[idx != q]  # a.cid <> b.cid
+                order = np.lexsort((ids[cand], -sims[r][cand]))
+                indeg[cand[order[:K_NN]]] += 1
+    return pd.DataFrame({"cid": ids, "indeg": indeg})
 
 
 def embedding_knn_hubness(
@@ -102,33 +143,33 @@ def embedding_knn_hubness(
         int(r["ctr_id"]): (list(r["cv"]), float(r["cn"]))
         for r in cent_df.collect()
     }
-    # three consumers: both self-join sides + the indeg-0 base
-    assigned = _assign_by_rows(e, state).localCheckpoint(eager=False)
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.cluster") == F.col("b.cluster"))
-        & (F.col("a.cid") != F.col("b.cid")),
-    ).select(
-        F.col("a.cid").alias("query_id"),
-        F.col("b.cid").alias("neighbor_id"),
-        (
-            _dot(F.col("a.v"), F.col("b.v"))
-            / (F.col("a.nrm") * F.col("b.nrm"))
-        ).alias("__sim"),
-    )
-    w_q = Window.partitionBy("query_id").orderBy(
-        F.desc("__sim"), F.asc("neighbor_id")
-    )
-    knn = cand.withColumn("__r", F.row_number().over(w_q)).where(
-        F.col("__r") <= K_NN
-    )
+    assigned = _assign_by_rows(e, state)
+    # Per-cluster exact kNN in-degree as ONE grouped Arrow kernel (r12
+    # optimization, guide §2.3 "aggregate before you shuffle" + §4.2
+    # "vectorized native batches"): the previous shape materialized the
+    # O(sum n_c^2) candidate PAIR table through an exchange, scored
+    # each pair with the interpreted `aggregate(zip_with(...))` HOF
+    # fold, sorted it in a per-query window, and hash-aggregated the
+    # neighbor ids — three shuffles of pair-cardinality rows. The
+    # pairwise similarity work is inherently local to one cluster, so
+    # it now runs inside the cluster's group: only the O(n) member
+    # rows are exchanged (groupBy cluster), and the kernel reproduces
+    # the exact left-fold dot product (dimension-ascending
+    # accumulation), the (sim DESC, neighbor_id ASC) tie rule and the
+    # a.cid <> b.cid self-exclusion bitwise. Query rows are processed
+    # in fixed-size blocks so kernel memory is O(block x n_c), never
+    # O(n_c^2).
+    from functools import partial
+
+    # block size captured at build time (pickled into the kernel), so
+    # tests can exercise the blocked path by patching _INDEG_BLOCK
+    kernel = partial(_cluster_indeg_kernel, block=_INDEG_BLOCK)
     indeg = (
-        assigned.select("cid")
-        .join(knn.select("neighbor_id"), assigned["cid"] == knn["neighbor_id"], "left")
-        .groupBy("cid")
-        .agg(F.count("neighbor_id").cast("long").alias("indeg"))
+        assigned.select("cid", "v", "nrm", "cluster")
+        .groupBy("cluster")
+        .applyInPandas(kernel, "cid long, indeg long")
+        # feeds the bucket aggregate AND the total count
+        .localCheckpoint(eager=False)
     )
     buckets = indeg.groupBy(
         F.expr(_k_case("(indeg + 1)")).cast("long").alias("k")
