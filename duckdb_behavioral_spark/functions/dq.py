@@ -30,22 +30,46 @@ from duckdb_behavioral_spark.functions.timeutil import event_time
 __all__ = ["q_dq_constraint_audit"]
 
 
-def _scan_checks(df: DataFrame, checks: list[tuple[str, F.Column]]) -> DataFrame:
+def _scan_checks(
+    df: DataFrame,
+    checks: list[tuple[str, F.Column]],
+    unique_keys: list[tuple[str, str]] = (),
+) -> DataFrame:
     """One fused scan: each (name, violation_predicate) becomes a row
     (constraint, violations, checked) out of a single aggregate +
-    stack unpivot."""
-    aggs = [F.count(F.lit(1)).cast("long").alias("__checked")] + [
-        F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(f"__v{i}")
-        for i, (_, pred) in enumerate(checks)
-    ]
-    one = df.agg(*aggs)
-    pairs = ", ".join(
-        f"'{name}', __v{i}" for i, (name, _) in enumerate(checks)
+    stack unpivot. ``unique_keys`` [(key_col, name)] fuses
+    key-uniqueness checks into the SAME aggregate (violations =
+    count(*) - count(DISTINCT key)) — one table pass for scan-level
+    and uniqueness constraints together (r12: the separate
+    groupBy-key branch cost a second full scan of the fact)."""
+    aggs = (
+        [F.count(F.lit(1)).cast("long").alias("__checked")]
+        + [
+            F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(f"__v{i}")
+            for i, (_, pred) in enumerate(checks)
+        ]
+        + [
+            # + the NULL group: GROUP BY key (the oracle form) keeps
+            # one NULL-key group that count(DISTINCT key) excludes
+            (
+                F.count_distinct(F.col(key))
+                + F.coalesce(
+                    F.max(F.when(F.col(key).isNull(), 1).otherwise(0)),
+                    F.lit(0),
+                )
+            )
+            .cast("long")
+            .alias(f"__d{i}")
+            for i, (key, _) in enumerate(unique_keys)
+        ]
     )
+    one = df.agg(*aggs)
+    pairs = [f"'{name}', __v{i}" for i, (name, _) in enumerate(checks)] + [
+        f"'{name}', __checked - __d{i}" for i, (_, name) in enumerate(unique_keys)
+    ]
+    n = len(checks) + len(unique_keys)
     return one.select(
-        F.expr(
-            f"stack({len(checks)}, {pairs}) AS (constraint, violations)"
-        ),
+        F.expr(f"stack({n}, {', '.join(pairs)}) AS (constraint, violations)"),
         F.col("__checked").alias("checked"),
     )
 
@@ -131,6 +155,9 @@ def q_dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     | (F.length(F.col("event_type")) == 0),
                 ),
             ],
+            # uniqueness fused into the same scan (was a second full
+            # events pass as its own groupBy-key branch)
+            unique_keys=[("event_id", "events.event_id_unique")],
         ),
         _scan_checks(
             docs,
@@ -142,7 +169,6 @@ def q_dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         ),
         _unique_check(orders, "o_orderkey", "orders.orderkey_unique"),
-        _unique_check(events, "event_id", "events.event_id_unique"),
         _fk_check(
             lineitem,
             "l_orderkey",
