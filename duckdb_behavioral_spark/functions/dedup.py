@@ -452,7 +452,11 @@ def minhash_candidate_pairs(
     sig = minhash_signatures(df) if sig is None else sig
     if not sig_checkpointed:
         sig = sig.localCheckpoint(eager=False)
-    capped = capped_bands(sig)
+    # barrier the CAPPED band rows (r12 optimization): both self-join
+    # sides consume them, and without it each side re-runs the cap's
+    # bucket-stats aggregate + filter join over the cached signatures
+    # (2 extra aggregations + 2 joins per candidate-pair consumer).
+    capped = capped_bands(sig).localCheckpoint(eager=False)
     a, b = capped.alias("a"), capped.alias("b")
     return (
         a.join(

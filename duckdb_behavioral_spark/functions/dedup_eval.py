@@ -256,8 +256,11 @@ def dedup_incremental_newdocs(
     ).localCheckpoint(eager=False)
     # MH_BAND_CAP applies to the TOTAL bucket size (new + old
     # combined), before the split — a boilerplate pile-up is dropped
-    # whether its members are standing or arriving
-    capped = capped_bands(sig)
+    # whether its members are standing or arriving. Barriered (r12):
+    # both the new-batch and standing-side filters consume it, and
+    # without the barrier each join side re-runs the cap's bucket
+    # aggregate + filter join over the cached signatures.
+    capped = capped_bands(sig).localCheckpoint(eager=False)
     new_sig = capped.where(F.col("doc_id") % mod == new_rem)
     old_sig = capped.where(F.col("doc_id") % mod != new_rem)
     cand = (
