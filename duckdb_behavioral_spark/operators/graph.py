@@ -68,8 +68,13 @@ def connected_components(
             .groupBy(F.col("__s").alias("node"))
             .agg(F.min("comp").alias("__nc"))
         )
+        # carry the round's OLD label through the update so the
+        # convergence count reads the checkpointed rows directly (r12:
+        # the previous shape re-joined `jumped` against `labels` every
+        # round just to compare — one extra shuffle join per round)
         upd = labels.join(nbr_min, "node", "left").select(
             "node",
+            F.col("comp").alias("__old"),
             F.least(F.col("comp"), F.coalesce(F.col("__nc"), F.col("comp"))).alias("comp"),
         )
         # pointer jumping: comp <- comp(comp). Labels are always node
@@ -78,15 +83,17 @@ def connected_components(
         ptr = upd.select(F.col("node").alias("comp"), F.col("comp").alias("__pc"))
         jumped = (
             upd.join(ptr, "comp", "left")
-            .select("node", F.coalesce(F.col("__pc"), F.col("comp")).alias("comp"))
+            .select(
+                "node",
+                F.coalesce(F.col("__pc"), F.col("comp")).alias("comp"),
+                (F.coalesce(F.col("__pc"), F.col("comp")) != F.col("__old")).alias(
+                    "__chg"
+                ),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.join(labels.withColumnRenamed("comp", "__old"), "node")
-            .where(F.col("comp") != F.col("__old"))
-            .count()
-        )
-        labels = jumped
+        changed = jumped.where(F.col("__chg")).count()  # cached scan, no join
+        labels = jumped.select("node", "comp")
         if changed == 0:
             return labels
     raise ConvergenceError(f"connected_components did not converge in {max_iter} rounds")
