@@ -20,10 +20,11 @@ One row per non-empty IVF cluster (<= NCENT rows):
                   (BIGINT floor — exact, non-negative)
 
 Scale shape: assignment is the shared Arrow map-side pass against the
-driver-held O(NCENT) centroid table (zero shuffle); labels join back
-on the vector id (one hash exchange of (cid, label) pairs); all
-downstream work runs on the O(NCENT x |labels|) count table. No
-per-cluster window ever sees raw vectors.
+driver-held O(NCENT) centroid table (zero shuffle), with the label
+carried through the pass — no join-back; the one data exchange is the
+(cluster, label) count aggregate, and all downstream work runs on the
+O(NCENT x |labels|) count table. No per-cluster window ever sees raw
+vectors.
 
 Exactness: counts and permilles only — no float columns cross the
 engine boundary; the assignment tie rule is the shared
@@ -78,21 +79,31 @@ def embedding_label_noise(
         )
         .withColumn("nrm", _norm(F.col("v")))
         .where(F.col("nrm") > 0)
-        # two consumers: centroid sample + assignment, label join-back
-        .localCheckpoint(eager=False)
+        # NO barrier (r12): the two consumers — the O(ncent)
+        # TakeOrdered centroid sample and the assignment pass — each
+        # re-read the column-pruned scan, which beats materializing
+        # every vector into the block manager (guide §5: cache only
+        # when recompute costs more than the memory pressure; at
+        # corpus scale a full-vector checkpoint is the wrong side)
     )
     if ncent is None:
         from duckdb_behavioral_spark.functions.similarity import ivf_ncent
 
-        ncent = ivf_ncent(e.count())  # one bounded count on the barrier
+        ncent = ivf_ncent(e.count())  # one bounded count on the scan
     cent_df = _centroids(e, ncent)
     state = {
         int(r["ctr_id"]): (list(r["cv"]), float(r["cn"]))
         for r in cent_df.collect()
     }
+    # the label rides THROUGH the Arrow assignment pass (r12, guide
+    # §2.4 "remove shuffles outright"): the previous shape joined
+    # labels back on the vector id — an O(n) exchange of each side
+    # (broadcast-built at small scale, a full shuffle at corpus
+    # scale) that existed only to re-attach a column the pass had in
+    # hand. Map-side assignment now emits (cid, label, cluster)
+    # directly; the only exchange left is the (cluster, label) count.
     lab = (
-        _assign_by_rows(e, state)
-        .join(e.select("cid", "label"), "cid")
+        _assign_by_rows(e, state, keep=("cid", "label"))
         .groupBy("cluster", "label")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )

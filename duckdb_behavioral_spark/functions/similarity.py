@@ -234,10 +234,16 @@ def _assign_clusters(e: DataFrame, cent: DataFrame, ncent: int = NCENT) -> DataF
     return _assign_by_rows(e, state)
 
 
-def _assign_by_rows(e: DataFrame, state: dict) -> DataFrame:
+def _assign_by_rows(
+    e: DataFrame, state: dict, keep: "tuple[str, ...]" = ("cid", "v", "nrm")
+) -> DataFrame:
     """Assignment pass against driver-held centroids ``{ctr_id: (cv,
     cn)}`` — the Arrow-vectorized kernel shared by the Lloyd loop and
-    the search path."""
+    the search path. ``keep`` selects which input columns ride along
+    with the computed ``cluster``: a caller that only needs e.g. the
+    id and a label can carry them through the map-side pass instead of
+    joining them back on the id afterwards (one exchange per side
+    saved, and the vectors never outlive the pass)."""
     from pyspark.sql.functions import pandas_udf
 
     ordered = sorted(state.items())
@@ -258,7 +264,7 @@ def _assign_by_rows(e: DataFrame, state: dict) -> DataFrame:
         sims = acc / (np.sqrt(nr)[:, None] * cn[None, :])
         return pd.Series(ids[np.argmax(sims, axis=1)])
 
-    return e.select("cid", "v", "nrm", _assign(F.col("v")).alias("cluster"))
+    return e.select(*keep, _assign(F.col("v")).alias("cluster"))
 
 
 KMEANS_ITERS = 2  # Lloyd rounds for the trained-IVF variant
