@@ -433,39 +433,71 @@ def overcap_buckets(sig: DataFrame) -> DataFrame:
     )
 
 
+def _sorted_pairs(ds):
+    """array<struct<doc_a,doc_b>> — all ``a < b`` pairs of a SORTED
+    distinct id array, built with index-aware ``transform`` over the
+    array itself (each element pairs with every later element). Pure
+    column arithmetic; output size C(n, 2)."""
+    return F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+
+
+def bucket_pairs(capped: DataFrame, bucket_cols: "list[str]") -> DataFrame:
+    """(doc_a, doc_b) rows — one per (bucket, in-bucket pair) — from
+    cap-filtered bucket member rows.
+
+    The pairing is BUCKET-LOCAL (r12, guide §2.4 "remove shuffles
+    outright"): members are grouped per bucket into a sorted array
+    (``capped`` comes out of the cap's filter join already hash-
+    partitioned on the bucket key, so this groupBy adds NO exchange)
+    and pairs explode inside the group. The previous self-equi-join
+    re-exchanged the member rows once per side and needed a
+    checkpoint barrier to stop the cap subtree recomputing per side
+    — two exchanges and a materialization for rows the partition
+    already held. Array size is bounded by the caller's frequency cap
+    (MH_BAND_CAP here), so per-group memory is O(cap) and the explode
+    is the same C(size, 2) fan-out the join produced."""
+    return (
+        capped.groupBy(*bucket_cols)
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("__ds"))
+        .select(F.explode(_sorted_pairs(F.col("__ds"))).alias("__p"))
+        .select(F.col("__p.doc_a").alias("doc_a"), F.col("__p.doc_b").alias("doc_b"))
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame, sig: DataFrame | None = None, *, sig_checkpointed: bool = False
 ) -> DataFrame:
     """(doc_a, doc_b, shared_bands) — pairs sharing ≥1 LSH bucket.
 
-    The banded signatures are checkpointed before the self-join:
-    without the barrier Catalyst re-executes the whole
-    tokenize→shingle→hash→min→band pipeline once per join side (plan
+    The banded signatures are checkpointed before candidate
+    generation: without the barrier Catalyst re-executes the whole
+    tokenize→shingle→hash→min→band pipeline once per consumer (plan
     showed 4 parquet scans, zero exchange reuse). Pass ``sig`` to
     band a precomputed signature DataFrame instead (dedup_eval feeds
     the banding of its postings barrier here). Buckets larger than
-    ``MH_BAND_CAP`` are dropped before the self-join (see the
-    constant's docstring — the bounded-fan-out guarantee). A caller
-    that already checkpointed ``sig`` (recall eval shares it with the
-    dropped-mass accounting) passes ``sig_checkpointed=True`` to skip
-    the redundant second materialization."""
+    ``MH_BAND_CAP`` are dropped before pairing (see the constant's
+    docstring — the bounded-fan-out guarantee); the count-first cap
+    keeps the degenerate mega-bucket out of memory (it collapses
+    map-side in the stats aggregate and is filtered before any
+    member array is built). A caller that already checkpointed
+    ``sig`` passes ``sig_checkpointed=True`` to skip the redundant
+    second materialization. Pair generation itself is the bucket-
+    local grouped explode (:func:`bucket_pairs`) — one exchange of
+    the member rows total, no self-join."""
     sig = minhash_signatures(df) if sig is None else sig
     if not sig_checkpointed:
         sig = sig.localCheckpoint(eager=False)
-    # barrier the CAPPED band rows (r12 optimization): both self-join
-    # sides consume them, and without it each side re-runs the cap's
-    # bucket-stats aggregate + filter join over the cached signatures
-    # (2 extra aggregations + 2 joins per candidate-pair consumer).
-    capped = capped_bands(sig).localCheckpoint(eager=False)
-    a, b = capped.alias("a"), capped.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        bucket_pairs(capped_bands(sig), ["band", "band_hash"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("shared_bands"))
     )
 

@@ -61,6 +61,7 @@ from duckdb_behavioral_spark.functions.dedup import (
     JACCARD_THRESHOLD_TENTHS,
     MH_BAND_CAP,
     banded_from_hashes,
+    bucket_pairs,
     capped_bands,
     minhash_candidate_pairs,
     overcap_buckets,
@@ -151,14 +152,16 @@ def lsh_recall_eval(docs: DataFrame, df_cap: int = TRUTH_DF_CAP) -> DataFrame:
         .where((F.col("__df") >= 2) & (F.col("__df") <= df_cap))
         .select("h")
     )
+    # shingle-bucket-local pairing (r12, guide §2.4): the df-cap
+    # filter join leaves ``ep`` hash-partitioned on the shingle, so
+    # the surviving postings group into <= df_cap member arrays with
+    # NO further exchange and pairs explode inside the group. The
+    # previous self-equi-join on ``h`` re-evaluated the filter join
+    # once per side and exchanged both.
     ep = posting.join(elig, "h")
     tp = (
-        ep.alias("a")
-        .join(ep.alias("b"), "h")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        bucket_pairs(ep, ["h"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("__nsh"))
         .select("doc_a", "doc_b")
     )
@@ -256,23 +259,38 @@ def dedup_incremental_newdocs(
     ).localCheckpoint(eager=False)
     # MH_BAND_CAP applies to the TOTAL bucket size (new + old
     # combined), before the split — a boilerplate pile-up is dropped
-    # whether its members are standing or arriving. Barriered (r12):
-    # both the new-batch and standing-side filters consume it, and
-    # without the barrier each join side re-runs the cap's bucket
-    # aggregate + filter join over the cached signatures.
-    capped = capped_bands(sig).localCheckpoint(eager=False)
-    new_sig = capped.where(F.col("doc_id") % mod == new_rem)
-    old_sig = capped.where(F.col("doc_id") % mod != new_rem)
+    # whether its members are standing or arriving. The new x old
+    # probe is bucket-local (r12, guide §2.4): the cap's filter join
+    # leaves the member rows partitioned on the bucket key, so each
+    # bucket groups into one <= CAP member array with no further
+    # exchange, the new/old split happens INSIDE the array (doc_id
+    # remainder filters), and new x old pairs explode in place. The
+    # previous shape exchanged the capped rows once per join side and
+    # needed a checkpoint barrier to stop the cap subtree recomputing.
+    capped = capped_bands(sig)
+    mems = capped.groupBy("band", "band_hash").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("__ds")
+    )
+    news = F.filter(F.col("__ds"), lambda d: d % F.lit(mod) == F.lit(new_rem))
+    olds = F.filter(F.col("__ds"), lambda d: d % F.lit(mod) != F.lit(new_rem))
     cand = (
-        new_sig.alias("n")
-        .join(
-            old_sig.alias("o"),
-            (F.col("n.band") == F.col("o.band"))
-            & (F.col("n.band_hash") == F.col("o.band_hash")),
+        mems.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        news,
+                        lambda n: F.transform(
+                            olds,
+                            lambda o: F.struct(
+                                n.alias("new_doc"), o.alias("old_doc")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("__p")
         )
-        .groupBy(
-            F.col("n.doc_id").alias("new_doc"), F.col("o.doc_id").alias("old_doc")
-        )
+        .select(F.col("__p.new_doc").alias("new_doc"), F.col("__p.old_doc").alias("old_doc"))
+        .groupBy("new_doc", "old_doc")
         .agg(F.count(F.lit(1)).alias("__sb"))
         .select("new_doc", "old_doc")
     )

@@ -141,22 +141,35 @@ def simhash_hamming_hist(
         .where((F.col("__n") >= 2) & (F.col("__n") <= HAM_BAND_CAP))
         .select("band", "key")
     )
+    # bucket-local pairing (r12, guide §2.4 — the dedup.bucket_pairs
+    # device): the cap's filter join leaves the member rows hash-
+    # partitioned on (band, key), so each bucket groups into one
+    # <= HAM_BAND_CAP member array with NO further exchange, and the
+    # pair distances explode inside the group. The previous self-
+    # equi-join exchanged the capped rows once per side.
     capped = banded.join(ok, ["band", "key"])
-    a, b = capped.alias("a"), capped.alias("b")
+    mems = capped.groupBy("band", "key").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("__ds")
+    )
+    ds = F.col("__ds")
+    pair_arr = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    F.bit_count(
+                        x["simhash"].bitwiseXOR(y["simhash"])
+                    ).alias("hamming"),
+                ),
+            ),
+        )
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
-        )
+        mems.select(F.explode(pair_arr).alias("__p"))
+        .select("__p.doc_a", "__p.doc_b", "__p.hamming")
         .where(F.col("hamming") <= HAM_MAX)
         .distinct()  # pairs sharing several bands count once
     )

@@ -263,3 +263,247 @@ def test_hubness_singleton_cluster(spark):
     assert len(out) == 1
     r = out[0]
     assert (r["k"], r["lo_indeg"], r["hi_indeg"], r["n_vectors"]) == (0, 0, 0, 2)
+
+
+# ---------------------------------------------------------------------------
+# bucket-local pair generation vs the old self-equi-join (dedup family)
+# ---------------------------------------------------------------------------
+
+
+def _docs_df(spark, seed=11, n=120, vocab=40):
+    rng = random.Random(seed)
+    words = [f"w{i}" for i in range(vocab)]
+    rows = []
+    for d in range(n):
+        base = [rng.choice(words) for _ in range(rng.randrange(5, 25))]
+        rows.append((d, " ".join(base), "s%d" % (d % 3)))
+        if rng.random() < 0.3:  # near-duplicate of the previous doc
+            dup = list(base)
+            if len(dup) > 6 and rng.random() < 0.8:
+                dup[rng.randrange(len(dup))] = rng.choice(words)
+            rows.append((n + d, " ".join(dup), "s%d" % (d % 3)))
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def _old_candidate_pairs(sig):
+    """Pre-r12 formulation: cap via semi-join, then banded self-join."""
+    from duckdb_behavioral_spark.functions.dedup import capped_bands
+
+    capped = capped_bands(sig).localCheckpoint(eager=False)
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared_bands"))
+    )
+
+
+def test_bucket_pairs_equal_self_join(spark):
+    from duckdb_behavioral_spark.functions.dedup import (
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _docs_df(spark)
+    sig = minhash_signatures(docs).localCheckpoint(eager=False)
+    new = minhash_candidate_pairs(docs, sig=sig, sig_checkpointed=True)
+    old = _old_candidate_pairs(sig)
+    assert _rows(new) == _rows(old)
+    assert new.count() > 0  # the corpus must actually produce pairs
+
+
+def test_bucket_pairs_cap_edge(spark, monkeypatch):
+    # force a tiny cap so some buckets sit exactly AT the cap (kept)
+    # and others beyond it (dropped) — both shapes must agree
+    import duckdb_behavioral_spark.functions.dedup as D
+
+    monkeypatch.setattr(D, "MH_BAND_CAP", 3)
+    docs = _docs_df(spark, seed=5, n=60, vocab=8)  # low entropy: big buckets
+    sig = D.minhash_signatures(docs).localCheckpoint(eager=False)
+    new = D.minhash_candidate_pairs(docs, sig=sig, sig_checkpointed=True)
+    old = _old_candidate_pairs(sig)
+    assert _rows(new) == _rows(old)
+
+
+def test_incremental_newdocs_array_split(spark):
+    # the in-array new/old split must equal the old two-filter join
+    from duckdb_behavioral_spark.functions.dedup import (
+        banded_from_hashes,
+        capped_bands,
+        _shingle_sets,
+    )
+    from duckdb_behavioral_spark.functions.dedup_eval import (
+        INC_MOD,
+        INC_NEW_REM,
+        dedup_incremental_newdocs,
+    )
+
+    docs = _docs_df(spark, seed=3)
+    out_new = dedup_incremental_newdocs(docs)
+
+    # old formulation, inlined
+    sh = _shingle_sets(docs)
+    sig = banded_from_hashes(
+        sh.select("doc_id", F.explode("sh").alias("h"))
+    ).localCheckpoint(eager=False)
+    capped = capped_bands(sig).localCheckpoint(eager=False)
+    new_sig = capped.where(F.col("doc_id") % INC_MOD == INC_NEW_REM)
+    old_sig = capped.where(F.col("doc_id") % INC_MOD != INC_NEW_REM)
+    cand = (
+        new_sig.alias("n")
+        .join(
+            old_sig.alias("o"),
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.band_hash") == F.col("o.band_hash")),
+        )
+        .groupBy(
+            F.col("n.doc_id").alias("new_doc"), F.col("o.doc_id").alias("old_doc")
+        )
+        .agg(F.count(F.lit(1)).alias("__sb"))
+        .select("new_doc", "old_doc")
+    )
+    from duckdb_behavioral_spark.functions.dedup_eval import _tau_pairs
+    from pyspark.sql.window import Window as W
+
+    ver = _tau_pairs(
+        cand.select(F.col("new_doc").alias("doc_a"), F.col("old_doc").alias("doc_b")),
+        sh,
+    ).select(
+        F.col("doc_a").alias("new_doc"),
+        F.col("doc_b").alias("old_doc"),
+        F.floor(F.col("n_inter") * 1000 / F.col("n_union")).cast("long").alias("jacc_permille"),
+    )
+    w = W.partitionBy("new_doc").orderBy(
+        F.col("jacc_permille").desc(), F.col("old_doc").asc()
+    )
+    old_out = (
+        ver.select(
+            "new_doc", "old_doc", "jacc_permille",
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(W.partitionBy("new_doc")).cast("long").alias("n_old_dups"),
+        )
+        .where(F.col("__rn") == 1)
+        .select(
+            "new_doc", "n_old_dups",
+            F.col("old_doc").alias("best_old_doc"),
+            F.col("jacc_permille").alias("best_jaccard_permille"),
+        )
+    )
+    assert _rows(out_new) == _rows(old_out)
+
+
+def test_hamming_bucket_pairs_equal_self_join(spark):
+    from duckdb_behavioral_spark.functions.hamming import (
+        HAM_MAX,
+        simhash64,
+        simhash_hamming_hist,
+    )
+
+    docs = _docs_df(spark, seed=9, n=80, vocab=12)
+    sig = simhash64(docs).localCheckpoint(eager=False)
+    new = simhash_hamming_hist(sig=sig)
+
+    # old self-join formulation, inlined over the same signatures
+    from duckdb_behavioral_spark.functions.hamming import (
+        BAND_BITS,
+        BAND_MASK,
+        HAM_BAND_CAP,
+        N_BANDS,
+    )
+
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), BAND_BITS * b)
+                        .bitwiseAND(F.lit(BAND_MASK))
+                        .alias("key"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("__bb"),
+    ).select("doc_id", "simhash", F.col("__bb.band").alias("band"), F.col("__bb.key").alias("key"))
+    ok = (
+        banded.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where((F.col("__n") >= 2) & (F.col("__n") <= HAM_BAND_CAP))
+        .select("band", "key")
+    )
+    capped = banded.join(ok, ["band", "key"])
+    a, b = capped.alias("a"), capped.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= HAM_MAX)
+        .distinct()
+    )
+    old = (
+        cand.groupBy(F.col("hamming").cast("long").alias("hamming"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    assert _rows(new) == _rows(old)
+
+
+# ---------------------------------------------------------------------------
+# dq audit: fused FK/uniqueness shapes vs the old per-branch formulations
+# ---------------------------------------------------------------------------
+
+
+def test_dq_fk_shapes_equal_old(spark):
+    from duckdb_behavioral_spark.functions.dq import (
+        _fk_check_broadcast,
+        _fk_check_grouped,
+        _unique_check_from_per_key,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, None), (5, 99)],
+        "id long, fk long",
+    )
+    parent = spark.createDataFrame([(10,), (20,), (None,)], "pk long")
+
+    def _old_fk(child, child_key, parent, parent_key):
+        n = child.agg(F.count(F.lit(1)).cast("long").alias("checked"))
+        pkeys = parent.select(F.col(parent_key).alias(child_key)).distinct()
+        orphans = child.join(pkeys, child_key, "left_anti").agg(
+            F.count(F.lit(1)).cast("long").alias("violations")
+        )
+        return orphans.crossJoin(n).select("violations", "checked")
+
+    old = _old_fk(child, "fk", parent, "pk").collect()[0]
+    new_b = _fk_check_broadcast(child, "fk", parent, "pk", "x").collect()[0]
+    assert (new_b["violations"], new_b["checked"]) == (
+        old["violations"], old["checked"]
+    )
+    pkeys = parent.select(F.col("pk").alias("fk")).distinct()
+    new_g = _fk_check_grouped(child, "fk", pkeys, "x").collect()[0]
+    assert (new_g["violations"], new_g["checked"]) == (
+        old["violations"], old["checked"]
+    )
+
+    # uniqueness from the shared per-key table == old direct groupBy
+    dup = spark.createDataFrame(
+        [(1,), (1,), (2,), (None,), (None,)], "k long"
+    )
+    per_key = dup.groupBy("k").agg(F.count(F.lit(1)).alias("__c"))
+    got = _unique_check_from_per_key(per_key, "u").collect()[0]
+    assert (got["violations"], got["checked"]) == (2, 5)
