@@ -34,13 +34,20 @@ def abc_classes(per_part_cents: DataFrame) -> DataFrame:
     """(abc_class, n_parts, class_cents, share_permille) from
     (id, cents): the 80/95 cumulative cuts.
     """
+    # one barrier feeds both consumers (r12, guide §2.4): the total is
+    # a plain aggregate over the CACHED per-part rows, not over the
+    # prefix-sum output — aggregating over `pref` re-executed the
+    # whole offsets+broadcast-join machinery a second time just to add
+    # up a column the input already had
+    per_part_cents = per_part_cents.localCheckpoint(eager=False)
     pref = with_global_prefix_sum(
         per_part_cents,
         [F.col("cents").desc(), F.col("id").asc()],
         "cents",
         prefix_name="__before",
+        barrier_input=False,
     )
-    total = pref.agg(F.sum("cents").cast("long").alias("__total"))
+    total = per_part_cents.agg(F.sum("cents").cast("long").alias("__total"))
     incl = F.col("__before") + F.col("cents")
     classed = pref.crossJoin(F.broadcast(total)).withColumn(
         "abc_class",

@@ -55,6 +55,9 @@ def compaction_plan(
         size_col,
         prefix_name="__prefix",
         group_cols=[group_col],
+        # callers feed a raw column-pruned manifest scan: re-reading
+        # it twice beats materializing a full copy (guide §5)
+        barrier_input=False,
     )
     bins = (
         pref.withColumn(

@@ -7,13 +7,16 @@ reported as (constraint, violations, checked, ok).
 Scale shape: constraints against the same table FUSE into one scan —
 a single conditional aggregate emits every scan-level check for that
 table (violation counts are ``SUM(CASE WHEN ...)``, map-side partial,
-one job per table, not per constraint). Key-uniqueness rides one
-``GROUP BY key`` (the count of surplus rows = n - distinct keys needs
-no second shuffle: both come out of the same aggregate). Referential
-integrity is a LEFT ANTI join on the key — broadcast when the parent
-is a dim, shuffle-hash otherwise; either way one exchange pair, no
-row explosion. The final UNION of per-constraint 1-row results is
-driver-trivial.
+one job per table, not per constraint), and a fact's key-uniqueness
+check rides the same aggregate as ``count(*) - count(DISTINCT key)``.
+Referential integrity against a dim-sized parent is ONE child pass:
+broadcast LEFT join on the distinct parent keys + a fused
+checked/violations aggregate. Against a fact-sized parent it is the
+child's per-FK-key counts LEFT-joined to the parent keys on
+co-partitioned exchanges (group sums give checked and orphan mass
+together). The per-key table of a parent that also has a uniqueness
+constraint (orders) is built once and shared between both roles. The
+final UNION of per-constraint 1-row results is driver-trivial.
 
 All counts are BIGINT; ``ok`` is the published gate bit.
 """
@@ -74,10 +77,12 @@ def _scan_checks(
     )
 
 
-def _unique_check(df: DataFrame, key: str, name: str) -> DataFrame:
-    """Surplus rows under key-uniqueness: n_rows - n_distinct_keys,
-    from ONE group-by-key aggregate."""
-    per_key = df.groupBy(key).agg(F.count(F.lit(1)).alias("__c"))
+def _unique_check_from_per_key(per_key: DataFrame, name: str) -> DataFrame:
+    """Surplus rows under key-uniqueness from a precomputed
+    ``groupBy(key).count`` table (``__c`` per key): n_rows -
+    n_distinct_keys out of one bounded aggregate over the shared
+    per-key rows — the caller reuses the same table as FK parent
+    keys, so the base table is scanned once for both roles."""
     return per_key.agg(
         F.lit(name).alias("constraint"),
         (F.sum("__c") - F.count(F.lit(1))).cast("long").alias("violations"),
@@ -85,29 +90,63 @@ def _unique_check(df: DataFrame, key: str, name: str) -> DataFrame:
     )
 
 
-def _fk_check(
+def _fk_check_broadcast(
     child: DataFrame,
     child_key: str,
     parent: DataFrame,
     parent_key: str,
     name: str,
-    broadcast_parent: bool,
 ) -> DataFrame:
-    """Orphan child rows (no matching parent key). NULL child keys are
-    counted as orphans — a NULL FK never joins."""
-    n = child.agg(F.count(F.lit(1)).cast("long").alias("checked"))
-    pkeys = parent.select(F.col(parent_key).alias(child_key)).distinct()
-    if broadcast_parent:
-        pkeys = F.broadcast(pkeys)
-    orphans = child.join(pkeys, child_key, "left_anti").agg(
-        F.count(F.lit(1)).cast("long").alias("violations")
+    """Orphan child rows against a dim-sized parent: ONE child pass
+    (r12, guide §1.2 — the previous anti-join + separate count shape
+    scanned the child twice and crossJoined the 1-row results). A
+    broadcast LEFT join against the distinct parent keys feeds a
+    single aggregate computing checked and violations together. NULL
+    child keys never match, so they count as orphans — same semantics
+    as the left-anti form."""
+    pkeys = F.broadcast(
+        parent.select(F.col(parent_key).alias(child_key))
+        .distinct()
+        .withColumn("__m", F.lit(1))
     )
     return (
-        orphans.crossJoin(n)
-        .select(
+        child.select(child_key)
+        .join(pkeys, child_key, "left")
+        .agg(
             F.lit(name).alias("constraint"),
-            "violations",
-            "checked",
+            F.sum(F.when(F.col("__m").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("violations"),
+            F.count(F.lit(1)).cast("long").alias("checked"),
+        )
+    )
+
+
+def _fk_check_grouped(
+    child: DataFrame,
+    child_key: str,
+    parent_keys: DataFrame,
+    name: str,
+) -> DataFrame:
+    """Orphan child rows against a fact-sized parent, via the child's
+    per-key counts: group the child by its FK (one pass, map-side
+    partial), LEFT-join the O(parent) group table against the parent
+    keys on the SAME key (the exchanges are co-partitioned), and sum
+    group counts — checked is the total of all groups, violations the
+    total of unmatched ones. The previous shape anti-joined every raw
+    child row and paid a second full child scan for ``checked``.
+    ``parent_keys`` must be a single-column distinct-key frame named
+    ``child_key``. NULL child FKs form a NULL group that never
+    matches, so they count as orphans — same as the row-level anti."""
+    grp = child.groupBy(child_key).agg(F.count(F.lit(1)).alias("__c"))
+    return (
+        grp.join(parent_keys.withColumn("__m", F.lit(1)), child_key, "left")
+        .agg(
+            F.lit(name).alias("constraint"),
+            F.sum(F.when(F.col("__m").isNull(), F.col("__c")).otherwise(0))
+            .cast("long")
+            .alias("violations"),
+            F.sum("__c").cast("long").alias("checked"),
         )
     )
 
@@ -122,6 +161,15 @@ def q_dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_events(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
 
+    # orders is grouped by its key ONCE (lazy barrier): the same
+    # per-key table backs the uniqueness check AND the parent-key side
+    # of the lineitem FK (r12 — previously three separate orders scans:
+    # unique groupBy, FK-child count, FK-parent distinct)
+    orders_per_key = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False)
+    )
     parts = [
         _scan_checks(
             lineitem,
@@ -168,30 +216,26 @@ def q_dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ],
         ),
-        _unique_check(orders, "o_orderkey", "orders.orderkey_unique"),
-        _fk_check(
+        _unique_check_from_per_key(orders_per_key, "orders.orderkey_unique"),
+        _fk_check_grouped(
             lineitem,
             "l_orderkey",
-            orders,
-            "o_orderkey",
+            orders_per_key.select(F.col("o_orderkey").alias("l_orderkey")),
             "lineitem.orderkey_fk_orders",
-            broadcast_parent=False,  # parent is fact-sized: shuffle join
         ),
-        _fk_check(
+        _fk_check_broadcast(
             orders,
             "o_custkey",
             customer,
             "c_custkey",
             "orders.custkey_fk_customer",
-            broadcast_parent=True,
         ),
-        _fk_check(
+        _fk_check_broadcast(
             customer,
             "c_nationkey",
             nation,
             "n_nationkey",
             "customer.nationkey_fk_nation",
-            broadcast_parent=True,
         ),
     ]
     out = reduce(DataFrame.unionByName, parts)

@@ -38,6 +38,9 @@ def embedding_norm_deciles(emb: DataFrame) -> DataFrame:
         [F.col("norm_micro").asc(), F.col("vec_id").asc()],
         rank_name="__rank",
         n_name="__n",
+        # raw column-pruned scan: re-reading parquet twice beats
+        # materializing a full copy (guide §5 caching tradeoff)
+        barrier_input=False,
     )
     return (
         ranked.select(
