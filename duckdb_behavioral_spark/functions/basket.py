@@ -32,9 +32,10 @@ TOPK = 50
 
 def market_basket_pairs(lineitem: DataFrame, k: int = TOPK) -> DataFrame:
     # Checkpoint barrier: ``items`` (a full distinct-shuffle of
-    # lineitem) feeds FOUR consumers — n_orders, item_cnt, and both
-    # self-join sides. Without it Catalyst re-runs the scan+distinct
-    # per consumer (plan showed 5 lineitem scans, zero exchange reuse).
+    # lineitem) feeds THREE consumers — the per-order baskets,
+    # item_cnt, and through baskets the order count. Without it
+    # Catalyst re-runs the scan+distinct per consumer (plan showed 5
+    # lineitem scans, zero exchange reuse).
     items = (
         lineitem.select(
             F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
@@ -42,20 +43,36 @@ def market_basket_pairs(lineitem: DataFrame, k: int = TOPK) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    n_orders = items.select("okey").distinct().agg(
-        F.count(F.lit(1)).cast("long").alias("__n_orders")
+    # per-order baskets (r12, guide §2.4 — the dedup.bucket_pairs
+    # device): group the distinct items into one sorted array per
+    # order (bounded by order size) and explode the part pairs inside
+    # the group — ONE exchange of the item rows on the order key,
+    # replacing the self-equi-join that exchanged them once per side.
+    # The barrier'd basket table is also the order count (one row per
+    # order), replacing the separate distinct + count pass.
+    baskets = (
+        items.groupBy("okey")
+        .agg(F.array_sort(F.collect_list("part")).alias("__ps"))
+        .localCheckpoint(eager=False)  # pair explode + n_orders
     )
+    n_orders = baskets.agg(F.count(F.lit(1)).cast("long").alias("__n_orders"))
     item_cnt = items.groupBy("part").agg(
         F.count(F.lit(1)).cast("long").alias("__cnt")
     )
-    a = items.alias("a")
-    b = items.alias("b")
-    pairs = (
-        a.join(b, "okey")
-        .where(F.col("a.part") < F.col("b.part"))
-        .groupBy(
-            F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b")
+    ps = F.col("__ps")
+    pair_arr = F.flatten(
+        F.transform(
+            ps,
+            lambda x, i: F.transform(
+                F.slice(ps, i + F.lit(2), F.size(ps)),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
         )
+    )
+    pairs = (
+        baskets.select(F.explode(pair_arr).alias("__p"))
+        .select(F.col("__p.part_a").alias("part_a"), F.col("__p.part_b").alias("part_b"))
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).cast("long").alias("pair_orders"))
     )
     # item_cnt is CATALOG-sized (one row per part) — at warehouse scale

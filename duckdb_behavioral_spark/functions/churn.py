@@ -12,11 +12,11 @@ churned = |A_d \\ A_{d+1}|, fresh = |A_{d+1} \\ A_d|, and
 jaccard_permille = 1000·|∩| // |∪|.
 
 Scale shape: ONE distinct aggregate to (day, user_id) — map-side
-partial, user-keyed shuffle — then a self-equi-join on user_id with
-``b.day = a.day + 1`` (co-partitioned on the SAME user_id key: AQE
-plans one exchange pair, never a cross join; day arity per user is
-calendar-bounded). Daily cardinalities are a |days|-row aggregate
-broadcast back. All integers, engine-exact.
+partial, user-keyed shuffle — then per-user sorted day arrays
+(calendar-bounded) whose adjacent-element zip yields each user's
+retained days in place: one user-keyed exchange total, no self-join.
+Daily cardinalities are a |days|-row aggregate broadcast back. All
+integers, engine-exact.
 """
 
 from __future__ import annotations
@@ -39,19 +39,34 @@ def user_churn_daily(events: DataFrame, ts: str = "ts") -> DataFrame:
             F.col("user_id"),
         )
         .distinct()
+        # two consumers: daily sizes + the per-user day arrays
+        .localCheckpoint(eager=False)
     )
     sizes = du.groupBy("day").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
-    a = du.alias("a")
-    b = du.alias("b")
+    # retained-per-day via per-user sorted day arrays (r12, guide
+    # §2.4): a user contributes day d iff d+1 is also active, i.e.
+    # (in a SORTED DISTINCT day array) iff the next element is d+1 —
+    # one user-keyed exchange + a calendar-bounded in-array zip,
+    # replacing the self-equi-join that exchanged the (day, user)
+    # rows once per side.
+    days = F.col("__days")
+    consecutive = F.filter(
+        # zip_with pads the shorter (shifted) side with NULL, so the
+        # last day's pair compares NULL and the filter drops it
+        F.zip_with(
+            days,
+            F.slice(days, 2, F.size(days)),
+            lambda d, nxt: F.struct(d.alias("d"), nxt.alias("nxt")),
+        ),
+        lambda z: z["nxt"] == F.date_add(z["d"], 1),
+    )
     retained = (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.date_add(F.col("a.day"), 1) == F.col("b.day")),
-        )
-        .groupBy(F.col("a.day").alias("day"))
+        du.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("day")).alias("__days"))
+        .select(F.explode(consecutive).alias("__z"))
+        .groupBy(F.col("__z")["d"].alias("day"))
         .agg(F.count(F.lit(1)).cast("long").alias("retained"))
     )
     nxt = sizes.select(

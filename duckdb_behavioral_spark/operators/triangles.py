@@ -42,12 +42,11 @@ _ORD_SHIFT = 1 << 40
 def triangle_stats(edges: DataFrame) -> DataFrame:
     """One summary row for an undirected simple graph given as
     canonical edges (``a`` < ``b``, no duplicates)."""
-    # the edge list feeds FOUR subtrees (deg, the orientation join,
-    # n_edges, and through deg the summary); without a barrier the
-    # whole upstream edge-construction pipeline re-executes per
-    # subtree — measured 3x the operator's cost on the co-purchase
-    # build. Same for deg (consumed by both orientation sides + the
-    # wedge summary).
+    # the edge list feeds TWO subtrees (deg and the orientation join);
+    # without a barrier the whole upstream edge-construction pipeline
+    # re-executes per subtree — measured 3x the operator's cost on the
+    # co-purchase build. Same for deg (consumed by both orientation
+    # sides + the node/edge/wedge summary).
     edges = edges.localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("a").alias("v"))
@@ -87,14 +86,16 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     tri = wedges_oriented.join(closures, ["w_b", "w_c"]).agg(
         F.count(F.lit(1)).cast("long").alias("triangles")
     )
+    # n_edges = sum(deg)/2 exactly — computed from the SAME bounded
+    # deg aggregate as nodes/wedges (r12: the separate count pass over
+    # the edge barrier and its crossJoin are gone)
     summary = deg.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.expr("div(sum(deg), 2)").cast("long").alias("n_edges"),
         F.sum(F.expr("div(deg * (deg - 1), 2)")).cast("long").alias("n_wedges"),
     )
-    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     return (
-        summary.crossJoin(n_edges)
-        .crossJoin(tri)
+        summary.crossJoin(tri)
         .select(
             "n_nodes",
             "n_edges",
@@ -120,12 +121,26 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     items = lineitem.select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
     ).distinct()
-    a = items.alias("pa")
-    b = items.alias("pb")
+    # per-order baskets (r12, guide §2.4 — the dedup.bucket_pairs
+    # device): one exchange of the item rows on the order key, pairs
+    # explode inside the bounded per-order array — replacing the
+    # self-equi-join that exchanged the items once per side.
+    ps = F.col("__ps")
+    pair_arr = F.flatten(
+        F.transform(
+            ps,
+            lambda x, i: F.transform(
+                F.slice(ps, i + F.lit(2), F.size(ps)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     return (
-        a.join(b, "okey")
-        .where(F.col("pa.part") < F.col("pb.part"))
-        .groupBy(F.col("pa.part").alias("a"), F.col("pb.part").alias("b"))
+        items.groupBy("okey")
+        .agg(F.array_sort(F.collect_list("part")).alias("__ps"))
+        .select(F.explode(pair_arr).alias("__p"))
+        .select(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+        .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("__sup"))
         .where(F.col("__sup") >= MIN_SUPPORT)
         .select("a", "b")
