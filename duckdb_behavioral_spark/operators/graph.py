@@ -104,6 +104,9 @@ def connected_components(
 PR_SCALE = 1_000_000_000  # ranks in nano-units: 1.0 == 10^9
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as a ratio
 PR_ITERS = 3
+# unroll this many rounds in one plan before cutting lineage per
+# round (see pagerank docstring)
+_PR_BARRIER_ROUNDS = 4
 
 
 def pagerank(
@@ -132,10 +135,15 @@ def pagerank(
 
     Scale shape per round: one join rank->edges on src (edge table
     checkpointed once, rank table small side broadcast when it fits),
-    one grouped integer SUM with map-side partials onto dst. Lineage
-    cut per round. Same iteration discipline as ``kmeans_centroids``
-    (functions/similarity.py) — the oracle unrolls the identical
-    rounds in SQL.
+    one grouped integer SUM with map-side partials onto dst. For a
+    SHORT fixed round count (the declared 3-iteration queries) the
+    rounds stay UNROLLED in one plan — exactly the shape the oracle
+    SQL runs — because a per-round eager checkpoint costs a job +
+    planning pass per round, which dominated the tiny-graph
+    transition query (r12: 26 jobs for a 5-node graph). Past
+    ``_PR_BARRIER_ROUNDS`` iterations the per-round lineage cut
+    returns (iterative plans otherwise grow superlinearly), same
+    discipline as ``connected_components``.
     """
     w_col = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
     e = edges.select(
@@ -145,13 +153,15 @@ def pagerank(
     e = (
         e.join(out_w, "__s")
         .select("__s", "__d", "__w", "__ow")
-        .localCheckpoint(eager=True)
+        # lazy: the nodes count below materializes e and nodes in ONE
+        # job instead of two eager checkpoint jobs + the count
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("__s").alias("node"))
         .union(e.select(F.col("__d").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_nodes = nodes.count()  # scalar; the only driver-side value
     if n_nodes == 0:
@@ -172,19 +182,17 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        rank = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"{PR_DAMP_NUM} * coalesce(inflow, 0) DIV {PR_DAMP_DEN}"
-                    )
-                ).cast("long").alias("r"),
-            )
-            .localCheckpoint(eager=True)
+        rank = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"{PR_DAMP_NUM} * coalesce(inflow, 0) DIV {PR_DAMP_DEN}"
+                )
+            ).cast("long").alias("r"),
         )
+        if n_iter > _PR_BARRIER_ROUNDS:
+            rank = rank.localCheckpoint(eager=True)
     return rank.select("node", F.col("r").alias("rank_nano"))
 
 
