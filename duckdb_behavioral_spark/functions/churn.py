@@ -26,7 +26,42 @@ from pyspark.sql import functions as F
 
 from duckdb_behavioral_spark.functions.timeutil import event_time
 
-__all__ = ["user_churn_daily", "q_events_user_churn"]
+__all__ = ["user_churn_daily", "consecutive_day_counts", "q_events_user_churn"]
+
+
+def consecutive_day_counts(
+    du: DataFrame,
+    day: str = "day",
+    user: str = "user_id",
+    out: str = "retained",
+) -> DataFrame:
+    """(day, out) — per day d, how many users of the distinct
+    (day, user) table are active on BOTH d and d+1.
+
+    Per-user sorted day arrays (r12, guide §2.4): in a sorted distinct
+    day array, d+1 is active iff it is the immediate next element, so
+    one user-keyed exchange plus a calendar-bounded in-array zip
+    replaces the (day, user) x (day+1, user) self-equi-join that
+    exchanged the rows once per side. Shared by the churn report and
+    the KMV overlap verifier."""
+    days = F.col("__days")
+    consecutive = F.filter(
+        # zip_with pads the shorter (shifted) side with NULL, so the
+        # last day's pair compares NULL and the filter drops it
+        F.zip_with(
+            days,
+            F.slice(days, 2, F.size(days)),
+            lambda d, nxt: F.struct(d.alias("d"), nxt.alias("nxt")),
+        ),
+        lambda z: z["nxt"] == F.date_add(z["d"], 1),
+    )
+    return (
+        du.groupBy(F.col(user).alias("__u"))
+        .agg(F.array_sort(F.collect_list(F.col(day))).alias("__days"))
+        .select(F.explode(consecutive).alias("__z"))
+        .groupBy(F.col("__z")["d"].alias(day))
+        .agg(F.count(F.lit(1)).cast("long").alias(out))
+    )
 
 
 def user_churn_daily(events: DataFrame, ts: str = "ts") -> DataFrame:
@@ -45,30 +80,7 @@ def user_churn_daily(events: DataFrame, ts: str = "ts") -> DataFrame:
     sizes = du.groupBy("day").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
-    # retained-per-day via per-user sorted day arrays (r12, guide
-    # §2.4): a user contributes day d iff d+1 is also active, i.e.
-    # (in a SORTED DISTINCT day array) iff the next element is d+1 —
-    # one user-keyed exchange + a calendar-bounded in-array zip,
-    # replacing the self-equi-join that exchanged the (day, user)
-    # rows once per side.
-    days = F.col("__days")
-    consecutive = F.filter(
-        # zip_with pads the shorter (shifted) side with NULL, so the
-        # last day's pair compares NULL and the filter drops it
-        F.zip_with(
-            days,
-            F.slice(days, 2, F.size(days)),
-            lambda d, nxt: F.struct(d.alias("d"), nxt.alias("nxt")),
-        ),
-        lambda z: z["nxt"] == F.date_add(z["d"], 1),
-    )
-    retained = (
-        du.groupBy("user_id")
-        .agg(F.array_sort(F.collect_list("day")).alias("__days"))
-        .select(F.explode(consecutive).alias("__z"))
-        .groupBy(F.col("__z")["d"].alias("day"))
-        .agg(F.count(F.lit(1)).cast("long").alias("retained"))
-    )
+    retained = consecutive_day_counts(du, out="retained")
     nxt = sizes.select(
         F.date_sub(F.col("day"), 1).alias("day"),
         F.col("n").alias("n_next"),

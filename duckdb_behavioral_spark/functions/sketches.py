@@ -274,17 +274,14 @@ def q_sketch_kmv_overlap(spark, sf_dir):
         F.expr("sum(in_l * in_r) * 1000 div count(*)").alias("j_kmv_permille")
     )
 
+    from duckdb_behavioral_spark.functions.churn import consecutive_day_counts
+
     dsets = ev.distinct().localCheckpoint(eager=False)
     sizes = dsets.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        dsets.alias("a")
-        .join(
-            dsets.alias("b"),
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("b.day") == F.date_add(F.col("a.day"), 1)),
-        )
-        .groupBy(F.col("a.day").alias("pair_day"))
-        .agg(F.count(F.lit(1)).alias("i"))
+    # exact intersection via per-user sorted day arrays (the churn
+    # device) — one user-keyed exchange, no (day) x (day+1) self-join
+    inter = consecutive_day_counts(dsets, out="i").withColumnRenamed(
+        "day", "pair_day"
     )
     kest = kmv_distinct_estimate(sk, ["day"]).withColumnRenamed(
         "kmv_estimate", "kmv_est_users"
