@@ -3,12 +3,13 @@ with support / confidence / lift, the Apriori-at-k=2 pass every
 recommender bootstrap runs over an order-lines fact table.
 
 Itemsets: the distinct (order, part) pairs of ``lineitem`` (a part
-appearing on two lines of one order counts once). Pair generation is
-a SELF-EQUI-JOIN ON THE ORDER KEY with ``part_a < part_b`` — the
-per-order item count is bounded by order size (TPC-H: <= 7 lines), so
-the blowup is O(orders x size^2) with both sides co-partitioned on
-the same key: one exchange pair, no cross join, no skew (order keys
-are unique). Item and pair supports are plain hash aggregates;
+appearing on two lines of one order counts once — ``collect_set``
+inside the basket aggregate). Pair generation is BASKET-LOCAL: one
+exchange groups the items into a sorted per-order array (bounded by
+order size; TPC-H: <= 7 lines) and the ``part_a < part_b`` pairs
+explode inside the group — O(orders x size^2) output, no self-join,
+no skew (order keys are unique). Item and pair supports are plain
+hash aggregates over that one barrier;
 confidence and lift come from broadcast-joining the bounded item-
 support table onto the pair table. The report is the distributed
 top-k (TakeOrderedAndProject) by pair support.
@@ -31,33 +32,29 @@ TOPK = 50
 
 
 def market_basket_pairs(lineitem: DataFrame, k: int = TOPK) -> DataFrame:
-    # Checkpoint barrier: ``items`` (a full distinct-shuffle of
-    # lineitem) feeds THREE consumers — the per-order baskets,
-    # item_cnt, and through baskets the order count. Without it
-    # Catalyst re-runs the scan+distinct per consumer (plan showed 5
-    # lineitem scans, zero exchange reuse).
-    items = (
+    # per-order baskets (r12, guide §2.4 — the dedup.bucket_pairs
+    # device): ``collect_set`` folds the DISTINCT (order, part) grain
+    # directly into the per-order basket aggregate, so the previous
+    # standalone ``distinct()`` — a full second exchange of the item
+    # rows plus its own checkpoint — disappears; in-order duplicate
+    # lines collapse map-side in the partial aggregate. The barrier'd
+    # basket table then serves ALL downstream needs: the pair explode,
+    # the order count, and (exploded — bounded by order size) the
+    # per-part order counts that previously re-read the items table.
+    # ONE exchange of the item rows total.
+    baskets = (
         lineitem.select(
             F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
         )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    # per-order baskets (r12, guide §2.4 — the dedup.bucket_pairs
-    # device): group the distinct items into one sorted array per
-    # order (bounded by order size) and explode the part pairs inside
-    # the group — ONE exchange of the item rows on the order key,
-    # replacing the self-equi-join that exchanged them once per side.
-    # The barrier'd basket table is also the order count (one row per
-    # order), replacing the separate distinct + count pass.
-    baskets = (
-        items.groupBy("okey")
-        .agg(F.array_sort(F.collect_list("part")).alias("__ps"))
-        .localCheckpoint(eager=False)  # pair explode + n_orders
+        .groupBy("okey")
+        .agg(F.array_sort(F.collect_set("part")).alias("__ps"))
+        .localCheckpoint(eager=False)  # pair explode + n_orders + item_cnt
     )
     n_orders = baskets.agg(F.count(F.lit(1)).cast("long").alias("__n_orders"))
-    item_cnt = items.groupBy("part").agg(
-        F.count(F.lit(1)).cast("long").alias("__cnt")
+    item_cnt = (
+        baskets.select(F.explode("__ps").alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
     )
     ps = F.col("__ps")
     pair_arr = F.flatten(

@@ -37,11 +37,18 @@ CONTAINMENT_THRESHOLD_PERMILLE = 800
 def containment_pairs(docs: DataFrame) -> DataFrame:
     from duckdb_behavioral_spark.functions.dedup import (
         _shingle_sets,
+        banded_from_hashes,
         minhash_candidate_pairs,
     )
 
-    cand = minhash_candidate_pairs(docs).select("doc_a", "doc_b")
+    # ONE tokenize→shingle→md5 pass (r12, guide §2.4): band the
+    # checkpointed shingle-set barrier's exploded stream instead of
+    # re-running the full hash pipeline for candidate generation —
+    # the dedup_ngram_jaccard / dedup_eval device.
     sh = _shingle_sets(docs)
+    cand = minhash_candidate_pairs(
+        docs, sig=banded_from_hashes(sh.select("doc_id", F.explode("sh").alias("h")))
+    ).select("doc_a", "doc_b")
     pairs = (
         cand.join(
             sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")),

@@ -298,8 +298,16 @@ def dedup_ngram_jaccard(df: DataFrame) -> DataFrame:
     1-(1-j^r)^b, the standard tunable — minus the capped-bucket mass
     reported by ``dedup_lsh_recall_eval``.
     """
-    cand = minhash_candidate_pairs(df).select("doc_a", "doc_b")
+    # ONE tokenize→shingle→md5 pass (r12, guide §2.4 / §1.2): the
+    # banding consumes the checkpointed shingle-SET barrier's exploded
+    # stream instead of re-running ``hashed_shingle_stream`` over the
+    # corpus (grouped MIN is insensitive to the distinct — identical
+    # signatures, one fewer full scan+hash pass). Same device as
+    # ``dedup_eval.lsh_recall_eval``.
     sh = _shingle_sets(df)
+    cand = minhash_candidate_pairs(
+        df, sig=banded_from_hashes(sh.select("doc_id", F.explode("sh").alias("h")))
+    ).select("doc_a", "doc_b")
     pairs = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")), "doc_b")

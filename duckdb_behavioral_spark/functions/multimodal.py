@@ -81,7 +81,11 @@ def decode_media(payload: bytes, mime: str, fake: bool = False):
         )
     n = len(payload or b"")
     head = payload[0] if n else 0
-    return {"n_bytes": n, "head_byte": int(head), "byte_sum_mod": sum(payload or b"") % 65_536}
+    # vectorized byte sum (r12, guide §4.2): np.frombuffer is a
+    # zero-copy view over the payload; .sum() replaces a pure-Python
+    # per-byte loop with one C reduction. Same value exactly.
+    bsum = int(np.frombuffer(payload, dtype=np.uint8).sum(dtype=np.int64)) if n else 0
+    return {"n_bytes": n, "head_byte": int(head), "byte_sum_mod": bsum % 65_536}
 
 
 # --- real codec-free image path: uncompressed 24-bit BMP -------------------
@@ -399,27 +403,38 @@ def q_multimodal_bmp_decode(spark, sf_dir):
     decoded back by the header-parsing numpy decoder. The oracle
     computes the same stats closed-form, so a bug in either the
     encoder's row padding / bottom-up layout or the decoder's parsing
-    breaks the hash match."""
+    breaks the hash match.
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    Encode and decode run in ONE mapInPandas pass (r12, guide §4.1):
+    the previous two chained passes shipped every BMP payload
+    Python→JVM→Python between them — a full Arrow round trip of the
+    heaviest column for zero extra information. Only doc_id crosses
+    in and only the fixed-width stats cross out; the encoder→parser
+    byte round trip still happens, in-process.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("media_id", "width", "height", "px_min", "px_max", "px_sum")
         for pdf in batches:
-            mids, payloads = [], []
+            out = {k: [] for k in cols}
             for did in pdf["doc_id"]:
-                w = 4 + int(did) % 5
-                h = 3 + int(did) % 4
+                did = int(did)
+                w = 4 + did % 5
+                h = 3 + did % 4
                 r = np.arange(h, dtype=np.int64)[:, None]
                 c = np.arange(w, dtype=np.int64)[None, :]
-                px = ((int(did) * 31 + r * 7 + c * 13) % 256).astype(np.uint8)
-                mids.append(int(did))
-                payloads.append(encode_bmp_gray24(px))
-            yield pd.DataFrame({"media_id": mids, "payload": payloads})
+                px = ((did * 31 + r * 7 + c * 13) % 256).astype(np.uint8)
+                d = decode_bmp(encode_bmp_gray24(px))
+                out["media_id"].append(did)
+                for k in cols[1:]:
+                    out[k].append(d[k])
+            yield pd.DataFrame(out)
 
-    media = (
+    return (
         _docs(spark, sf_dir)
         .select("doc_id")
-        .mapInPandas(gen, schema="media_id long, payload binary")
+        .mapInPandas(run, schema=BMP_STATS_SCHEMA)
     )
-    return decode_bmp_stats(media)
 
 
 def q_multimodal_wav_decode(spark, sf_dir):
@@ -430,25 +445,29 @@ def q_multimodal_wav_decode(spark, sf_dir):
     oracle computes the same stats closed-form, so a bug in either the
     encoder's chunk layout or the parser breaks the hash match."""
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # Encode and decode fused into ONE mapInPandas pass (r12, guide
+    # §4.1) — same rationale as q_multimodal_bmp_decode: the payload
+    # bytes no longer round-trip Python→JVM→Python between passes.
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            mids, payloads = [], []
+            out = {k: [] for k in ("media_id",) + _WAV_COLS}
             for did in pdf["doc_id"]:
                 did = int(did)
                 n = 50 + did % 32
                 rate = 8000 + (did % 4) * 4000
                 k = np.arange(n, dtype=np.int64)
                 s = ((did * 17 + k * 257) % 4096) - 2048
-                mids.append(did)
-                payloads.append(encode_wav_pcm16(s.astype(np.int16), rate))
-            yield pd.DataFrame({"media_id": mids, "payload": payloads})
+                d = decode_wav(encode_wav_pcm16(s.astype(np.int16), rate))
+                out["media_id"].append(did)
+                for kk in _WAV_COLS:
+                    out[kk].append(d[kk])
+            yield pd.DataFrame(out)
 
-    media = (
+    return (
         _docs(spark, sf_dir)
         .select("doc_id")
-        .mapInPandas(gen, schema="media_id long, payload binary")
+        .mapInPandas(run, schema=WAV_STATS_SCHEMA)
     )
-    return decode_wav_stats(media)
 
 
 WAV_DECODE_SQL = """
@@ -621,9 +640,13 @@ def q_multimodal_ppm_decode(spark, sf_dir):
     sums closed-form, so a bug in either the encoder's layout or the
     parser's comment/whitespace handling breaks the hash match."""
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # Encode and decode fused into ONE mapInPandas pass (r12, guide
+    # §4.1) — same rationale as q_multimodal_bmp_decode: the payload
+    # bytes no longer round-trip Python→JVM→Python between passes.
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("media_id", "width", "height", "r_sum", "g_sum", "b_sum", "px_max")
         for pdf in batches:
-            mids, payloads = [], []
+            out = {k: [] for k in cols}
             for did in pdf["doc_id"]:
                 did = int(did)
                 w = 3 + did % 4
@@ -632,16 +655,17 @@ def q_multimodal_ppm_decode(spark, sf_dir):
                 c = np.arange(w, dtype=np.int64)[None, :, None]
                 ch = np.arange(3, dtype=np.int64)[None, None, :]
                 px = ((did * 29 + r * 5 + c * 11 + ch * 97) % 256).astype(np.uint8)
-                mids.append(did)
-                payloads.append(encode_ppm_rgb(px))
-            yield pd.DataFrame({"media_id": mids, "payload": payloads})
+                d = decode_ppm(encode_ppm_rgb(px))
+                out["media_id"].append(did)
+                for k in cols[1:]:
+                    out[k].append(d[k])
+            yield pd.DataFrame(out)
 
-    media = (
+    return (
         _docs(spark, sf_dir)
         .select("doc_id")
-        .mapInPandas(gen, schema="media_id long, payload binary")
+        .mapInPandas(run, schema=PPM_STATS_SCHEMA)
     )
-    return decode_ppm_stats(media)
 
 
 PPM_DECODE_SQL = """

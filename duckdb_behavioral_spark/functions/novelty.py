@@ -55,6 +55,11 @@ def ngram_novelty(docs: DataFrame) -> DataFrame:
             F.explode(shingles3(F.col("__toks"))).alias("__s"),
         )
         .select("doc_id", md5_hash48(F.col("__s")).alias("h"))
+        # barrier (r12, guide §2.4): ``sh`` feeds BOTH the first-
+        # occurrence aggregate and the join leg; without it Catalyst
+        # re-runs the tokenize→shingle→md5 pipeline once per consumer
+        # (two full document scans for one logical pass).
+        .localCheckpoint(eager=False)
     )
     first = sh.groupBy("h").agg(F.min("doc_id").alias("__first"))
     per_doc = (

@@ -38,15 +38,24 @@ def oov_rate_by_lang(docs: DataFrame, v: int = VOCAB_SIZE) -> DataFrame:
         "lang",
         F.explode(tokens(F.lower(F.col("text")))).alias("term"),
     )
-    term_counts = base.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("__n")
+    # ONE tokenize+explode pass (r12, guide §2.3/§2.4): the corpus-wide
+    # term counts are the per-(lang, term) counts rolled up over lang —
+    # identical by sum-of-partials — so the vocabulary leg reads the
+    # vocabulary-bounded aggregate instead of re-running the tokenizer
+    # over the corpus (the plan previously scanned+exploded documents
+    # twice). The barrier stops Catalyst inlining the aggregate into
+    # both consumers.
+    per_lang_term = (
+        base.groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    term_counts = per_lang_term.groupBy("term").agg(
+        F.sum("cnt").cast("long").alias("__n")
     )
     vocab = ranked_topk(
         term_counts, [F.col("__n").desc(), F.col("term").asc()], v
     ).select("term", F.lit(True).alias("__in_vocab"))
-    per_lang_term = base.groupBy("lang", "term").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
-    )
     joined = per_lang_term.join(F.broadcast(vocab), "term", "left")
     oov = F.col("__in_vocab").isNull()
     return (
