@@ -82,10 +82,17 @@ def recall_summary(
 
 
 def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_behavioral_spark.functions.similarity import _vec_base
     from duckdb_behavioral_spark.sources import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return recall_summary(ann_cosine_topk(emb), ann_ivf_topk(emb))
+    # ONE (cid, v, nrm) corpus projection shared by the exact and the
+    # IVF side (r12, guide §2.4): each operator previously re-derived
+    # the cast + norm fold from its own scan.
+    base = _vec_base(emb).localCheckpoint(eager=False)
+    return recall_summary(
+        ann_cosine_topk(emb, base=base), ann_ivf_topk(emb, base=base)
+    )
 
 
 ANN_RECALL_SQL = f"""

@@ -185,17 +185,37 @@ def repetition_stats(
         F.length(F.trim(F.col(text))).cast("long").alias("n_chars"),
         tokens(F.col(text)).alias("__toks"),
     )
+    # ONE pass total (r12, guide §2.4): a per-doc SENTINEL struct
+    # (n = 0, g = n_chars-as-string) rides the same explode as the
+    # grams, so n_chars arrives at the per-doc aggregate through the
+    # gram shuffle (8 extra bytes per DOC) and the previous second
+    # text-column scan + doc-keyed join disappear. The gram arrays
+    # coalesce to empty so a NULL/short text still emits its sentinel
+    # row — those docs stayed alive through the old left join.
+    _empty = F.array().cast("array<struct<n:int,g:string>>")
     tagged = base.select(
         F.col(id_col),
         F.explode(
             F.concat(
-                F.transform(
-                    word_grams_indexed(F.col("__toks"), 2),
-                    lambda g: F.struct(F.lit(2).alias("n"), g.alias("g")),
+                F.coalesce(
+                    F.transform(
+                        word_grams_indexed(F.col("__toks"), 2),
+                        lambda g: F.struct(F.lit(2).alias("n"), g.alias("g")),
+                    ),
+                    _empty,
                 ),
-                F.transform(
-                    word_grams_indexed(F.col("__toks"), 3),
-                    lambda g: F.struct(F.lit(3).alias("n"), g.alias("g")),
+                F.coalesce(
+                    F.transform(
+                        word_grams_indexed(F.col("__toks"), 3),
+                        lambda g: F.struct(F.lit(3).alias("n"), g.alias("g")),
+                    ),
+                    _empty,
+                ),
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("n"),
+                        F.col("n_chars").cast("string").alias("g"),
+                    )
                 ),
             )
         ).alias("__t"),
@@ -226,17 +246,18 @@ def repetition_stats(
         F.sum(F.when(F.col("__n") == 3, F.col("__cnt")).otherwise(0))
         .cast("long")
         .alias("__tot"),
+        # the sentinel row: every doc has exactly one n==0 group
+        F.max(F.when(F.col("__n") == 0, F.col("__g")))
+        .cast("long")
+        .alias("n_chars"),
     )
-    out = base.select(F.col(id_col), F.col("n_chars")).join(
-        per_doc.select(
-            F.col(id_col),
-            F.col("__top2.g").alias("top2_gram"),
-            (-F.col("__top2.nc")).cast("long").alias("top2_count"),
-            "__dup",
-            "__tot",
-        ),
-        id_col,
-        "left",
+    out = per_doc.select(
+        F.col(id_col),
+        F.col("n_chars"),
+        F.col("__top2.g").alias("top2_gram"),
+        (-F.col("__top2.nc")).cast("long").alias("top2_count"),
+        "__dup",
+        "__tot",
     )
     top_chars = F.coalesce(
         F.col("top2_count") * F.length("top2_gram"), F.lit(0)

@@ -16,9 +16,10 @@ filter on.
 
 Scale shape: posting extraction is a map-side posexplode over a
 materialized token attribute; one keyed exchange builds (term, doc)
-tf/first_pos with partial combine; document frequency is a window
-over term — vocabulary-keyed, so the second exchange's partitions are
-bounded by Heaps' law, not corpus size. At 100 TB the posting store
+tf/first_pos with partial combine; document frequency is a grouped
+count over the barrier'd postings joined back — the count's exchange
+is vocabulary-sized (Heaps' law, not corpus size) and broadcasts back
+when small. At 100 TB the posting store
 would be bucketed-by-term parquet (sources/bucketing.py shows the
 device) so query-time lookups prune to one bucket.
 
@@ -28,7 +29,7 @@ output order (term, doc_id) is total.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duckdb_behavioral_spark.functions.common import sql_tokens, tokens
@@ -56,9 +57,22 @@ def inverted_postings(
             F.count(F.lit(1)).cast("long").alias("tf"),
             (F.min("__pos") + 1).cast("long").alias("first_pos"),
         )
+        # feeds the df aggregate AND the join back — without the
+        # barrier each consumer re-runs the explode+groupBy lineage
+        .localCheckpoint(eager=False)
     )
-    tw = Window.partitionBy("term")
-    out = postings.withColumn("df", F.count(F.lit(1)).over(tw).cast("long"))
+    # document frequency as a vocabulary-bounded grouped count joined
+    # back (r12, guide §2.4): the previous ``count() OVER (PARTITION BY
+    # term)`` window re-exchanged AND sorted the whole posting table on
+    # term; the grouped count partial-aggregates map-side, exchanges
+    # only |vocab| rows, and AQE broadcasts it back when small (plain
+    # equi-join on purpose — a warehouse-scale vocabulary outgrows a
+    # broadcast, and then the join is the same term exchange the window
+    # paid, minus its sort).
+    df_tbl = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    out = postings.join(df_tbl, "term")
     if df_min is not None:
         out = out.where(F.col("df") >= df_min)
     if df_max is not None:

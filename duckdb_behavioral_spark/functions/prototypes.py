@@ -18,7 +18,9 @@ One row per kept prototype (<= NCENT * PROTO_K rows):
   n_members   cluster population (for weighting the sample)
 
 Scale shape: assignment is the shared Arrow map-side pass against the
-broadcast O(NCENT) centroid table (zero shuffle); the per-cluster
+driver-held O(NCENT) centroid state, and the SAME pass emits each
+member's cosine to its assigned centroid (``emit_sim`` — no broadcast
+re-join, no second per-row dot fold); the per-cluster
 top-K is a SALTED TWO-PHASE exact top-k — phase 1 ranks inside
 (cluster, salt) buckets (NCENT x PROTO_SALTS-way parallelism, each
 window sees ~1/SALTS of a cluster), phase 2 re-ranks only the
@@ -49,7 +51,6 @@ from duckdb_behavioral_spark.functions.similarity import (
     _assign_by_rows,
     _assigned_cte_sql,
     _centroids,
-    _dot,
     _fold_dot_sql,
     _norm,
 )
@@ -87,27 +88,24 @@ def cluster_prototypes(
         # one corpus projection for the centroid sample + assignment
         .localCheckpoint(eager=False)
     )
-    # ONE centroid job: the collected O(NCENT) rows feed both the
-    # Arrow assignment state and the broadcast scoring side (the
-    # pq_transfer cb_local device — no second TakeOrdered job).
+    # ONE centroid job feeding the Arrow assignment state; the kernel
+    # emits the member->assigned-centroid cosine directly (r12, guide
+    # §4.2 — ``emit_sim``), so the old broadcast centroid re-join and
+    # its per-row interpreted ``_dot`` fold disappear: the pass that
+    # picks the cluster already holds the similarity at the argmax.
     cent_df = _centroids(e)
     cent_rows = cent_df.collect()
     state = {
         int(r["ctr_id"]): (list(r["cv"]), float(r["cn"])) for r in cent_rows
     }
-    cent = df.sparkSession.createDataFrame(cent_rows, cent_df.schema)
     # two consumers (scored + sizes) — run the Arrow pass once
-    assigned = _assign_by_rows(e, state).localCheckpoint(eager=False)
+    assigned = _assign_by_rows(
+        e, state, keep=("cid",), emit_sim=True
+    ).localCheckpoint(eager=False)
     sizes = assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("long").alias("n_members")
     )
-    scored = assigned.join(
-        F.broadcast(cent), assigned["cluster"] == cent["ctr_id"]
-    ).select(
-        "cluster",
-        "cid",
-        (_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))).alias("__csim"),
-    )
+    scored = assigned.select("cluster", "cid", F.col("csim").alias("__csim"))
     # phase 1: exact top-k inside (cluster, salt) — any global top-k
     # row is top-k within its salt bucket, so nothing true is lost
     w1 = Window.partitionBy("cluster", "__salt").orderBy(

@@ -70,6 +70,11 @@ def reorder_gap_trend(orders: DataFrame) -> DataFrame:
             "gap_days",
             F.least(F.col("__k_raw"), F.lit(MAX_K_IDX)).cast("long").alias("k"),
         )
+        # ONE barrier shared by the median rank-select AND the stats
+        # aggregate below (r12, guide §2.4): without it each consumer
+        # re-ran the orders scan + custkey window — two full fact
+        # passes for one derived table.
+        .localCheckpoint(eager=False)
     )
     ranked = with_global_rank(
         gaps,
@@ -77,6 +82,7 @@ def reorder_gap_trend(orders: DataFrame) -> DataFrame:
         rank_name="__rank",
         n_name="__n",
         group_cols=["k"],
+        barrier_input=False,
     )
     med = ranked.where(
         F.col("__rank") == F.expr("div(__n + 1, 2)")

@@ -42,6 +42,21 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+def _vec_base(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """The shared (cid, v, nrm) corpus projection: cast to double[],
+    left-fold norm, zero-norm vectors dropped (undefined cosine —
+    ANSI div-by-zero)."""
+    return (
+        df.select(
+            F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .withColumn("nrm", _norm(F.col("v")))
+        .where(F.col("nrm") > 0)
+    )
+
+
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
 
@@ -50,21 +65,45 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
 
 
+def _cos_sim_pair(qv, v, qn, nrm):
+    """Arrow-vectorized pairwise cosine ``dot(qv, v) / (qn * nrm)`` —
+    the guide-§4.2 replacement for the per-row interpreted
+    ``_dot``/``aggregate`` fold on data-sized scoring paths (the HOF
+    interpreter dominated the brute-force and probe scans ~5x, same
+    finding as the ``_assign_clusters`` rewrite). Bitwise identical to
+    the engines' shared left fold: the accumulation below runs
+    dimension-by-dimension (``acc += qv_i * v_i`` is ``((0 + t0) + t1)
+    + ...`` per row in IEEE doubles) and the denominator keeps the
+    oracle's ``(qn * nrm)`` parenthesization."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _k(qvs: pd.Series, vs: pd.Series, qns: pd.Series, nrms: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack([np.asarray(x, dtype=np.float64) for x in qvs.values])
+        B = np.stack([np.asarray(x, dtype=np.float64) for x in vs.values])
+        acc = np.zeros(B.shape[0])
+        for i in range(B.shape[1]):  # exact left-fold over dimensions
+            acc += A[:, i] * B[:, i]
+        return pd.Series(acc / (qns.values * nrms.values))
+
+    return _k(qv, v, qn, nrm)
+
+
 def ann_cosine_topk(
     df: DataFrame,
     n_queries: int = N_QUERIES,
     k: int = TOP_K,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    base: DataFrame | None = None,
 ) -> DataFrame:
-    e = (
-        df.select(
-            F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("v")
-        )
-        .withColumn("nrm", _norm(F.col("v")))
-        # zero-norm vectors have undefined cosine: drop (ANSI div-by-zero)
-        .where(F.col("nrm") > 0)
-    )
+    """``base`` lets a caller that evaluates several indexes over the
+    same corpus (ann_recall_eval) pass ONE checkpointed
+    (cid, v, nrm) projection instead of each operator re-deriving
+    it."""
+    e = _vec_base(df, id_col, vec_col) if base is None else base
     q = (
         e.where(F.col("cid") < n_queries)
         .select(F.col("cid").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
@@ -73,7 +112,9 @@ def ann_cosine_topk(
         .limit(n_queries)
     )
     joined = e.join(F.broadcast(q), F.col("cid") != F.col("query_id"))
-    sim = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    # Arrow pairwise scoring (r12, guide §4.2) — the interpreted
+    # per-row HOF fold was the scan's dominant per-task cost
+    sim = _cos_sim_pair(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm"))
     ranked = joined.select(
         "query_id", F.col("cid").alias("neighbor_id"), sim.alias("sim")
     ).withColumn(
@@ -235,7 +276,10 @@ def _assign_clusters(e: DataFrame, cent: DataFrame, ncent: int = NCENT) -> DataF
 
 
 def _assign_by_rows(
-    e: DataFrame, state: dict, keep: "tuple[str, ...]" = ("cid", "v", "nrm")
+    e: DataFrame,
+    state: dict,
+    keep: "tuple[str, ...]" = ("cid", "v", "nrm"),
+    emit_sim: bool = False,
 ) -> DataFrame:
     """Assignment pass against driver-held centroids ``{ctr_id: (cv,
     cn)}`` — the Arrow-vectorized kernel shared by the Lloyd loop and
@@ -243,13 +287,47 @@ def _assign_by_rows(
     with the computed ``cluster``: a caller that only needs e.g. the
     id and a label can carry them through the map-side pass instead of
     joining them back on the id afterwards (one exchange per side
-    saved, and the vectors never outlive the pass)."""
+    saved, and the vectors never outlive the pass). ``emit_sim``
+    additionally emits ``csim`` — the cosine to the ASSIGNED centroid,
+    which the kernel already holds at the argmax — so a caller that
+    scores members against their own centroid (cluster_prototypes)
+    skips both the broadcast re-join and a second per-row interpreted
+    dot fold. Bitwise identical to the oracle's left fold: the
+    accumulation is dimension-ordered and the division is one IEEE op
+    against the (nrm * cn) product."""
     from pyspark.sql.functions import pandas_udf
 
     ordered = sorted(state.items())
     cmat = np.array([cv for _, (cv, _) in ordered], dtype=np.float64)
     cn = np.array([c for _, (_, c) in ordered], dtype=np.float64)
     ids = np.array([cid for cid, _ in ordered], dtype=np.int64)
+
+    if emit_sim:
+
+        @pandas_udf("struct<cluster:bigint,csim:double>")
+        def _assign_sim(vs: pd.Series) -> pd.DataFrame:
+            if len(vs) == 0:
+                return pd.DataFrame({"cluster": pd.Series([], dtype="int64"),
+                                     "csim": pd.Series([], dtype="float64")})
+            vm = np.stack([np.asarray(x, dtype=np.float64) for x in vs.values])
+            acc = np.zeros((vm.shape[0], cmat.shape[0]))
+            nr = np.zeros(vm.shape[0])
+            for i in range(vm.shape[1]):  # exact left-fold over dimensions
+                acc += vm[:, i, None] * cmat[None, :, i]
+                nr += vm[:, i] * vm[:, i]
+            sims = acc / (np.sqrt(nr)[:, None] * cn[None, :])
+            best = np.argmax(sims, axis=1)
+            rows = np.arange(vm.shape[0])
+            return pd.DataFrame(
+                {"cluster": ids[best], "csim": sims[rows, best]}
+            )
+
+        out = e.select(*keep, _assign_sim(F.col("v")).alias("__a"))
+        return out.select(
+            *keep,
+            F.col("__a.cluster").alias("cluster"),
+            F.col("__a.csim").alias("csim"),
+        )
 
     @pandas_udf("long")
     def _assign(vs: pd.Series) -> pd.Series:
@@ -382,6 +460,7 @@ def ann_ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train: bool = False,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: assign each vector to its nearest centroid (a
     fixed-size deterministic sample; k-means-refined when ``train``),
@@ -398,18 +477,17 @@ def ann_ivf_topk(
     smaller centroid/neighbor id; folds are left-to-right so both
     engines agree bitwise.
     """
+    # Materialize the quantized corpus projection ONCE: the seed
+    # job, every Lloyd assignment round, and the final assignment
+    # all rescan these blocks instead of re-reading parquet and
+    # re-deriving norms per action (the trained variant's cold-start
+    # cost was dominated by those repeated scans). A caller that
+    # already holds the checkpointed projection (ann_recall_eval)
+    # passes it as ``base``.
     e = (
-        df.select(
-            F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("v")
-        )
-        .withColumn("nrm", _norm(F.col("v")))
-        .where(F.col("nrm") > 0)
-        # Materialize the quantized corpus projection ONCE: the seed
-        # job, every Lloyd assignment round, and the final assignment
-        # all rescan these blocks instead of re-reading parquet and
-        # re-deriving norms per action (the trained variant's cold-start
-        # cost was dominated by those repeated scans).
-        .localCheckpoint(eager=False)
+        _vec_base(df, id_col, vec_col).localCheckpoint(eager=False)
+        if base is None
+        else base
     )
     if train:
         # centroid state is already driver-held after the bounded
@@ -439,7 +517,10 @@ def ann_ivf_topk(
     cand = assigned.join(
         F.broadcast(probes), on="cluster"
     ).where(F.col("cid") != F.col("query_id"))
-    sim = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    # Arrow pairwise scoring on the data-sized candidate stream (r12,
+    # guide §4.2); the O(queries x NCENT) probe fold above stays on the
+    # interpreted path — it is control-plane-sized
+    sim = _cos_sim_pair(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm"))
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         cand.select("query_id", F.col("cid").alias("neighbor_id"), sim.alias("sim"))
@@ -810,13 +891,10 @@ def ann_ivfpq_topk(
     both engines agree bitwise; recall vs ``ann_cosine_topk`` depends
     on NPROBE x M/K/RERANK.
     """
-    e = (
-        df.select(
-            F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("v")
-        )
-        .withColumn("nrm", _norm(F.col("v")))
-        .where(F.col("nrm") > 0)
-    )
+    # barrier: the projection feeds the centroid sample, the
+    # assignment pass, the codebook build AND the exact rerank join —
+    # without it each consumer re-ran the scan + norm fold (r12)
+    e = _vec_base(df, id_col, vec_col).localCheckpoint(eager=False)
     cent = _centroids(e)
     assigned = _assign_clusters(e, cent)
     cb = pq_codebook(e.drop("nrm")).limit(1)

@@ -55,9 +55,17 @@ def q_tpch_q2_min_cost_supplier(spark, sf_dir):
     decorrelated into ``MIN(cost) OVER (PARTITION BY partkey)`` — a
     KEYED window (parallel, no global sort); the oracle keeps the
     textbook correlated form so the equivalence is oracle-proven.
-    Dimension joins (supplier -> nation -> region, part) broadcast;
-    the supply aggregation is the only fact shuffle. Final top-100 is
-    a distributed TakeOrdered (functions/topk.ranked_topk).
+    Both dimension filters prune the FACT SCAN as broadcast
+    left-semi joins BEFORE the supply aggregation (r12, guide
+    §2.3/§3.2 — shuffle fewer bytes): only STANDARD-part EU-supplier
+    lineitems reach the groupBy, cutting the one fact exchange by the
+    product of both selectivities. Filtering before the aggregate is
+    exact — MIN per surviving (part, supplier) group is unchanged,
+    and the partkey window min already ranged only over EU suppliers.
+    The part table's only output contribution is its key (the report's
+    ``p_partkey`` IS ``l_partkey``), so the old post-window part join
+    disappears with the early semi-join. Final top-100 is a
+    distributed TakeOrdered (functions/topk.ranked_topk).
     """
     from duckdb_behavioral_spark.functions.topk import ranked_topk
 
@@ -67,21 +75,35 @@ def q_tpch_q2_min_cost_supplier(spark, sf_dir):
     region = _t(spark, sf_dir, "region").where(F.col("r_name") == Q2_REGION)
     part = _t(spark, sf_dir, "part").where(F.col("p_type") == Q2_PTYPE)
 
-    supply = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min("l_extendedprice").alias("cost")
-    )
     s_eu = (
         supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li_pruned = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    ).join(
+        F.broadcast(s_eu.select("s_suppkey")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_semi",
+    )
+    supply = li_pruned.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("cost")
     )
     sup_eu = supply.join(F.broadcast(s_eu), supply.l_suppkey == F.col("s_suppkey"))
     w = Window.partitionBy("l_partkey")
     best = sup_eu.withColumn("__minc", F.min("cost").over(w)).where(
         F.col("cost") == F.col("__minc")
     )
-    rows = best.join(F.broadcast(part), best.l_partkey == part.p_partkey).select(
-        "s_acctbal", "s_name", "n_name", "p_partkey", "s_suppkey", "cost"
+    rows = best.select(
+        "s_acctbal",
+        "s_name",
+        "n_name",
+        F.col("l_partkey").alias("p_partkey"),
+        "s_suppkey",
+        "cost",
     )
     return ranked_topk(
         rows,
@@ -278,13 +300,20 @@ def q_tpch_q21_waiting_suppliers(spark, sf_dir):
     supplier's LATE lineitem (left-anti self-join); count per
     supplier, top-20 by (numwait DESC, s_name ASC).
 
-    Plan posture: lineitem joins orders once (broadcastable dimension
-    at test scale; bucketed co-partitioning at 100 TB), then the fact
-    relation is repartitioned by orderkey behind a lazy checkpoint so
-    BOTH self-joins consume the same co-partitioned data — the
-    semi/anti probes add no exchange on the big side. The supplier
-    name join broadcasts; the final top-k is a distributed
-    TakeOrdered.
+    Plan posture (r12, guide §2.4 — the grouped in-array device the
+    basket/churn rewrites use): the EXISTS / NOT-EXISTS self-joins
+    collapse into ONE grouped per-order aggregate. A late lineitem of
+    supplier s waits iff its order has >= 2 distinct suppliers (the
+    EXISTS) and s is the order's ONLY late supplier (the NOT EXISTS) —
+    both facts are per-order set cardinalities, bounded by order size
+    (TPC-H: <= 7 lines), so ``collect_set`` aggregates them map-side
+    in one orderkey exchange; its late-row count rides the same
+    aggregate. The previous shape repartitioned the fact behind a
+    checkpoint and ran left-semi + left-anti sort-merge self-joins —
+    two join sorts and a barrier for rows one grouped pass already
+    holds. The supplier name join broadcasts; the final top-k is a
+    distributed TakeOrdered. The oracle keeps the textbook
+    EXISTS/NOT-EXISTS form, so the equivalence is oracle-proven.
     """
     from duckdb_behavioral_spark.functions.topk import ranked_topk
 
@@ -295,31 +324,28 @@ def q_tpch_q21_waiting_suppliers(spark, sf_dir):
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
         f"INTERVAL {Q21_LATE_DAYS} DAYS"
     )
-    li_o = (
+    per_order = (
         li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
         .select("l_orderkey", "l_suppkey", late.alias("__late"))
-        .repartition("l_orderkey")
-        .localCheckpoint(eager=False)  # both self-joins share this layout
-    )
-    l1 = li_o.where(F.col("__late")).select(
-        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
-    )
-    l2 = li_o.select(
-        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
-    )
-    l3 = li_o.where(F.col("__late")).select(
-        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
-    )
-    waiting = (
-        l1.join(
-            l2, (F.col("ok") == F.col("ok2")) & (F.col("sk") != F.col("sk2")), "left_semi"
-        ).join(
-            l3, (F.col("ok") == F.col("ok3")) & (F.col("sk") != F.col("sk3")), "left_anti"
+        .groupBy("l_orderkey")
+        .agg(
+            F.size(F.collect_set("l_suppkey")).alias("__n_sup"),
+            F.collect_set(F.when(F.col("__late"), F.col("l_suppkey"))).alias(
+                "__late_sups"
+            ),
+            F.sum(F.when(F.col("__late"), 1).otherwise(0)).alias("__n_late_rows"),
         )
     )
     counts = (
-        waiting.groupBy("sk")
-        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        per_order.where(
+            (F.col("__n_sup") >= 2) & (F.size("__late_sups") == 1)
+        )
+        .select(
+            F.element_at("__late_sups", 1).alias("sk"),
+            F.col("__n_late_rows"),
+        )
+        .groupBy("sk")
+        .agg(F.sum("__n_late_rows").cast("long").alias("numwait"))
         .join(F.broadcast(supplier), F.col("sk") == F.col("s_suppkey"))
         .select("s_name", "numwait")
     )
