@@ -507,3 +507,29 @@ def test_dq_fk_shapes_equal_old(spark):
     per_key = dup.groupBy("k").agg(F.count(F.lit(1)).alias("__c"))
     got = _unique_check_from_per_key(per_key, "u").collect()[0]
     assert (got["violations"], got["checked"]) == (2, 5)
+
+
+# ---------------------------------------------------------------------------
+# banded_from_hashes: fused expr-built band folds vs the staged
+# raw-sigs -> bands_from_sigs formulation (r12 driver-side planning cut)
+# ---------------------------------------------------------------------------
+
+
+def test_banded_from_hashes_equals_staged(spark):
+    from duckdb_behavioral_spark.functions.dedup import (
+        banded_from_hashes,
+        bands_from_sigs,
+        hashed_shingle_stream,
+        raw_sigs_from_hashes,
+    )
+
+    docs = _docs_df(spark)
+    stream = hashed_shingle_stream(docs).localCheckpoint(eager=False)
+    fused = banded_from_hashes(stream)
+    staged = bands_from_sigs(raw_sigs_from_hashes(stream))
+    assert _rows(fused) == _rows(staged)
+    assert fused.count() > 0
+    # duplicate hashes must not change the grouped min (the callers
+    # feed both hash-distinct and shingle-exploded streams)
+    doubled = stream.unionAll(stream).localCheckpoint(eager=False)
+    assert _rows(banded_from_hashes(doubled)) == _rows(fused)
