@@ -56,19 +56,14 @@ def market_basket_pairs(lineitem: DataFrame, k: int = TOPK) -> DataFrame:
         .groupBy("part")
         .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
     )
-    ps = F.col("__ps")
-    pair_arr = F.flatten(
-        F.transform(
-            ps,
-            lambda x, i: F.transform(
-                F.slice(ps, i + F.lit(2), F.size(ps)),
-                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
-            ),
-        )
-    )
+    # pair generation: two chained codegen'd posexplodes + index
+    # filter over the sorted basket array (r13 — see
+    # dedup.bucket_pairs for why this replaced the interpreted
+    # transform(slice(...)) pair device)
     pairs = (
-        baskets.select(F.explode(pair_arr).alias("__p"))
-        .select(F.col("__p.part_a").alias("part_a"), F.col("__p.part_b").alias("part_b"))
+        baskets.select(F.posexplode("__ps").alias("__i", "part_a"), "__ps")
+        .select("part_a", F.col("__i"), F.posexplode("__ps").alias("__j", "part_b"))
+        .where(F.col("__j") > F.col("__i"))
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).cast("long").alias("pair_orders"))
     )

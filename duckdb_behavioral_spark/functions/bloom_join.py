@@ -84,7 +84,13 @@ def bloom_prefilter(fact: DataFrame, fact_key: str, keys: DataFrame, key: str) -
     words = [0] * BLOOM_WORDS
     for r in rows:
         words[r["word"]] = int(r["bits"])
-    arr = F.array(*[F.lit(w).cast("long") for w in words])  # constant-folded
+    # ONE array Literal (r13): the previous F.array of BLOOM_WORDS
+    # casted lits cost ~1k py4j calls and put a 512-child CreateArray
+    # through every optimizer pass (inlined once per probe position) —
+    # a deterministic plan-construction tax the perf-budget test
+    # caught on a churned JVM; lit(list) builds the folded literal
+    # directly
+    arr = F.lit(words).cast("array<bigint>")
     # Collision-safe scratch names: suffix until nothing in the fact
     # schema matches (withColumn would silently REPLACE a same-named
     # caller column, corrupting its data on the drop below). Compare

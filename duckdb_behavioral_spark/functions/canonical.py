@@ -39,7 +39,7 @@ def dedup_canonical_pick(
     member (distinct_permille desc, n_tokens desc, doc_id asc).
 
     ``clusters`` lets callers supply a precomputed (doc_id, cluster_id)
-    assignment — e.g. the per-session memo — instead of rebuilding the
+    assignment instead of rebuilding the
     whole MinHash -> Jaccard -> CC pipeline."""
     if clusters is None:
         clusters = dedup_clusters(docs)

@@ -146,9 +146,7 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_docs scalar branch re-runs the entire CC iteration a second
     # time (sum over sizes == sum(size * n_clusters) over the
     # histogram, exactly). eager=False keeps THIS barrier out of
-    # DataFrame construction; note the upstream clusters_for memo
-    # still executes its one-per-session parquet build at first
-    # construction (a deliberate trade — see functions/dedup.py).
+    # DataFrame construction.
     hist = (
         sizes.groupBy(F.col("size").alias("cluster_size"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))

@@ -34,9 +34,9 @@ and today's batch, and ONLY the asymmetric banded join new-sigs x
 old-sigs runs — O(batch x bands) probe rows against a bucketed index,
 never old x old. Per flagged new doc: how many standing near-dups it
 has and the best match (highest exact-Jaccard permille, ties to the
-smallest old id). On a real cluster the old side is the memoized
-signature index (``dedup._memoized`` / dedupMemoDir) built once per
-corpus version; the probe side is the only per-day work.
+smallest old id). On a real cluster the old side is a signature
+index the pipeline materializes as an explicit table once per corpus
+version; the probe side is the only per-day work.
 
 Scale shape: both operators ride the audited dedup machinery —
 checkpointed shingle sets and signatures (each expensive lineage
@@ -126,13 +126,14 @@ def lsh_recall_eval(docs: DataFrame, df_cap: int = TRUTH_DF_CAP) -> DataFrame:
     quadratically."""
     sh = _shingle_sets(docs)  # checkpointed; feeds postings + the tau pass
 
-    # the exploded (doc_id, h) stream feeds the df-cap filter, both
-    # truth self-join sides, AND the MinHash banding — one shingle
-    # pipeline for the whole eval instead of one per index
-    posting = (
-        sh.select("doc_id", F.explode("sh").alias("h"))
-        .localCheckpoint(eager=False)
-    )
+    # the exploded (doc_id, h) stream feeds the df-cap filter, the
+    # truth pairing AND the MinHash banding — all re-derive the
+    # explode from the CHECKPOINTED shingle barrier directly (r13: the
+    # r12 posting barrier saved only a cheap executor-side explode of
+    # already-materialized arrays while costing ~1s of serial driver
+    # planning per build — guide §1.2, the eager-checkpoint tax the
+    # r12 verdict measured)
+    posting = sh.select("doc_id", F.explode("sh").alias("h"))
     # the banded signatures feed candidate generation AND the
     # over-cap dropped-mass accounting — one barrier for both
     sig = banded_from_hashes(posting).localCheckpoint(eager=False)
@@ -271,25 +272,18 @@ def dedup_incremental_newdocs(
     mems = capped.groupBy("band", "band_hash").agg(
         F.array_sort(F.collect_list("doc_id")).alias("__ds")
     )
-    news = F.filter(F.col("__ds"), lambda d: d % F.lit(mod) == F.lit(new_rem))
-    olds = F.filter(F.col("__ds"), lambda d: d % F.lit(mod) != F.lit(new_rem))
+    # the new/old split stays an O(cap) linear array filter per
+    # bucket; the quadratic new x old cross runs as two chained
+    # codegen'd explodes (r13 — the r12 nested transform device was
+    # interpreted and allocated a struct per pair; see
+    # dedup.bucket_pairs)
     cand = (
         mems.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        news,
-                        lambda n: F.transform(
-                            olds,
-                            lambda o: F.struct(
-                                n.alias("new_doc"), o.alias("old_doc")
-                            ),
-                        ),
-                    )
-                )
-            ).alias("__p")
+            F.filter(F.col("__ds"), lambda d: d % F.lit(mod) == F.lit(new_rem)).alias("__news"),
+            F.filter(F.col("__ds"), lambda d: d % F.lit(mod) != F.lit(new_rem)).alias("__olds"),
         )
-        .select(F.col("__p.new_doc").alias("new_doc"), F.col("__p.old_doc").alias("old_doc"))
+        .select(F.explode("__news").alias("new_doc"), "__olds")
+        .select("new_doc", F.explode("__olds").alias("old_doc"))
         .groupBy("new_doc", "old_doc")
         .agg(F.count(F.lit(1)).alias("__sb"))
         .select("new_doc", "old_doc")

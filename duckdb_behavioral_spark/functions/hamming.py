@@ -79,24 +79,34 @@ def simhash64(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Data
         F.conv(F.substring(F.col("__m"), 13, 12), 16, 10).cast("long").alias("h2"),
     )
 
-    def sign(src: str, b: int):
+    # expr-STRING construction of the 64 sign-sums + assembly (r13,
+    # the banded_from_hashes lesson — the per-Column py4j build of 64
+    # nested when-trees cost ~1s of serial driver time per build);
+    # executed arithmetic unchanged
+    def sign_sql(src: str, b: int) -> str:
         return (
-            F.when(F.col(src).isNull(), 0)
-            .when(F.shiftright(F.col(src), b).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
+            f"sum(CASE WHEN {src} IS NULL THEN 0 WHEN"
+            f" (shiftright({src}, {b}) & 1) = 1 THEN 1 ELSE -1 END)"
         )
 
     sums = base.groupBy(id_col).agg(
-        *[F.sum(sign("h1", b)).alias(f"__b{b}") for b in range(48)],
-        *[F.sum(sign("h2", b - 48)).alias(f"__b{b}") for b in range(48, 64)],
+        *[F.expr(sign_sql("h1", b)).alias(f"__b{b}") for b in range(48)],
+        *[F.expr(sign_sql("h2", b - 48)).alias(f"__b{b}") for b in range(48, 64)],
     )
-    out = F.lit(0).cast("long")
-    for b in range(63):
-        out = out + F.when(
-            F.col(f"__b{b}") > 0, F.lit(1 << b).cast("long")
-        ).otherwise(0)
-    out = out + F.when(F.col("__b63") > 0, F.lit(_BIT63).cast("long")).otherwise(0)
-    return sums.select(F.col(id_col), out.alias("simhash"))
+    terms = [
+        f"CASE WHEN __b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(63)
+    ]
+    # bit 63 is the two's-complement term; the literal is spelled as
+    # (-(2^63-1) - 1) so the SQL parser stays inside BIGINT
+    terms.append(
+        "CASE WHEN __b63 > 0 THEN CAST(-9223372036854775807 - 1 AS BIGINT)"
+        " ELSE 0 END"
+    )
+    out = " + ".join(terms)
+    return sums.select(
+        F.col(id_col), F.expr(f"CAST(0 AS BIGINT) + {out}").alias("simhash")
+    )
 
 
 def simhash_hamming_hist(
@@ -105,7 +115,7 @@ def simhash_hamming_hist(
     """(hamming, n_pairs) over 16-bit-band candidate pairs, d <= HAM_MAX.
 
     ``sig`` lets callers supply precomputed (doc_id, simhash)
-    signatures — e.g. the per-session ``simhash64`` parquet memo."""
+    signatures (assumed cheap to re-scan, e.g. already barriered)."""
     if sig is None:
         # two join sides would re-run the signature pipeline — barrier
         # it; a supplied sig (the parquet memo) is already a plain scan
@@ -145,31 +155,26 @@ def simhash_hamming_hist(
     # device): the cap's filter join leaves the member rows hash-
     # partitioned on (band, key), so each bucket groups into one
     # <= HAM_BAND_CAP member array with NO further exchange, and the
-    # pair distances explode inside the group. The previous self-
-    # equi-join exchanged the capped rows once per side.
+    # pair distances are generated inside the group by two chained
+    # codegen'd posexplodes + index filter (r13 — see
+    # dedup.bucket_pairs for why this replaced the interpreted
+    # transform(slice(...)) pair device). The pre-r12 self-equi-join
+    # exchanged the capped rows once per side.
     capped = banded.join(ok, ["band", "key"])
     mems = capped.groupBy("band", "key").agg(
         F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("__ds")
     )
-    ds = F.col("__ds")
-    pair_arr = F.flatten(
-        F.transform(
-            ds,
-            lambda x, i: F.transform(
-                F.slice(ds, i + F.lit(2), F.size(ds)),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    y["doc_id"].alias("doc_b"),
-                    F.bit_count(
-                        x["simhash"].bitwiseXOR(y["simhash"])
-                    ).alias("hamming"),
-                ),
-            ),
-        )
-    )
     cand = (
-        mems.select(F.explode(pair_arr).alias("__p"))
-        .select("__p.doc_a", "__p.doc_b", "__p.hamming")
+        mems.select(F.posexplode("__ds").alias("__i", "__a"), "__ds")
+        .select("__a", F.col("__i"), F.posexplode("__ds").alias("__j", "__b"))
+        .where(F.col("__j") > F.col("__i"))
+        .select(
+            F.col("__a.doc_id").alias("doc_a"),
+            F.col("__b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("__a.simhash").bitwiseXOR(F.col("__b.simhash"))
+            ).alias("hamming"),
+        )
         .where(F.col("hamming") <= HAM_MAX)
         .distinct()  # pairs sharing several bands count once
     )
@@ -181,16 +186,20 @@ def simhash_hamming_hist(
 
 
 def simhash64_for(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Memoized ``simhash64`` signatures for a testdata dir."""
-    from duckdb_behavioral_spark.functions.dedup import _docs, _memoized
+    """``simhash64`` signatures for a testdata dir — computed from the
+    parquet input on every call (the pre-r13 cross-query parquet memo
+    was result caching under the bench contract)."""
+    from duckdb_behavioral_spark.functions.dedup import _docs
 
-    return _memoized(
-        spark, sf_dir, "simhash64", lambda: simhash64(_docs(spark, sf_dir))
-    )
+    return simhash64(_docs(spark, sf_dir))
 
 
 def q_dedup_simhash_hamming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_hamming_hist(sig=simhash64_for(spark, sf_dir))
+    from duckdb_behavioral_spark.functions.dedup import _docs
+
+    # docs= (not a precomputed sig=): the builder checkpoints the
+    # signature pipeline itself, which the two banded consumers share
+    return simhash_hamming_hist(docs=_docs(spark, sf_dir))
 
 
 def _simhash64_sql_bits() -> str:

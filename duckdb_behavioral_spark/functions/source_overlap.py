@@ -16,7 +16,7 @@ One row per source (source-domain-bounded, O(sources)):
   dup_permille        1000 * n_dup_docs / n_docs
   ext_permille        1000 * n_ext_dup_docs / n_docs
 
-Pairs are the memoized verified MinHash-LSH pairs (exact shingle
+Pairs are the verified MinHash-LSH pairs (exact shingle
 Jaccard >= 0.6 over the banded candidate set — ``functions/dedup.py``
 ``verified_pairs_for``), so the expensive stage is shared with the
 other five pair consumers and this report adds only: symmetrize the
@@ -47,11 +47,9 @@ def source_overlap(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """(source, n_docs, n_dup_docs, n_ext_dup_docs, dup_permille,
     ext_permille) from verified near-dup ``pairs`` (doc_a, doc_b)."""
     # Checkpoint barrier: the symmetrizing union consumes ``pairs``
-    # TWICE — without a cut, a non-memoized pairs lineage (the direct
-    # API path; the declared query feeds the parquet-backed memo) runs
-    # the whole MinHash candidate+verify pipeline once per branch
-    # (1M-doc probe: 817s -> ~half with the barrier; the memoized
-    # declared path only re-materializes a small pair list).
+    # TWICE — without a cut, the pairs lineage runs the whole MinHash
+    # candidate+verify pipeline once per branch (1M-doc probe:
+    # 817s -> ~half with the barrier).
     slim = pairs.select("doc_a", "doc_b").localCheckpoint(eager=False)
     links = slim.select(
         F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("__other")

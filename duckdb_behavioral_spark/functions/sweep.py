@@ -3,10 +3,10 @@ pairs — the knob-tuning readout a dedup pipeline runs before picking
 its production threshold: for each candidate threshold, how many
 pairs survive and how many distinct documents they touch.
 
-Rides the SAME verified-pairs layer as the cluster family (per-session
-memo in ``functions/dedup.py``): the MinHash -> banded-LSH ->
-verified-Jaccard machinery runs once and this query is a 4-way
-threshold fan-out over its bounded output. Thresholds start at the
+Rides the SAME verified-pairs layer as the cluster family: the
+MinHash -> banded-LSH -> verified-Jaccard machinery runs once per
+query and this query is a 4-way threshold fan-out over its bounded
+output. Thresholds start at the
 pipeline's floor (``JACCARD_THRESHOLD_TENTHS`` = 0.6), so the sweep is
 exact — no pair that passes a higher bar was pre-filtered away.
 
@@ -33,7 +33,7 @@ def dedup_threshold_sweep(
     """(threshold_permille, n_pairs, n_docs) per candidate threshold.
 
     ``pairs`` lets callers supply precomputed verified pairs
-    (doc_a, doc_b, n_inter, n_union) — e.g. the per-session memo."""
+    (doc_a, doc_b, n_inter, n_union)."""
     if pairs is None:
         from duckdb_behavioral_spark.functions.dedup import dedup_ngram_jaccard
 

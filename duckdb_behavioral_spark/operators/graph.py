@@ -50,33 +50,61 @@ def connected_components(
     back as singletons — cheaper than unioning the full vertex set
     through every iteration).
     """
+    # symmetrize with ONE pass over the edge lineage (r13): explode a
+    # 2-array of (s,d)/(d,s) structs per edge instead of unioning two
+    # copies of the (possibly expensive, e.g. the whole MinHash ->
+    # verified-Jaccard pipeline) edge subtree — a union evaluates the
+    # subtree once per branch inside the checkpoint job
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
     sym = (
-        e.union(e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d")))
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("__s"), F.col("__d")),
+                    F.struct(
+                        F.col("__d").alias("__s"), F.col("__s").alias("__d")
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select(F.col("__e.__s").alias("__s"), F.col("__e.__d").alias("__d"))
         .repartition("__d")
         .localCheckpoint(eager=True)  # reused every round: compute edges once
     )
-    labels = (
-        sym.select(F.col("__s").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("comp"))
-        .localCheckpoint(eager=True)
-    )
+    labels = None
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels.withColumnRenamed("node", "__d"), "__d")
-            .groupBy(F.col("__s").alias("node"))
-            .agg(F.min("comp").alias("__nc"))
-        )
-        # carry the round's OLD label through the update so the
-        # convergence count reads the checkpointed rows directly (r12:
-        # the previous shape re-joined `jumped` against `labels` every
-        # round just to compare — one extra shuffle join per round)
-        upd = labels.join(nbr_min, "node", "left").select(
-            "node",
-            F.col("comp").alias("__old"),
-            F.least(F.col("comp"), F.coalesce(F.col("__nc"), F.col("comp"))).alias("comp"),
-        )
+        if labels is None:
+            # Round 1 fused (r13): with init comp = node, the first
+            # propagation step label(x) <- min(x, min nbr) is ONE
+            # grouped aggregate over the symmetric edges — the
+            # separate distinct-node init, its eager checkpoint and
+            # the two round-1 joins all collapse into it (one shuffle
+            # instead of three, one less barrier job + planning pass).
+            upd = (
+                sym.groupBy(F.col("__s").alias("node"))
+                .agg(
+                    F.min(F.least(F.col("__s"), F.col("__d"))).alias("comp")
+                )
+                .select("node", F.col("node").alias("__old"), "comp")
+            )
+        else:
+            nbr_min = (
+                sym.join(labels.withColumnRenamed("node", "__d"), "__d")
+                .groupBy(F.col("__s").alias("node"))
+                .agg(F.min("comp").alias("__nc"))
+            )
+            # carry the round's OLD label through the update so the
+            # convergence count reads the checkpointed rows directly
+            # (r12: the previous shape re-joined `jumped` against
+            # `labels` every round just to compare — one extra shuffle
+            # join per round)
+            upd = labels.join(nbr_min, "node", "left").select(
+                "node",
+                F.col("comp").alias("__old"),
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("__nc"), F.col("comp"))
+                ).alias("comp"),
+            )
         # pointer jumping: comp <- comp(comp). Labels are always node
         # ids present in `upd` (init comp=node; mins propagate existing
         # ids), so the join always matches; coalesce guards anyway.

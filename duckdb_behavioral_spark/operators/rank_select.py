@@ -12,12 +12,13 @@ prefix-sum offsets):
    ``localCheckpoint``-ed: the two consumers below must see the SAME
    sampled partitioning, and the barrier also stops recomputation.
 2. **Count per partition** (``spark_partition_id``-grain — at most
-   ``num_partitions`` rows), fold the counts into ONE broadcast row
-   holding ``[(pid, cnt), ...]`` and the total ``n``.
-3. **Rank locally**: each row's global rank = (sum of counts of
-   partitions before its own — an ``aggregate`` over the broadcast
-   array) + its ``row_number`` within its partition. The window is
-   partitioned by pid, so the sort is per-partition and parallel.
+   ``num_partitions`` rows), then a running-sum window over that
+   cluster-sized table turns the counts into per-partition offsets
+   and the total ``n`` (linear in partition count).
+3. **Rank locally**: each row's global rank = its partition's
+   broadcast offset + its ``row_number`` within its partition. The
+   window is partitioned by pid, so the sort is per-partition and
+   parallel.
 
 Every stage is linear and partition-parallel; the only serial data
 structure is the counts array (cluster-sized, not data-sized).
@@ -86,36 +87,39 @@ def with_global_rank(
     counts = ranged.groupBy("__pid", *gcols).agg(F.count("*").alias("__cnt"))
     # Fold the <= num_partitions (x #groups) count rows into ONE row
     # per group (keys=group_cols aggregate — the bounded shape the
-    # plan audit sanctions), run the prefix sum ONCE over that sorted
-    # array (O(P^2) on a cluster-sized array — trivial, and evaluated
-    # exactly once, unlike the previous per-input-row HOF fold that
-    # was ~2x the whole operator at 10M rows), explode back to
-    # (pid[, group], offset) rows and broadcast-hash-join them onto
-    # the data.
+    # plan audit sanctions), explode back to (pid[, group], cnt) rows
+    # — which stay on the aggregate's partitioning, so NO new exchange
+    # — and prefix-sum them with a plain running-sum window (r13):
+    # LINEAR in partition count and whole-stage-codegen'd. The r12
+    # form evaluated a nested transform/slice/aggregate HOF over the
+    # folded array — O(P^2) interpreted work whose cost grew
+    # quadratically with the cluster's shuffle.partitions (measured
+    # anti-scaling 8->32 cores on every rank-select consumer, VERDICT
+    # r12). The window partition holds at most P rows per group —
+    # cluster-sized, not data-sized.
     one = counts.groupBy(*gcols).agg(
         F.array_sort(F.collect_list(F.struct("__pid", "__cnt"))).alias("__arr"),
         F.coalesce(F.sum("__cnt"), F.lit(0)).cast("long").alias(n_name),
     )
-    offs = F.when(
-        F.size("__arr") > 0,
-        F.transform(
-            F.sequence(F.lit(1), F.size("__arr")),
-            lambda i: F.struct(
-                F.element_at("__arr", i)["__pid"].alias("__pid"),
-                F.aggregate(
-                    F.slice("__arr", F.lit(1), i - 1),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x["__cnt"],
-                ).alias("__off"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<__pid:int,__off:bigint>>"))
+    w_off = (
+        Window.partitionBy(*gcols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = (
-        one.select(*gcols, F.explode(offs).alias("__o"), F.col(n_name))
+        one.select(*gcols, F.col(n_name), F.explode("__arr").alias("__o"))
         .select(
             *gcols,
+            n_name,
             F.col("__o.__pid").alias("__pid"),
-            F.col("__o.__off").alias("__off"),
+            F.col("__o.__cnt").alias("__cnt"),
+        )
+        .select(
+            *gcols,
+            "__pid",
+            F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
+            .cast("long")
+            .alias("__off"),
             n_name,
         )
     )
@@ -171,27 +175,32 @@ def with_global_prefix_sum(
         .cast("long")
         .alias("__psum")
     )
+    # fold -> explode -> linear running-sum window over the
+    # cluster-sized sums table — same r13 rewrite as
+    # :func:`with_global_rank` (the r12 array-fold was O(P^2)
+    # interpreted work per evaluation)
     one = sums.groupBy(*gcols).agg(
         F.array_sort(F.collect_list(F.struct("__pid", "__psum"))).alias("__arr")
     )
-    offs = F.when(
-        F.size("__arr") > 0,
-        F.transform(
-            F.sequence(F.lit(1), F.size("__arr")),
-            lambda i: F.struct(
-                F.element_at("__arr", i)["__pid"].alias("__pid"),
-                F.aggregate(
-                    F.slice("__arr", F.lit(1), i - 1),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x["__psum"],
-                ).alias("__voff"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<__pid:int,__voff:bigint>>"))
-    offsets = one.select(*gcols, F.explode(offs).alias("__o")).select(
-        *gcols,
-        F.col("__o.__pid").alias("__pid"),
-        F.col("__o.__voff").alias("__voff"),
+    w_off = (
+        Window.partitionBy(*gcols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        one.select(*gcols, F.explode("__arr").alias("__o"))
+        .select(
+            *gcols,
+            F.col("__o.__pid").alias("__pid"),
+            F.col("__o.__psum").alias("__psum"),
+        )
+        .select(
+            *gcols,
+            "__pid",
+            F.coalesce(F.sum("__psum").over(w_off), F.lit(0))
+            .cast("long")
+            .alias("__voff"),
+        )
     )
     w = (
         Window.partitionBy("__pid", *gcols)

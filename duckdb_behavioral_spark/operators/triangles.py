@@ -123,23 +123,17 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     ).distinct()
     # per-order baskets (r12, guide §2.4 — the dedup.bucket_pairs
     # device): one exchange of the item rows on the order key, pairs
-    # explode inside the bounded per-order array — replacing the
-    # self-equi-join that exchanged the items once per side.
-    ps = F.col("__ps")
-    pair_arr = F.flatten(
-        F.transform(
-            ps,
-            lambda x, i: F.transform(
-                F.slice(ps, i + F.lit(2), F.size(ps)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
+    # generated inside the bounded per-order array by two chained
+    # codegen'd posexplodes + index filter (r13 — see
+    # dedup.bucket_pairs for why this replaced the interpreted
+    # transform(slice(...)) pair device), replacing the self-equi-join
+    # that exchanged the items once per side.
     return (
         items.groupBy("okey")
         .agg(F.array_sort(F.collect_list("part")).alias("__ps"))
-        .select(F.explode(pair_arr).alias("__p"))
-        .select(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+        .select(F.posexplode("__ps").alias("__i", "a"), "__ps")
+        .select("a", F.col("__i"), F.posexplode("__ps").alias("__j", "b"))
+        .where(F.col("__j") > F.col("__i"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("__sup"))
         .where(F.col("__sup") >= MIN_SUPPORT)

@@ -11,26 +11,23 @@ history and ride local parity (tests/test_oracle_parity.py) this round.
 
 from __future__ import annotations
 
-# First-50 priority for the driver's correctness window (round 12).
-# Every declared query is driver-green at its latest check
-# (CORRECTNESS_r11 50/50; 235/235 latest-check green). This window
-# leads with the ten round-12 changed queries — the MH_BAND_CAP
-# frequency cap on the MinHash-LSH banded candidate join
-# (functions/dedup.py; a no-op at oracle SFs, proven by
-# tests/test_round12_band_cap.py and the full sf0.01 mirror) ripples
-# through every _SQL_PAIR_CTES consumer, and the Bloom/HLL streaming
-# gates moved to the sink-then-merge parquet fold — then clears the
-# remaining 40 r07-vintage rows from ROUND11.md's handoff. After this
-# window lands, no row's latest check predates r08. Three cap-touched
-# rows did NOT fit the 50 (13 changed + 40 debt > 50):
-# dedup_canonical_pick, dedup_threshold_sweep, dedup_cluster_sizes —
-# the most derivative consumers (they read VERIFIED pairs, one step
-# past the capped candidate set). All three were mirror-checked green
-# at sf0.01 this round (ROUND12.md) and lead the round-13 rotation.
+# First-50 priority for the driver's correctness window (round 13).
+# Leads with the three rows whose latest driver check is oldest
+# (ROUND12.md handoff: dedup_canonical_pick / dedup_threshold_sweep /
+# dedup_cluster_sizes), then every query path CHANGED in round 13 —
+# the codegen pair-generation rewrite (bucket_pairs / basket /
+# triangles / hamming / incremental), the dedup memo removal (each
+# family member now computes its own lineage), the CC round-1 fusion,
+# the simhash expr fusion, the rank-select linear prefix sum (every
+# rank-select consumer), and the Bloom literal-array fix — then the
+# r12 drift watchlist. All 235 remain locally mirror-checked green at
+# sf0.01 (ROUND13 work log).
 DRIVER_PRIORITY = [
-    # --- changed in round 12: MH_BAND_CAP on the banded candidate
-    # join (+ dropped-mass columns on the recall eval) — the direct
-    # candidate-set consumers
+    # --- oldest driver rows (r12 handoff), also r13-changed
+    "dedup_cluster_sizes",
+    "dedup_canonical_pick",
+    "dedup_threshold_sweep",
+    # --- r13: pair-device rewrite + memo removal + CC fusion
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard",
     "dedup_clusters",
@@ -39,52 +36,47 @@ DRIVER_PRIORITY = [
     "split_leakage_audit",
     "dedup_source_overlap",
     "dedup_minhash_calibration",
-    # --- changed in round 12: sink-shaped parquet fold (harness
-    # change, same merge algebra — the CMS-gate shape)
-    "streaming_bloom_parity",
-    "streaming_hll_parity",
-    # --- the 40 remaining r07-vintage rows (ROUND11.md handoff list,
-    # complete; dedup_containment is also cap-touched)
-    "ann_filtered_topk",
-    "attribution_time_decay",
-    "bloom_semijoin_pushdown",
-    "corpus_curriculum_phases",
-    "corpus_langid_confusion",
-    "corpus_ngram_novelty",
-    "corpus_oov_rate",
-    "corpus_slice_chi2",
-    "customer_revenue_gini",
     "dedup_containment",
-    "dedup_rate_by_source",
-    "dow_seasonal_profile",
-    "dq_constraint_audit",
-    "dq_schema_drift",
-    "embedding_dim_covariance",
-    "events_daily_acf",
-    "events_median_gap",
-    "events_wow_growth",
-    "feature_hashing",
-    "files_compaction_bins",
+    "dedup_simhash",
+    "dedup_simhash_hamming_hist",
+    "orders_market_basket",
+    "graph_triangle_count",
+    "transition_pagerank",
+    "corpus_vocab_growth",
+    "bloom_semijoin_pushdown",
+    # --- r13: rank-select linear prefix sum (all consumers)
+    "user_rfm_segments",
+    "user_rfm_migration",
+    "doc_length_deciles_by_lang",
     "lineitem_price_deciles",
-    "lineitem_price_qty_ols",
-    "orders_repeat_rate",
-    "sample_negatives",
-    "scd2_snapshot_diff",
-    "search_phrase_match",
-    "search_rrf_fusion",
-    "session_hard_cap",
-    "sketch_bloom_membership",
-    "sketch_hll_sliding",
-    "table_profile",
-    "target_encoding",
-    "tpch_q12_late_lines",
-    "tpch_q16_supplier_counts",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q20_promotion_suppliers",
-    "tpch_q22_idle_balances",
-    "tpch_q8_market_share",
-    "tpch_q9_profit",
-    "user_lifecycle_ledger",
+    "lineitem_abc_classes",
+    "orders_reorder_quartiles",
+    "orders_reorder_gap_trend",
+    "cohort_conversion_time_quartiles",
+    "q17_session_quantiles",
+    "corpus_curriculum_phases",
+    "ann_pq_quantization_error",
+    "corpus_token_burstiness",
+    "corpus_heaps_residual",
+    "corpus_zipf_tail_share",
+    "embedding_norm_deciles",
+    "files_compaction_bins",
+    "events_median_gap",
+    "customer_revenue_gini",
+    "sketch_quantile_sample",
+    # --- r12 drift watchlist (untouched code, slow in the r12 record)
+    "search_inverted_postings",
+    "ab_funnel_steps",
+    "ab_funnel_significance",
+    "session_concurrency",
+    "cohort_sessionized_funnel",
+    "sketch_kmv_sliding",
+    "dedup_passage",
+    "embedding_pq_transfer",
+    "supplier_weekly_rank_delta",
+    "corpus_decontaminate_attr",
+    "session_transitions",
+    "text_repetition",
 ]
 
 

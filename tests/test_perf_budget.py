@@ -16,10 +16,11 @@ Budgets are therefore deliberately loose:
   2026-08-15 at local[32] (see SCALE.md "sf0.01 perf budgets"), so a
   pass is meaningful on any machine this suite realistically runs on.
 
-The dedup-cluster family shares a per-session memo of the
-MinHash -> Jaccard -> connected-components layers
-(duckdb_behavioral_spark/functions/dedup.py), so the FAMILY is timed
-as a unit: the first member pays the memo build, siblings ride it.
+The dedup-cluster family's r11/r12 cross-query memo was removed in
+round 13 (the optimization judge classified it as result caching
+under the bench contract), so every member now pays its own
+MinHash -> Jaccard (-> connected-components) build and is budgeted
+individually like any other query.
 """
 
 import os
@@ -40,19 +41,15 @@ BUDGETS = [
     ("text_repetition", 9.0),  # 1.2s
     ("table_profile", 7.0),  # 0.6s
     ("sketch_hll_sliding", 7.0),  # 0.9s
+    # the de-memoized dedup family: each pays one full MinHash ->
+    # Jaccard (-> CC) build per call (quiet warm ~4-8s each at
+    # sf0.01, dominated by driver-side plan construction + barriers)
+    ("dedup_ngram_jaccard", 30.0),
+    ("dedup_clusters", 40.0),
+    ("dedup_cluster_sizes", 40.0),
+    ("dedup_canonical_pick", 40.0),
+    ("split_leakage_audit", 30.0),
 ]
-
-# The memoized dedup family, timed as ONE unit in declared order: the
-# budget covers one full MinHash->Jaccard->CC build plus four memo
-# riders (quiet window: ~15s + 4x <1s).
-DEDUP_FAMILY = [
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_cluster_sizes",
-    "dedup_canonical_pick",
-    "split_leakage_audit",
-]
-DEDUP_FAMILY_BUDGET = 75.0
 
 
 def _run(spark, fn):
@@ -80,14 +77,3 @@ def test_query_within_budget(spark, name, budget):
     )
 
 
-def test_dedup_family_within_budget(spark):
-    import __spark_entry__ as entry
-
-    qs = entry.queries()
-    took = sum(_run(spark, qs[name]) for name in DEDUP_FAMILY)
-    if took > DEDUP_FAMILY_BUDGET:  # retry once: spike-immunity
-        took = sum(_run(spark, qs[name]) for name in DEDUP_FAMILY)
-    assert took <= DEDUP_FAMILY_BUDGET, (
-        f"memoized dedup family took {took:.1f}s at sf0.01 "
-        f"(budget {DEDUP_FAMILY_BUDGET:.0f}s for one CC build + 4 riders)"
-    )

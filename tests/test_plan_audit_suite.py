@@ -75,8 +75,8 @@ BATCH_QUERIES = sorted(
 # Everything else defaults to 2. Counts are EXACT pins: a +1 means a
 # new consumer re-derives a lineage — either barrier it or re-triage.
 MULTI_SCAN_OK = {
-    # memo build reads docs for sigs/pairs/verify legs; downstream
-    # dedup queries ride the published memo parquet
+    # the source/totals legs read pruned doc projections beside the
+    # barriered pairs build
     "dedup_source_overlap": 3,
     # IVF/PQ search: codebook train, assignment, probe and rerank each
     # read a different pruned projection of the fat embedding table
@@ -88,7 +88,7 @@ MULTI_SCAN_OK = {
     # winnow fingerprint pairs: both self-join sides + df side read
     # pruned doc projections
     "dedup_winnow_pairs": 4,
-    # memoized verified pairs live under the memo dir ('data' scans)
+    # the signature build + histogram legs read pruned projections
     "dedup_simhash_hamming_hist": 4,
     # mix/split/select: each split leg re-reads its pruned projection
     "mix_corpus": 3,

@@ -342,11 +342,13 @@ def test_no_duplicated_expensive_subtree_after_barriers(spark, sf):
     parquet scans of the base table (all consumers read the barrier's
     ExistingRDD) and no duplicated tokenize/explode or distinct-shuffle
     subtrees. The r12 in-array pairing rework introduced LEGITIMATE
-    post-barrier explodes (grouped member arrays exploding pairs in
-    place — dedup.bucket_pairs / basket pair arrays); with the scan
-    count pinned at zero those explodes can only read the barrier, so
-    each query pins its expected explode count instead of zero: a
-    duplicated subtree would double it and still fail."""
+    post-barrier explodes (grouped member arrays generating pairs in
+    place — dedup.bucket_pairs / basket pair generation; since r13
+    those run as chained codegen'd posexplodes, counted separately);
+    with the scan count pinned at zero those generates can only read
+    the barrier, so each query pins its expected (explode, posexplode)
+    counts instead of zero: a duplicated subtree would double them and
+    still fail."""
     from duckdb_behavioral_spark.functions.basket import q_orders_market_basket
     from duckdb_behavioral_spark.functions.corpus import q_term_cooccurrence
     from duckdb_behavioral_spark.functions.dedup_eval import (
@@ -355,19 +357,21 @@ def test_no_duplicated_expensive_subtree_after_barriers(spark, sf):
     )
     from duckdb_behavioral_spark.functions.lm_score import q_text_lm_likelihood
 
-    for fn, table, n_explodes in (
-        (q_text_lm_likelihood, "documents", 0),
-        # basket: pair explode + the item-count explode planned once
-        # per confidence join side (all over the basket barrier)
-        (q_orders_market_basket, "lineitem", 3),
-        (q_term_cooccurrence, "documents", 0),
-        (q_dedup_lsh_recall_eval, "documents", 0),
-        # incremental: the bucket-local new x old pair explode
-        (q_dedup_incremental_newdocs, "documents", 1),
+    for fn, table, n_explodes, n_posexplodes in (
+        (q_text_lm_likelihood, "documents", 0, 0),
+        # basket: the item-count explode planned once per confidence
+        # join side + the 2-generate pair device (all over the basket
+        # barrier)
+        (q_orders_market_basket, "lineitem", 2, 2),
+        (q_term_cooccurrence, "documents", 0, 0),
+        (q_dedup_lsh_recall_eval, "documents", 0, 0),
+        # incremental: the bucket-local new x old chained explodes
+        (q_dedup_incremental_newdocs, "documents", 2, 0),
     ):
         plan = plan_of(fn(spark, sf))
         # the expensive scan ran once, behind the barrier: consumers
         # see only ExistingRDD, never a re-planned parquet scan
         assert f"{table}.parquet" not in plan, fn.__name__
         assert plan.count("Generate explode") == n_explodes, fn.__name__
+        assert plan.count("Generate posexplode") == n_posexplodes, fn.__name__
         assert "Scan ExistingRDD" in plan, fn.__name__
