@@ -83,6 +83,14 @@ def _cos_sim_pair(qv, v, qn, nrm):
             return pd.Series([], dtype="float64")
         A = np.stack([np.asarray(x, dtype=np.float64) for x in qvs.values])
         B = np.stack([np.asarray(x, dtype=np.float64) for x in vs.values])
+        # fixed-dim contract (ADVICE r12): _vec_base feeds uniform
+        # EMB_DIM vectors; a ragged or mismatched batch would
+        # otherwise surface as an opaque stack/IndexError mid-task
+        if A.shape[1] != B.shape[1]:
+            raise ValueError(
+                f"_cos_sim_pair requires equal vector dims, got query "
+                f"dim {A.shape[1]} vs corpus dim {B.shape[1]}"
+            )
         acc = np.zeros(B.shape[0])
         for i in range(B.shape[1]):  # exact left-fold over dimensions
             acc += A[:, i] * B[:, i]

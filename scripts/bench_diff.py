@@ -25,7 +25,10 @@ def main():
     oj, nj = old.get("query_jobs", {}), new.get("query_jobs", {})
     rows = []
     for k in nq:
-        o, n = sec(oq.get(k, float("nan"))), sec(nq[k])
+        if k not in oq:
+            continue  # reported under "added in new"; a NaN delta
+            # would sort unpredictably and never clear the threshold
+        o, n = sec(oq[k]), sec(nq[k])
         rows.append((n - o, o, n, k))
     rows.sort()
     print(f"{'delta':>8} {'old':>7} {'new':>7}  jobs old->new  query")
