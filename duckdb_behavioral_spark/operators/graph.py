@@ -72,7 +72,7 @@ def connected_components(
         .localCheckpoint(eager=True)  # reused every round: compute edges once
     )
     labels = None
-    for _ in range(max_iter):
+    for it in range(max_iter):
         if labels is None:
             # Round 1 fused (r13): with init comp = node, the first
             # propagation step label(x) <- min(x, min nbr) is ONE
@@ -120,8 +120,16 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = jumped.where(F.col("__chg")).count()  # cached scan, no join
         labels = jumped.select("node", "comp")
+        # Round 1's convergence count is provably redundant (r13):
+        # any edge (a, b), a != b, gives its larger endpoint a comp
+        # < itself, so changed >= 1 whenever sym is non-empty — and
+        # when sym IS empty every round is an empty-frame no-op, so
+        # deferring the first count to round 2 costs nothing there
+        # either. One scheduler round-trip saved per CC build.
+        if it == 0:
+            continue
+        changed = jumped.where(F.col("__chg")).count()  # cached scan, no join
         if changed == 0:
             return labels
     raise ConvergenceError(f"connected_components did not converge in {max_iter} rounds")
