@@ -241,13 +241,16 @@ def raw_sigs_from_hashes(base: DataFrame) -> DataFrame:
     Split out so the estimate-vs-exact calibration can compare
     component equality pair-wise (``minhash_calibration.py``)."""
 
-    def _perm(j):
-        # factory (not default-arg lambda): pyspark dispatches on lambda
-        # arity, so extra defaulted params would bind the index Column
-        return lambda h: (F.lit(MINHASH_A[j]) * h + F.lit(MINHASH_B[j])) % F.lit(MINHASH_P)
-
+    # expr strings (r13, the banded_from_hashes lesson): one py4j call
+    # per component instead of a py4j round-trip per arithmetic node;
+    # executed arithmetic unchanged
     return base.groupBy("doc_id").agg(
-        *[F.min(_perm(j)(F.col("h"))).alias(f"s{j}") for j in range(NUM_HASHES)]
+        *[
+            F.expr(
+                f"min(({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {MINHASH_P})"
+            ).alias(f"s{j}")
+            for j in range(NUM_HASHES)
+        ]
     )
 
 

@@ -137,11 +137,9 @@ def lsh_recall_eval(docs: DataFrame, df_cap: int = TRUTH_DF_CAP) -> DataFrame:
     # the banded signatures feed candidate generation AND the
     # over-cap dropped-mass accounting — one barrier for both
     sig = banded_from_hashes(posting).localCheckpoint(eager=False)
-    cand = (
-        minhash_candidate_pairs(docs, sig=sig, sig_checkpointed=True)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)  # feeds the tau pass, hit, and its count
-    )
+    cand = minhash_candidate_pairs(docs, sig=sig, sig_checkpointed=True).select(
+        "doc_a", "doc_b"
+    )  # single consumer now (the flag union) — no barrier needed (r13)
     ocb = overcap_buckets(sig)
 
     # df-capped postings ground truth: keep shingles with df in
@@ -166,63 +164,74 @@ def lsh_recall_eval(docs: DataFrame, df_cap: int = TRUTH_DF_CAP) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("__nsh"))
         .select("doc_a", "doc_b")
     )
-    # ONE tau-verification join pass over the union of both pair
-    # families (two passes would join the shingle-set barrier twice)
-    tau = (
-        _tau_pairs(
-            cand.select("doc_a", "doc_b", F.lit("lsh").alias("src")).unionAll(
-                tp.select("doc_a", "doc_b", F.lit("tp").alias("src"))
-            ),
-            sh,
+    # Flag-merge the two pair families BEFORE tau verification (r13):
+    # each family holds a pair at most once, so a grouped max of the
+    # per-family flags yields the distinct pair domain with
+    # (has_lsh, has_tp) membership. One tau-verification pass then
+    # serves every downstream count — a pair in BOTH families verifies
+    # ONCE (the r12 tag-union verified it once per family), and
+    # n_hit = |truth ∩ cand| falls out of the flags: a truth pair in
+    # cand necessarily passes tau (tau is a pair property), so the
+    # old left-semi hit join against the cand barrier is redundant.
+    # With the hit join gone, the verified stream has exactly one
+    # consumer and the r12 tau checkpoint is dropped too (one fewer
+    # serial planning pass — guide §5, the eager-planning tax).
+    u = (
+        cand.select(
+            "doc_a", "doc_b", F.lit(True).alias("__l"), F.lit(False).alias("__t")
         )
-        .select("doc_a", "doc_b", "src")
-        .localCheckpoint(eager=False)  # feeds both counts and the hit join
+        .unionAll(
+            tp.select(
+                "doc_a", "doc_b", F.lit(False).alias("__l"), F.lit(True).alias("__t")
+            )
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("__l").alias("has_lsh"), F.max("__t").alias("has_tp"))
+        .localCheckpoint(eager=False)  # feeds the tau pass AND the n_lsh count
     )
-    verified = tau.where(F.col("src") == "lsh").select("doc_a", "doc_b")
-    truth = tau.where(F.col("src") == "tp").select("doc_a", "doc_b")
-    hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    vt = _tau_pairs(u.select("doc_a", "doc_b", "has_lsh", "has_tp"), sh).select(
+        "has_lsh", "has_tp"
+    )
 
-    # single bounded global aggregate over tagged pair sets (no
+    # single bounded global aggregate over tagged value rows (no
     # cross-join of one-row frames — that would be a nested-loop
-    # join). Pair families carry val=1 (sum == count); the over-cap
-    # bucket rows carry val=bucket_size so the same aggregate yields
-    # both the bucket count and the dropped doc-slot mass.
+    # join): the tau-verified flag rows, the pre-tau lsh domain rows
+    # and the over-cap bucket rows union into one (tag, val) stream.
     one = F.lit(1).cast("long").alias("val")
     tagged = (
-        truth.select(F.lit("truth").alias("tag"), one)
-        .unionAll(cand.select(F.lit("lsh").alias("tag"), one))
-        .unionAll(verified.select(F.lit("ver").alias("tag"), one))
-        .unionAll(hit.select(F.lit("hit").alias("tag"), one))
+        vt.select(
+            F.concat(
+                F.lit("v"),
+                F.col("has_lsh").cast("int").cast("string"),
+                F.col("has_tp").cast("int").cast("string"),
+            ).alias("tag"),
+            one,
+        )
+        .unionAll(u.where(F.col("has_lsh")).select(F.lit("lsh").alias("tag"), one))
         .unionAll(ocb.select(F.lit("ocb").alias("tag"), F.col("bsz").alias("val")))
     )
 
-    def _n(tag: str, name: str):
+    def _n(cond, name: str):
         return (
-            F.coalesce(
-                F.sum(F.when(F.col("tag") == tag, F.lit(1)).otherwise(F.lit(0))),
-                F.lit(0),
-            )
+            F.coalesce(F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))), F.lit(0))
             .cast("long")
             .alias(name)
         )
 
-    def _s(tag: str, name: str):
-        return (
-            F.coalesce(
-                F.sum(F.when(F.col("tag") == tag, F.col("val")).otherwise(F.lit(0))),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias(name)
-        )
-
+    is_ver = F.col("tag").isin("v10", "v11")
+    is_truth = F.col("tag").isin("v01", "v11")
     counts = tagged.agg(
-        _n("truth", "n_truth_pairs"),
-        _n("lsh", "n_lsh_pairs"),
-        _n("ver", "n_verified_pairs"),
-        _n("hit", "n_hit_pairs"),
-        _n("ocb", "n_overcap_buckets"),
-        _s("ocb", "overcap_docslots"),
+        _n(is_truth, "n_truth_pairs"),
+        _n(F.col("tag") == "lsh", "n_lsh_pairs"),
+        _n(is_ver, "n_verified_pairs"),
+        _n(F.col("tag") == "v11", "n_hit_pairs"),
+        _n(F.col("tag") == "ocb", "n_overcap_buckets"),
+        F.coalesce(
+            F.sum(F.when(F.col("tag") == "ocb", F.col("val")).otherwise(F.lit(0))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("overcap_docslots"),
     )
     recall = F.when(
         F.col("n_truth_pairs") > 0,

@@ -16,9 +16,10 @@ Scale design (100 TB posture):
   round-shape as the published large-star/small-star alternation
   (Kiveris et al., "Connected Components in MapReduce and Beyond"),
   with edges held constant instead of rewritten.
-- **Lineage is cut every round** (eager ``localCheckpoint``; on a real
-  cluster: ``checkpoint`` to the cluster FS). Iterative plans otherwise
-  grow superlinearly and re-execute prior rounds.
+- **Lineage is cut every round** (lazy ``localCheckpoint``, materialized
+  by the round's convergence count; on a real cluster: ``checkpoint``
+  to the cluster FS). Iterative plans otherwise grow superlinearly and
+  re-execute prior rounds.
 - **Convergence is a scalar aggregate** (count of changed labels), not
   a driver collect of the label table.
 
@@ -69,7 +70,13 @@ def connected_components(
         )
         .select(F.col("__e.__s").alias("__s"), F.col("__e.__d").alias("__d"))
         .repartition("__d")
-        .localCheckpoint(eager=True)  # reused every round: compute edges once
+        # lazy (r13): the first convergence count materializes sym,
+        # round 1 and round 2 in ONE job — the eager form paid a
+        # scheduler round-trip + serial planning pass per barrier
+        # (guide §5: localCheckpoint planning is serial driver time;
+        # the RDD is persisted by that first job and reused every
+        # later round exactly as the eager form did)
+        .localCheckpoint(eager=False)
     )
     labels = None
     for it in range(max_iter):
@@ -118,7 +125,10 @@ def connected_components(
                     "__chg"
                 ),
             )
-            .localCheckpoint(eager=True)
+            # lazy (r13): the round's convergence count (or, for round
+            # 1, round 2's count) materializes the RDD; every later
+            # consumer reads the persisted blocks as before
+            .localCheckpoint(eager=False)
         )
         labels = jumped.select("node", "comp")
         # Round 1's convergence count is provably redundant (r13):
