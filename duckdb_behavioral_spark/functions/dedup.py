@@ -179,8 +179,18 @@ def dedup_ngram_jaccard(df: DataFrame) -> DataFrame:
     cand = minhash_candidate_pairs(
         df, sig=banded_from_hashes(sh.select("doc_id", F.explode("sh").alias("h")))
     ).select("doc_a", "doc_b")
+    # SHUFFLE_HASH with the PAIR side as build (r13): the shingle legs'
+    # origin stats are the documents parquet (small, compressed text),
+    # but the materialized arrays are ~20-50x that — the static planner
+    # broadcast BOTH sh legs (two corpus-sized HashedRelation builds
+    # per query, measured as the dedup family's in-suite drag). The
+    # candidate-pair table is the provably bounded side (LSH bucket-cap
+    # fan-out), so it is the build side; the corpus legs stream with no
+    # driver collect at any scale (guide §3.1).
     pairs = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")), "doc_a")
+        cand.hint("shuffle_hash")
+        .join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")), "doc_a")
+        .hint("shuffle_hash")
         .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")), "doc_b")
     )
     inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))

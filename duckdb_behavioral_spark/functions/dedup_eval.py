@@ -92,10 +92,20 @@ def _tau_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     integer arithmetic only (``10*|∩| >= thr*|∪|``). Extra columns on
     ``pairs`` (e.g. a source tag) pass through."""
     keep = pairs.columns
-    j = pairs.join(
-        sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")), "doc_a"
-    ).join(
-        sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")), "doc_b"
+    # SHUFFLE_HASH, pair side as build (r13): see dedup.dedup_ngram_jaccard
+    # — the static planner otherwise broadcasts the corpus-sized shingle
+    # legs (origin stats = the small documents parquet)
+    j = (
+        pairs.hint("shuffle_hash")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")),
+            "doc_a",
+        )
+        .hint("shuffle_hash")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")),
+            "doc_b",
+        )
     )
     inter = F.size(F.array_intersect(F.col("sha"), F.col("shb"))).cast("long")
     uni = (F.size(F.col("sha")) + F.size(F.col("shb"))).cast("long") - inter
@@ -162,6 +172,63 @@ def lsh_recall_eval(docs: DataFrame, df_cap: int = TRUTH_DF_CAP) -> DataFrame:
         bucket_pairs(ep, ["h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("__nsh"))
+    )
+    # Exact integer prune of the truth domain BEFORE any array work
+    # (r13, guide §3.2 — pre-filter the big side with a cheap
+    # necessary condition). tau >= 0.6 <=> 10*I >= 6*(na + nb - I)
+    # <=> 16*I >= 6*(na + nb), and every shared shingle is either
+    # truth-eligible (df in [2, cap] — counted exactly by __nsh) or
+    # over-cap (df > cap — at most min of the two docs' over-cap
+    # shingle counts; df = 1 shingles cannot be shared), so
+    # I <= min(__nsh + min(aov, bov), min(na, nb)). Pairs failing
+    # 16*Imax >= 6*(na+nb) can NEVER pass tau and are dropped on
+    # integer columns alone — measured 1,130,536 -> 256 pairs at
+    # sf0.1 (the exact-Jaccard join over the full domain was the
+    # query's dominant stage, ~12 executor-minutes of array_intersect
+    # on a churned JVM). The surviving pairs (and every LSH candidate)
+    # still go through the EXACT verification joins below, so all
+    # counts are unchanged — the prune only removes provably-failing
+    # pairs. Costs: two extra passes over the exploded postings
+    # (df-agg + over-cap per-doc counts) and an int-only stats join —
+    # all linear, no new barrier.
+    ovh = (
+        posting.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") > df_cap)
+        .select("h")
+    )
+    nov = posting.join(ovh, "h").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__nov")
+    )
+    stats = (
+        sh.select("doc_id", F.size("sh").alias("__nsz"))
+        .join(nov, "doc_id", "left")
+        .select(
+            "doc_id", "__nsz", F.coalesce(F.col("__nov"), F.lit(0)).alias("__nov")
+        )
+    )
+    imax = F.least(
+        F.col("__nsh") + F.least(F.col("__aov"), F.col("__bov")),
+        F.least(F.col("__na"), F.col("__nb")),
+    )
+    tp = (
+        tp.join(
+            stats.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("__nsz").alias("__na"),
+                F.col("__nov").alias("__aov"),
+            ),
+            "doc_a",
+        )
+        .join(
+            stats.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("__nsz").alias("__nb"),
+                F.col("__nov").alias("__bov"),
+            ),
+            "doc_b",
+        )
+        .where(16 * imax >= 6 * (F.col("__na") + F.col("__nb")))
         .select("doc_a", "doc_b")
     )
     # Flag-merge the two pair families BEFORE tau verification (r13):

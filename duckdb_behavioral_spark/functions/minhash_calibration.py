@@ -92,14 +92,21 @@ def minhash_calibration(docs: DataFrame) -> DataFrame:
     inter = F.size(F.array_intersect(F.col("sha"), F.col("shb"))).cast("long")
     union = (F.size("sha") + F.size("shb")).cast("long") - inter
     exact = F.expr("div(1000 * __inter, __union)").cast("long")
+    # SHUFFLE_HASH, pair side as build (r13): see dedup.dedup_ngram_jaccard
+    # — the static planner otherwise broadcasts the corpus-sized
+    # signature and shingle legs (origin stats = the documents parquet)
     per_pair = (
-        cand.join(a, "doc_a")
+        cand.hint("shuffle_hash")
+        .join(a, "doc_a")
+        .hint("shuffle_hash")
         .join(b, "doc_b")
         .select("doc_a", "doc_b", n_eq.alias("n_eq"))
+        .hint("shuffle_hash")
         .join(  # sh is the SAME checkpointed barrier the sigs rode
             sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")),
             "doc_a",
         )
+        .hint("shuffle_hash")
         .join(
             sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")),
             "doc_b",
