@@ -49,11 +49,16 @@ def containment_pairs(docs: DataFrame) -> DataFrame:
     cand = minhash_candidate_pairs(
         docs, sig=banded_from_hashes(sh.select("doc_id", F.explode("sh").alias("h")))
     ).select("doc_a", "doc_b")
+    # SHUFFLE_HASH, pair side as build (r13): see dedup.dedup_ngram_jaccard
+    # — the static planner otherwise broadcasts the corpus-sized shingle
+    # legs (origin stats = the small documents parquet)
     pairs = (
-        cand.join(
+        cand.hint("shuffle_hash")
+        .join(
             sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")),
             "doc_a",
         )
+        .hint("shuffle_hash")
         .join(
             sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")),
             "doc_b",
