@@ -35,7 +35,6 @@ from pyspark.sql import functions as F
 from duckdb_behavioral_spark.functions.common import (
     sql_tokens,
     tokens,
-    word_grams_indexed,
 )
 from duckdb_behavioral_spark.functions.topk import ranked_topk
 
@@ -55,16 +54,27 @@ def lm_likelihood_tails(
     # ``scored`` below feeds two ranked-topk tails — without barriers
     # Catalyst re-runs the tokenize→bigram-explode scan once per
     # consumer (up to 4× the corpus scan; the 100-TB killer).
+    # bigrams as (w1, w2) STRUCTS straight off the token array (r13):
+    # the former word_grams_indexed path concat_ws'd every bigram into
+    # a string only for split_part to cut it apart again — one string
+    # build + two scans per gram in the hottest stage. Tokens are
+    # whitespace-split, so the struct pairs are exactly the split
+    # halves. Same attribute-ref lambda discipline as
+    # word_grams_indexed (the token array is a bound column).
+    sz = F.size(F.col("__toks"))
+    bigrams = F.when(
+        sz >= 2,
+        F.transform(
+            F.sequence(F.lit(1), sz - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("__toks"), i).alias("w1"),
+                F.element_at(F.col("__toks"), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     pairs = (
-        toked.select(
-            id_col,
-            F.explode(word_grams_indexed(F.col("__toks"), 2)).alias("__g"),
-        )
-        .select(
-            id_col,
-            F.split_part(F.col("__g"), F.lit(" "), F.lit(1)).alias("w1"),
-            F.split_part(F.col("__g"), F.lit(" "), F.lit(2)).alias("w2"),
-        )
+        toked.select(id_col, F.explode(bigrams).alias("__p"))
+        .select(id_col, F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
         .localCheckpoint(eager=False)
     )
     lm = (

@@ -29,7 +29,6 @@ from pyspark.sql import functions as F
 from duckdb_behavioral_spark.functions.common import (
     sql_tokens,
     tokens,
-    word_grams_indexed,
 )
 from duckdb_behavioral_spark.functions.topk import ranked_topk
 
@@ -42,11 +41,22 @@ def bigram_lm(docs: DataFrame, text: str = "text", k: int = TOPK) -> DataFrame:
     """(rank, w1, w2, n, n_w1, p_permille): top-``k`` corpus bigrams by
     count with truncated-permille conditional probability."""
     toked = docs.select(tokens(F.lower(F.col(text))).alias("__toks"))
-    pairs = toked.select(
-        F.explode(word_grams_indexed(F.col("__toks"), 2)).alias("__g")
-    ).select(
-        F.split_part(F.col("__g"), F.lit(" "), F.lit(1)).alias("w1"),
-        F.split_part(F.col("__g"), F.lit(" "), F.lit(2)).alias("w2"),
+    # bigrams as (w1, w2) structs straight off the token array (r13):
+    # no concat_ws + split_part round trip per gram — see
+    # lm_score.lm_likelihood_tails
+    sz = F.size(F.col("__toks"))
+    bigrams = F.when(
+        sz >= 2,
+        F.transform(
+            F.sequence(F.lit(1), sz - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("__toks"), i).alias("w1"),
+                F.element_at(F.col("__toks"), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = toked.select(F.explode(bigrams).alias("__p")).select(
+        F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2")
     )
     counted = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
     w1w = Window.partitionBy("w1")

@@ -61,16 +61,24 @@ def ngram_novelty(docs: DataFrame) -> DataFrame:
         # (two full document scans for one logical pass).
         .localCheckpoint(eager=False)
     )
+    # n_novel per doc = the number of distinct shingles whose FIRST
+    # document is that doc — countable from the first-occurrence
+    # aggregate alone (r13, guide §2.4): the former shape joined the
+    # full exploded shingle stream back to `first` on the shingle hash
+    # (a shingle-cardinality exchange of both sides) just to re-derive
+    # that count; two doc-keyed aggregates + one doc-sized join carry
+    # the same information.
     first = sh.groupBy("h").agg(F.min("doc_id").alias("__first"))
-    per_doc = (
-        sh.join(first, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_shingles"),
-            F.sum(F.when(F.col("__first") == F.col("doc_id"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_novel"),
-        )
+    novel = first.groupBy(F.col("__first").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_novel")
+    )
+    nsh = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    per_doc = nsh.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
     )
     return per_doc.select(
         "doc_id",
