@@ -41,16 +41,25 @@ def ols_sufficient(
 ) -> DataFrame:
     """Per-group exact sums: n, sx, sy (BIGINT), sxy, sxx, syy
     (DECIMAL(38,0)). ``x`` and ``y`` must be integral-valued columns
-    already cast to a BIGINT-safe type."""
-    xd = x.cast("decimal(19,0)")
-    yd = y.cast("decimal(19,0)")
+    already cast to a BIGINT-safe type whose per-row products x*y,
+    x*x, y*y each fit BIGINT (lineitem: qty <= 50, cents <= 1.1e7,
+    squares <= 1.2e14 — comfortably inside 2^63 at ANY corpus size,
+    since the bound is per ROW). Only the cross-row SUMS can overflow
+    BIGINT at warehouse scale, so the products multiply as LONGs and
+    the accumulation rides DECIMAL(38,0) — same exact values as the
+    former decimal(19)x decimal(19) per-row multiply at a fraction of
+    the row cost (128-bit decimal multiply per row was the scan's
+    dominant expression; r13)."""
+    xl = x.cast("long")
+    yl = y.cast("long")
+    dec = "decimal(38,0)"
     return df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(x.cast("long")).cast("long").alias("sx"),
-        F.sum(y.cast("long")).cast("long").alias("sy"),
-        F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
-        F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
-        F.sum(yd * yd).cast("decimal(38,0)").alias("syy"),
+        F.sum(xl).cast("long").alias("sx"),
+        F.sum(yl).cast("long").alias("sy"),
+        F.sum((xl * yl).cast(dec)).cast(dec).alias("sxy"),
+        F.sum((xl * xl).cast(dec)).cast(dec).alias("sxx"),
+        F.sum((yl * yl).cast(dec)).cast(dec).alias("syy"),
     )
 
 
