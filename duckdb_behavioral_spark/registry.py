@@ -64,6 +64,16 @@ DRIVER_PRIORITY = [
     "events_median_gap",
     "customer_revenue_gini",
     "sketch_quantile_sample",
+    # --- r13 batch 2: truth-domain prune + SHJ verify joins, bigram
+    # structs, novelty aggregate-only counts, OLS long products,
+    # spread()-ed builders (quality_score feeds the last two)
+    "dedup_minhash_sigs",
+    "corpus_ngram_novelty",
+    "text_lm_likelihood",
+    "text_bigram_lm",
+    "text_quality_filter",
+    "lineitem_price_qty_ols",
+    "training_set_select",
     # --- r12 drift watchlist (untouched code, slow in the r12 record)
     "search_inverted_postings",
     "ab_funnel_steps",
