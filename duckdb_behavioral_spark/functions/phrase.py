@@ -28,7 +28,6 @@ from duckdb_behavioral_spark.functions.common import (
     sql_tokens,
     sql_word_grams,
     tokens,
-    word_grams_indexed,
 )
 from duckdb_behavioral_spark.functions.topk import ranked_topk
 
@@ -38,14 +37,34 @@ TOPK = 50
 
 
 def _doc_bigrams(docs: DataFrame, id_col: str, text: str) -> DataFrame:
+    # (doc, pos, w1, w2) — bigrams as STRUCT pairs straight off the
+    # token array (r13): the former word_grams_indexed path built a
+    # "w1 w2" string per gram OCCURRENCE in both passes; tokens are
+    # whitespace-split (no spaces inside a token), so the pair <->
+    # string mapping is a bijection and grouping by the pair is
+    # exactly grouping by the string. The string is reconstructed
+    # only for the tie-break sort and the single winning phrase.
     toked = docs.where(F.col(text).isNotNull()).select(
         F.col(id_col), tokens(F.lower(F.col(text))).alias("__toks")
     )
-    return toked.select(
-        id_col,
-        F.posexplode(word_grams_indexed(F.col("__toks"), 2)).alias(
-            "__pos0", "__gram"
+    sz = F.size(F.col("__toks"))
+    bigrams = F.when(
+        sz >= 2,
+        F.transform(
+            F.sequence(F.lit(1), sz - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("__toks"), i).alias("w1"),
+                F.element_at(F.col("__toks"), i + 1).alias("w2"),
+            ),
         ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return toked.select(
+        id_col, F.posexplode(bigrams).alias("__pos0", "__p")
+    ).select(
+        id_col,
+        "__pos0",
+        F.col("__p.w1").alias("__w1"),
+        F.col("__p.w2").alias("__w2"),
     )
 
 
@@ -61,18 +80,25 @@ def phrase_match_topk(
     # recompute from the column-pruned parquet scan instead — two
     # cheap map-side passes beat one materialized explosion.
     grams = _doc_bigrams(docs, id_col, text)
+    # ties break on the STRING (oracle semantics, unchanged): the
+    # concat evaluates once per DISTINCT pair in the top-1 sort, not
+    # once per gram occurrence per pass as before
     top_phrase = (
-        grams.groupBy("__gram")
+        grams.groupBy("__w1", "__w2")
         .agg(F.count(F.lit(1)).alias("__cnt"))
-        .orderBy(F.col("__cnt").desc(), F.col("__gram").asc())
+        .orderBy(
+            F.col("__cnt").desc(),
+            F.concat_ws(" ", F.col("__w1"), F.col("__w2")).asc(),
+        )
         .limit(1)
-        .select(F.col("__gram").alias("phrase"))
+        .select(
+            "__w1",
+            "__w2",
+            F.concat_ws(" ", F.col("__w1"), F.col("__w2")).alias("phrase"),
+        )
     )
     matched = (
-        grams.join(
-            F.broadcast(top_phrase),
-            grams["__gram"] == F.col("phrase"),
-        )
+        grams.join(F.broadcast(top_phrase), ["__w1", "__w2"])
         .groupBy(id_col, "phrase")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_matches"),
