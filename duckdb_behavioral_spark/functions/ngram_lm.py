@@ -42,8 +42,9 @@ def bigram_lm(docs: DataFrame, text: str = "text", k: int = TOPK) -> DataFrame:
     count with truncated-permille conditional probability."""
     from duckdb_behavioral_spark.functions.common import spread
 
-    # spread BEFORE the tokenize (r13): see dedup._shingle_sets
-    toked = spread(docs.select("doc_id", F.col(text)), "doc_id").select(
+    # spread BEFORE the tokenize (r13): see dedup._shingle_sets. Keyed
+    # on the text itself — the only column this operator requires.
+    toked = spread(docs.select(F.col(text)), text).select(
         tokens(F.lower(F.col(text))).alias("__toks")
     )
     # bigrams as (w1, w2) structs straight off the token array (r13):
